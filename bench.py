@@ -1,0 +1,71 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gtec_etl_spark.plans import registry  # noqa: E402
+from gtec_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_revenue_orders",
+    "q07_mode_segment_per_nation",
+    "q16_top3_lineitems_per_supplier",
+    "q18_sessionize_events",
+    "q19_asof_last_order",
+    "ref_q2_dataset_variables",
+    "ref_q6_tabular_dump",
+    "prof_event_value_stats",
+    "ev_sliding_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gtec_etl_spark-bench")
+    specs = registry.specs()
+    names = [n for n in HEADLINE if n in specs] + [
+        n for n in sorted(specs) if n not in HEADLINE
+    ]
+
+    # Warm the JVM + parquet footers once (not timed).
+    specs[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        n = specs[name].fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

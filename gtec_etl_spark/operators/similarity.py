@@ -1,0 +1,70 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force exact cosine top-k is the correctness baseline; the scale paths
+are IVF (search only the nearest centroid's partition) and random-hyperplane
+LSH (bucket join). Dot products are sequential JVM-side folds
+(zip_with + aggregate) so results are bitwise reproducible in the SQL
+oracle — no Python UDFs anywhere on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector (a 1-row
+    DataFrame with column `q`). The query side is broadcast; ranking uses
+    TakeOrderedAndProject (per-partition top-k, driver merge) — no global
+    sort. Deterministic tie-break on id."""
+    e = with_norm(emb, vec_col)
+    q = with_norm(query_vec.select(F.col("q").alias("qv")), "qv", "qnorm")
+    cos = dot(F.col(vec_col), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("cosine_exact", cos)
+        .orderBy(F.col("cosine_exact").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cosine_exact", 4).alias("cosine"))
+    )
+
+
+def hyperplane_weight(j: int, d: int) -> int:
+    """Deterministic integer pseudo-random hyperplane weights, exactly
+    representable in doubles and reproducible in SQL."""
+    return ((1103515245 * (j * 64 + d) + 12345) % 2001) - 1000
+
+
+def hyperplane_bucket(vec_col: Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane, packed."""
+    bucket = None
+    for j in range(n_planes):
+        weights = F.array(*[F.lit(float(hyperplane_weight(j, d))) for d in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")

@@ -1,0 +1,225 @@
+"""Deduplication query pack over the documents table (build charter M6).
+
+Every operator is oracle-checked: the hashing is deterministic and
+engine-portable (functions/hashing.py), so the DuckDB oracle reproduces the
+exact MinHash permutations / SimHash bits / Jaccard arithmetic. Oracle SQL
+for the hash-heavy queries is generated programmatically so both engines
+share identical literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.functions.hashing import MINHASH_P, hash60_sql, minhash_params
+from gtec_etl_spark.operators import dedup as D
+from gtec_etl_spark.plans.registry import query
+
+# Shared oracle CTEs: distinct word 3-gram shingles per document.
+SHINGLES_CTE = """
+    words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx)
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY fingerprint
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: groupBy on a 128-bit hash of normalized text. One
+    shuffle on a uniform key; at 100 TB this is the cheapest dedup pass and
+    runs first to shrink the corpus for the near-dup passes."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs).orderBy("fingerprint")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: inverted shingle index → shared-shingle
+    equi-join candidates → exact |∩|/|∪| ≥ 0.8. Never an all-pairs cross
+    join; the candidate join key (shingle) is capped-skew at scale by
+    dropping ultra-frequent shingles."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    return D.jaccard_pairs(sh, min_jaccard=0.8).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    params = minhash_params(num_hashes)
+    hb = hash60_sql("shingle")
+    mins = ",\n           ".join(
+        f"min(({a} * (hb % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_arms = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {k} AS band, concat({cols}) AS sig FROM sig".format(
+            k=k,
+            cols=", '-', ".join(f"mh{k * rows + r}" for r in range(rows)),
+        )
+        for k in range(bands)
+    )
+    return f"""
+    WITH {SHINGLES_CTE},
+    h AS (SELECT doc_id, {hb} AS hb FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+      FROM h GROUP BY doc_id),
+    banded AS (
+{band_arms}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(16, 4), tags=("dedup",))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding (16 permutations, 4 bands × 4 rows): the
+    sub-quadratic near-dup path. Signature build is one groupBy with 16
+    partial-agg min expressions; candidates come from a (band, signature)
+    equi-join — at 100 TB this is a shuffle on a well-distributed 4-row
+    signature, never a cross join. Deterministic universal hashing makes it
+    oracle-checkable (functions/hashing.py)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    return D.lsh_candidate_pairs(sigs, 16, 4).orderBy("doc_a", "doc_b")
+
+
+def _simhash_oracle(bits: int, max_hamming: int, chunks: int, chunk_bits: int) -> str:
+    hb = hash60_sql("token")
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (hb >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(bits)
+    )
+    mask = (1 << chunk_bits) - 1
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {hb} AS hb FROM tok),
+    sums AS (SELECT doc_id,
+           {sums}
+      FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {assemble} AS simhash FROM sums),
+    chunked AS (
+      SELECT doc_id, simhash, k AS chunk, (simhash >> ({chunk_bits} * k)) & {mask} AS ckey
+      FROM sig CROSS JOIN (SELECT unnest([{",".join(str(k) for k in range(chunks))}]) AS k) ks
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunked a
+    JOIN chunked b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(60, 10, 4, 15), tags=("dedup",))
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 60-bit signature (±1 vote per token-hash bit),
+    4×15-bit chunk blocking (hamming ≤ 10 < 4 chunks ⇒ some chunk must...
+    — with r ≥ chunks the blocking is a recall heuristic, as in production
+    simhash pipelines), exact hamming verify via bit_count(xor)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
+    )
+    sigs = D.simhash_signatures(tokens, 60)
+    return D.simhash_near_pairs(sigs, 10, 4, 15).orderBy("doc_a", "doc_b")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+EMB_COSINE_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm) >= 0.4
+    ORDER BY vec_a, vec_b
+"""
+
+
+@query("dedup_embedding_cosine", oracle=EMB_COSINE_ORACLE, tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup with IVF-style blocking: candidate pairs
+    share a cluster label, exact cosine ≥ 0.4 verifies. The dot product is
+    a sequential JVM-side fold (zip_with + aggregate) — bitwise identical
+    to the oracle's fold, no Python in the loop. At 100 TB the label join
+    bounds the pair space to within-cluster blocks."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = emb.select(
+        "vec_id", "label", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("embedding").alias("ea"), F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("embedding").alias("eb"), F.col("norm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_exact", cos)
+        .filter(F.col("cosine_exact") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine_exact", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,251 @@
+"""The reference's declared query set Q1–Q6 (SURVEY.md §2.12), re-expressed
+over the normalized relational model.
+
+Mapping of the DATS entity graph onto the test star schema:
+  program Dataset → region, study Dataset → nation, StudyGroup → market
+  segment, subject Material → customer, sample Material → order,
+  extract Material / file Dataset → lineitem, characteristics → customer
+  attributes (unpivoted), distributions → part/supplier attributes.
+
+Each query keeps the reference's relational shape (join chain, DISTINCT,
+multi-key ORDER BY, parameterization, left-join preservation) documented in
+SURVEY.md §2.12; the hand-compiled rdflib join plans are replaced by
+Catalyst (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.plans.registry import query
+
+
+@query(
+    "ref_q1_second_level_datasets",
+    oracle="""
+    SELECT n.n_nationkey AS dataset_id, n.n_name AS dataset_title, r.r_name AS program
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA')
+    ORDER BY program, dataset_title
+    """,
+    tags=("refquery",),
+)
+def ref_q1_second_level_datasets(spark, sf_dir):
+    """Q1 list-2nd-level-datasets (sparql_list_2nd_level_datasets.py:34-47):
+    filter top-level by title, traverse hasPart, project id+title."""
+    t = catalog.load_tables(spark, sf_dir)
+    return (
+        t["region"]
+        .filter(F.col("r_name").isin("ASIA", "AMERICA"))
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_nationkey").alias("dataset_id"),
+            F.col("n_name").alias("dataset_title"),
+            F.col("r_name").alias("program"),
+        )
+        .orderBy("program", "dataset_title")
+    )
+
+
+@query(
+    "ref_q2_dataset_variables",
+    oracle="""
+    SELECT DISTINCT p.p_name AS var_name, p.p_partkey AS var_id
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE n.n_name = 'NATION_3'
+    ORDER BY var_name, var_id
+    """,
+    tags=("refquery",),
+)
+def ref_q2_dataset_variables(spark, sf_dir):
+    """Q2 list-dataset-variables (sparql_list_dataset_variables.py:42-58):
+    parameterized by study id (initBindings → a constant-folded filter),
+    join chain to the variable dimension, DISTINCT + 2-key ORDER BY."""
+    t = catalog.load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .filter(F.col("n_name") == "NATION_3")
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("p_name").alias("var_name"), F.col("p_partkey").alias("var_id"))
+        .distinct()
+        .orderBy("var_name", "var_id")
+    )
+
+
+@query(
+    "ref_q3_study_group_members",
+    oracle="""
+    SELECT r.r_name AS program, n.n_name AS study, c.c_mktsegment AS study_group,
+           c.c_custkey AS member_id, c.c_name AS member_name
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA' AND c.c_mktsegment = 'BUILDING'
+    ORDER BY study, member_name, member_id
+    """,
+    tags=("refquery",),
+)
+def ref_q3_study_group_members(spark, sf_dir):
+    """Q3 list-study-group-members (sparql_list_study_group_members.py:47-64):
+    two parameters (study set + group name), dataset→group→member join
+    chain, 3-key ORDER BY."""
+    t = catalog.load_tables(spark, sf_dir)
+    return (
+        t["region"]
+        .filter(F.col("r_name") == "ASIA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.col("r_name").alias("program"),
+            F.col("n_name").alias("study"),
+            F.col("c_mktsegment").alias("study_group"),
+            F.col("c_custkey").alias("member_id"),
+            F.col("c_name").alias("member_name"),
+        )
+        .orderBy("study", "member_name", "member_id")
+    )
+
+
+@query(
+    "ref_q4_subject_characteristics",
+    oracle="""
+    SELECT DISTINCT c_custkey AS subject_id, char_name, char_value
+    FROM (
+      SELECT c_custkey, 'mktsegment' AS char_name, c_mktsegment AS char_value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'acctbal', CAST(round(c_acctbal, 2) AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT c.c_custkey, 'nation', n.n_name
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE c_custkey < 200
+    ORDER BY subject_id, char_name
+    """,
+    tags=("refquery",),
+)
+def ref_q4_subject_characteristics(spark, sf_dir):
+    """Q4 subject characteristics (sparql_list_subject_characteristics.py:
+    40-57): the characteristics of a material as (name, value) rows —
+    an unpivot (stack) + DISTINCT + expression ORDER BY."""
+    t = catalog.load_tables(spark, sf_dir)
+    cust = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    unpivoted = cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(3, 'mktsegment', c_mktsegment,"
+            " 'acctbal', CAST(round(c_acctbal, 2) AS STRING),"
+            " 'nation', n_name) AS (char_name, char_value)"
+        ),
+    )
+    return (
+        unpivoted.filter(F.col("c_custkey") < 200)
+        .select(F.col("c_custkey").alias("subject_id"), "char_name", "char_value")
+        .distinct()
+        .orderBy("subject_id", "char_name")
+    )
+
+
+@query(
+    "ref_q5_subject_sample_chain",
+    oracle="""
+    SELECT c.c_name AS subject, o.o_orderkey AS sample_id,
+           l.l_linenumber AS extract_id, l.l_returnflag AS role
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('A', 'R') AND c.c_custkey < 100
+    ORDER BY subject, sample_id, extract_id
+    """,
+    tags=("refquery",),
+)
+def ref_q5_subject_sample_chain(spark, sf_dir):
+    """Q5 subject⋈sample⋈extract chain (sparql_list_subject_samples.py:
+    41-60): the 2-hop derivesFrom traversal with a role-disjunction filter."""
+    t = catalog.load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 100)
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag").isin("A", "R")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("c_name").alias("subject"),
+            F.col("o_orderkey").alias("sample_id"),
+            F.col("l_linenumber").alias("extract_id"),
+            F.col("l_returnflag").alias("role"),
+        )
+        .orderBy("subject", "sample_id", "extract_id")
+    )
+
+
+TABULAR_DUMP_ORACLE = """
+    SELECT r.r_name AS program, n.n_name AS study,
+           c.c_custkey AS subject_id, c.c_name AS subject_name,
+           c.c_mktsegment AS study_group,
+           o.o_orderkey AS sample_id, o.o_orderdate AS sample_date,
+           o.o_orderstatus AS sample_status,
+           l.l_linenumber AS file_id, p.p_name AS file_type, s.s_name AS producer,
+           round(l.l_quantity, 4) AS quantity,
+           round(l.l_extendedprice, 4) AS file_size
+    FROM customer c
+    JOIN nation n      ON n.n_nationkey = c.c_nationkey
+    JOIN region r      ON r.r_regionkey = n.n_regionkey
+    LEFT JOIN orders o   ON o.o_custkey = c.c_custkey
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p     ON p.p_partkey = l.l_partkey
+    LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ORDER BY program, study, subject_name, sample_id, file_id
+"""
+
+
+@query("ref_q6_tabular_dump", oracle=TABULAR_DUMP_ORACLE, tags=("refquery", "dump"))
+def ref_q6_tabular_dump(spark, sf_dir):
+    """Q6 tabular dump (rdflib_tabular_dump.py:334-418): the full
+    denormalization — subject→sample→file chain left-joined so subjects
+    without samples/files are preserved, dimension lookups broadcast,
+    deterministic multi-key ordering.
+
+    This is the flagship query (entry()). At 100 TB the fact-fact joins
+    (orders⋈lineitem) shuffle on the join key once; all dimension joins are
+    broadcast; no driver-side materialization happens here — the dump is a
+    distributed DataFrame the caller writes out partitioned.
+    """
+    t = catalog.load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"), "left")
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        .select(
+            F.col("r_name").alias("program"),
+            F.col("n_name").alias("study"),
+            F.col("c_custkey").alias("subject_id"),
+            F.col("c_name").alias("subject_name"),
+            F.col("c_mktsegment").alias("study_group"),
+            F.col("o_orderkey").alias("sample_id"),
+            F.col("o_orderdate").alias("sample_date"),
+            F.col("o_orderstatus").alias("sample_status"),
+            F.col("l_linenumber").alias("file_id"),
+            F.col("p_name").alias("file_type"),
+            F.col("s_name").alias("producer"),
+            F.round("l_quantity", 4).alias("quantity"),
+            F.round("l_extendedprice", 4).alias("file_size"),
+        )
+        .orderBy("program", "study", "subject_name", "sample_id", "file_id")
+    )

@@ -1,0 +1,139 @@
+"""Variable-profiling query pack (A5 var_report statistics, SURVEY.md §2.5).
+
+The reference *consumes* per-variable statistics from dbGaP var_report XML
+(ccmm/dbgap/public_metadata.py:43-58,94-127); the engine must *produce* them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.operators import aggregates as agg
+from gtec_etl_spark.plans.registry import query
+
+
+@query(
+    "prof_event_value_stats",
+    oracle="""
+    SELECT event_type,
+           count("value")                                AS n,
+           CAST(sum(CASE WHEN "value" IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           round(avg("value"), 4)                        AS mean_val,
+           round(median("value"), 4)                     AS median_val,
+           round(min("value"), 4)                        AS min_val,
+           round(max("value"), 4)                        AS max_val,
+           round(stddev_samp("value"), 4)                AS sd_val,
+           count(DISTINCT "value")                       AS distinct_vals
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("profile",),
+)
+def prof_event_value_stats(spark, sf_dir):
+    """A5 var_report generation: n/nulls/mean/median/min/max/sd/distinct per
+    variable. Exact median + countDistinct for the oracle; at 100 TB the
+    same plan swaps in percentile_approx/approx_count_distinct."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return agg.variable_profile(ev, "event_type", "value").orderBy("event_type")
+
+
+@query(
+    "prof_enum_value_counts",
+    oracle="""
+    SELECT o_orderpriority AS code, count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY code
+    """,
+    tags=("profile",),
+)
+def prof_enum_value_counts(spark, sf_dir):
+    """A5 enum value+count list (the var_report <enum> section)."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("code"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("code")
+    )
+
+
+@query(
+    "prof_rollup_customers",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS program, coalesce(n_name, 'ALL') AS study,
+           count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY program, study
+    """,
+    tags=("profile", "rollup"),
+)
+def prof_rollup_customers(spark, sf_dir):
+    """Hierarchical rollup (region→nation→total) — richer profiling than the
+    reference (SURVEY.md §2.5 notes no grouping sets), via native rollup()."""
+    t = catalog.load_tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("program"),
+            F.coalesce("n_name", F.lit("ALL")).alias("study"),
+            "n_customers",
+            "total_balance",
+        )
+        .orderBy("program", "study")
+    )
+
+
+@query(
+    "prof_mode_median_synthesis",
+    oracle="""
+    WITH modes AS (
+      SELECT o_custkey, mode_value FROM (
+        SELECT o_custkey, o_orderpriority AS mode_value, count(*) AS n,
+               row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY count(*) DESC, o_orderpriority ASC
+               ) AS rn
+        FROM orders GROUP BY o_custkey, o_orderpriority
+      ) WHERE rn = 1
+    ),
+    medians AS (
+      SELECT o_custkey, round(median(o_totalprice), 4) AS median_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT m.o_custkey AS subject_id, m.mode_value AS representative_priority,
+           d.median_price AS representative_price
+    FROM modes m JOIN medians d ON m.o_custkey = d.o_custkey
+    ORDER BY subject_id
+    """,
+    tags=("profile", "synthesis"),
+)
+def prof_mode_median_synthesis(spark, sf_dir):
+    """A4 synthetic-record synthesis (ccmm/topmed/subjects.py:157-184): per
+    subject pick the mode of a categorical variable (count desc, value asc
+    tie-break) and the exact median of a numeric one — the privacy-safe
+    representative-record path."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    modes = agg.mode_pick(orders, "o_custkey", "o_orderpriority").select(
+        "o_custkey", F.col("mode_value").alias("representative_priority")
+    )
+    medians = orders.groupBy("o_custkey").agg(
+        F.round(F.median("o_totalprice"), 4).alias("representative_price")
+    )
+    return (
+        modes.join(medians, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("subject_id"),
+            "representative_priority",
+            "representative_price",
+        )
+        .orderBy("subject_id")
+    )

@@ -1,0 +1,77 @@
+"""Query registry: every implemented operator from SURVEY.md §2 registers a
+named query (Spark DataFrame implementation) plus, where SQL-expressible, a
+DuckDB-runnable ANSI-SQL oracle over the same parquet tables.
+
+The driver contract (__spark_entry__.py) reads this registry: `queries()`
+returns the Spark callables, `oracle_sql()` the oracle strings. Column names
+are aliased identically on both sides — the correctness gate hashes values
+after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query under `name`,
+    with an optional DuckDB oracle SQL string."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "", tuple(tags))
+        return fn
+
+    return deco
+
+
+def specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in specs().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in specs().items() if spec.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every plans module so decorators run."""
+    global _LOADED
+    if _LOADED:
+        return
+    from gtec_etl_spark.plans import (  # noqa: F401
+        dedup_queries,
+        etl_queries,
+        profile_queries,
+        relational,
+        similarity_queries,
+        streaming_batch,
+        text_queries,
+    )
+
+    _LOADED = True

@@ -1,0 +1,196 @@
+"""Text-analysis query pack over the documents table (charter M6):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything is native Spark SQL expressions (split / filter / transform /
+regexp_extract_all / md5) — no Python UDFs; each query ships a DuckDB
+oracle with the same deterministic logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.functions.hashing import hash60, hash60_sql
+from gtec_etl_spark.plans.registry import query
+
+# A BPE-ish word/number/punct segmentation — identical RE2/Java semantics.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters | digits | single punct), aggregated per source. The regex
+    runs JVM-side via regexp_extract_all inside codegen."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_ws_tokens"),
+            F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))).alias(
+                "total_bpe_tokens"
+            ),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_EN_STOP_SQL = "['" + "','".join(STOPWORDS["en"]) + "']"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_words,
+           round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+           round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
+           round(0.4 * (n_stop * 1.0 / n_words)
+                 + 0.3 * least(1.0, n_words / 100.0)
+                 + 0.3 * (n_distinct * 1.0 / n_words), 4) AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_words,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains({_EN_STOP_SQL}, x))) AS n_stop,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+      FROM documents
+    )
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio, lexical diversity, length factor —
+    the standard cheap pre-filter for training-data pipelines, as pure
+    array expressions (split / filter / array_distinct)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    ).filter(F.col("doc_id") < 200)
+    stop_ratio = F.col("n_stop") / F.col("n_words")
+    distinct_ratio = F.col("n_distinct") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(
+            0.4 * stop_ratio + 0.3 * F.least(F.lit(1.0), F.col("n_words") / 100.0) + 0.3 * distinct_ratio,
+            4,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def _langid_case(hit: dict[str, str]) -> str:
+    """Deterministic argmax CASE chain (first language in fixed order wins
+    ties) — same text for both engines."""
+    langs = list(STOPWORDS)
+    arms = []
+    for i, lg in enumerate(langs):
+        conds = [f"{hit[lg]} >= {hit[other]}" for other in langs[i + 1 :]]
+        prior = [f"{hit[lg]} > {hit[other]}" for other in langs[:i]]
+        all_conds = prior + conds
+        cond = " AND ".join(all_conds) if all_conds else "TRUE"
+        arms.append(f"WHEN {cond} THEN '{lg}'")
+    return "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+
+def _hits_sql(lg: str) -> str:
+    lst = "['" + "','".join(STOPWORDS[lg]) + "']"
+    return f"len(list_filter(string_split(lower(text), ' '), x -> list_contains({lst}, x)))"
+
+
+def _hits_spark(lg: str) -> str:
+    lst = "array('" + "','".join(STOPWORDS[lg]) + "')"
+    return f"size(filter(split(lower(text), ' '), x -> array_contains({lst}, x)))"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT lang, predicted_lang, count(*) AS n_docs
+    FROM (
+      SELECT lang, {_langid_case({lg: _hits_sql(lg) for lg in STOPWORDS})} AS predicted_lang
+      FROM documents
+    )
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+    tags=("text",),
+)
+def text_langid(spark, sf_dir):
+    """Language-ID heuristic: per-language stopword hit counts, argmax with
+    a fixed deterministic tie order — confusion matrix against the labeled
+    lang column."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    pred = F.expr(_langid_case({lg: _hits_spark(lg) for lg in STOPWORDS}))
+    return (
+        docs.withColumn("predicted_lang", pred)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS content_md5,
+           (SELECT min({hash60_sql('g')})
+            FROM (SELECT unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(length(d.text) - 7, 1)),
+                    i -> substr(d.text, i, 8)))) AS g)) AS rolling_min_hash
+    FROM documents d
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-content md5 + a rolling-hash sketch
+    (min 60-bit hash over char 8-gram windows — the winnowing/min-sampling
+    primitive). Pure codegen expressions; the 8-gram expansion happens
+    JVM-side per row without exploding rows."""
+    from gtec_etl_spark.operators.dedup import normalized_text
+
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),"
+        " i -> substring(text, i, 8)))"
+    )
+    min_hash = F.array_min(F.transform(grams, lambda g: hash60(g)))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized_text(F.col("text"))).alias("content_md5"),
+        min_hash.alias("rolling_min_hash"),
+    ).orderBy("doc_id")

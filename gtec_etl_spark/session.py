@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the test harness (local[N]) while keeping
+cluster-scale defaults explicit.
+
+At 100 TB on a real cluster the same settings hold: AQE re-plans shuffles at
+runtime (coalescing small partitions, splitting skewed ones), shuffle
+partition count becomes a starting hint rather than a fixed fan-out, and the
+UTC session timezone keeps timestamp semantics engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "gtec_etl_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Honors SPARK_GRAFT_CPUS for local parallelism. Shuffle partitions are
+    sized to cores for local mode; on a real cluster AQE coalescing makes
+    the initial number a ceiling, not a commitment.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,85 @@
+"""Local mirror of the driver's correctness gate: run every registered query
+on Spark and its oracle on DuckDB over the same parquet tables; compare row
+count, column names, and values (columns sorted by name, rows sorted by all
+columns — an order-insensitive exact comparison).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from gtec_etl_spark.plans import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, then rows; stringify values canonically."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def canon(v):
+        if v is None:
+            return "\x00NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            if v == int(v) and abs(v) < 1e15:
+                return repr(int(v))
+            return repr(round(v, 9))
+        if isinstance(v, bool):
+            return repr(int(v))
+        return str(v)
+
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for _, c in sorted(zip(range(len(colnames)), [colnames[i] for i in order]))], out
+
+
+def spec_ids():
+    return sorted(registry.specs().keys())
+
+
+@pytest.mark.parametrize("name", spec_ids())
+def test_query_matches_oracle(spark, name):
+    spec = registry.specs()[name]
+    sdf = spec.fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    if spec.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check (driver's weaker gate)
+        return
+
+    con = duck_connection(SF_DIR)
+    res = con.sql(spec.oracle)
+    duck_cols = list(res.columns)
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    _, s_norm = normalize(spark_rows, spark_cols)
+    _, d_norm = normalize(duck_rows, duck_cols)
+    mism = [i for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b][:5]
+    assert s_norm == d_norm, (
+        f"{name}: value mismatch at sorted-row idx {mism}; "
+        f"spark sample={[s_norm[i] for i in mism]}; duck sample={[d_norm[i] for i in mism]}"
+    )
