@@ -1,0 +1,131 @@
+"""Structured Streaming surface over the `events` table (SURVEY.md §2.10).
+
+The reference is strictly batch; the engine's charter adds a streaming-capable
+events pipeline. Every transformation here is expressed once and shared with
+the batch analogs in plans/streaming_batch.py — the tests replay the parquet
+events through readStream (Trigger.AvailableNow) into a memory sink and
+assert equality with the batch results, which are themselves oracle-checked.
+
+Scale design: all aggregations are keyed on (window, low-cardinality key) so
+state is bounded; watermarks bound state retention for late data; the
+stateful per-user operator uses applyInPandasWithState with an explicit
+timeout so idle keys are evicted. On a real cluster the same code runs
+against kafka/file sources unchanged — only read_events_stream swaps.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Schema of the driver's events table as scanned with
+# spark.sql.legacy.parquet.nanosAsLong=true (ts is TIMESTAMP(NANOS) in the
+# file; the stream converts it exactly like catalog.table does for batch).
+EVENTS_FILE_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet. In production this is the
+    one function that changes (kafka topic / cloud landing bucket); the
+    downstream pipelines are source-agnostic."""
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a watermark bounding
+    late-data state — the streaming form of ev_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_totals(
+    events: DataFrame,
+    size: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window totals — the streaming form of ev_sliding_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming analog of
+    q18_sessionize_events' lag+cumsum batch plan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark) — streaming exact dedup with bounded
+    state, the streaming counterpart of the dedup_exact batch pass."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, timeout_sec: int = 120, output_mode: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a memory
+    sink, block until all available input is processed, and return the
+    result as a batch DataFrame. Complete-mode output keeps windowed
+    aggregates simple to read back in tests; stateful (mapGroupsWithState)
+    plans require 'update'."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().logical().toString()
+        if "FlatMapGroupsInPandasWithState" in plan:
+            output_mode = "update"
+        elif "Aggregate" in plan:
+            output_mode = "complete"
+        else:
+            output_mode = "append"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)

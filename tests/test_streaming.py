@@ -1,0 +1,86 @@
+"""Streaming surface tests: replay the parquet events through readStream
+(Trigger.AvailableNow) and assert the results equal the batch analogs —
+which are themselves oracle-checked in test_oracle_parity (ev_* queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.streaming import pipelines as P
+from tests.conftest import SF_DIR
+
+
+def _sorted_rows(df, *keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_tumbling_counts_matches_batch(spark):
+    stream = P.tumbling_counts(P.read_events_stream(spark, SF_DIR))
+    got = P.run_to_memory(stream)
+
+    ev = catalog.table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    assert _sorted_rows(got, "window_start", "event_type") == _sorted_rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_sliding_totals_matches_batch(spark):
+    stream = P.sliding_totals(P.read_events_stream(spark, SF_DIR))
+    got = P.run_to_memory(stream)
+
+    ev = catalog.table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    assert _sorted_rows(got, "window_start") == _sorted_rows(want, "window_start")
+
+
+def test_session_counts_total_events_preserved(spark):
+    stream = P.session_counts(P.read_events_stream(spark, SF_DIR), gap="30 minutes")
+    got = P.run_to_memory(stream)
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    n_events = catalog.table(spark, SF_DIR, "events").count()
+    assert total == n_events
+    # Sessions are disjoint per user and each holds >= 1 event.
+    assert got.filter(F.col("n_events") < 1).count() == 0
+    per_user_batch = (
+        catalog.table(spark, SF_DIR, "events").groupBy("user_id").count()
+    )
+    per_user_stream = got.groupBy("user_id").agg(F.sum("n_events").alias("count"))
+    assert _sorted_rows(per_user_stream, "user_id") == _sorted_rows(per_user_batch, "user_id")
+
+
+def test_dedup_within_watermark_removes_nothing_on_unique_ids(spark):
+    # event_id is unique in the test table; dedup must be a no-op.
+    stream = P.deduped_events(P.read_events_stream(spark, SF_DIR))
+    got = P.run_to_memory(stream)
+    assert got.count() == catalog.table(spark, SF_DIR, "events").count()
+
+
+def test_stateful_running_user_totals(spark):
+    from gtec_etl_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(P.read_events_stream(spark, SF_DIR))
+    got = P.run_to_memory(stream)
+    # Update mode + single AvailableNow batch: one cumulative row per user.
+    ev = catalog.table(spark, SF_DIR, "events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    assert _sorted_rows(got, "user_id") == _sorted_rows(want, "user_id")
