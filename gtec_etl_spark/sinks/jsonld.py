@@ -1,0 +1,93 @@
+"""JSON-LD document emitter — K1/K2 (SURVEY.md §2.2) and the M5 milestone.
+
+The reference serializes its DATS entity graph as one giant JSON-LD document
+(bin/gtex_v7_to_dats.py:404-406) with three tricky behaviors the engine must
+reproduce deterministically (SURVEY.md §7.4):
+
+1. **Stable ids.** The reference uses uuid4 per object
+   (ccmm/dats/datsobj.py:109-116) — nondeterministic. We derive ids as
+   content hashes (sha256 of type + natural key), so outputs are
+   byte-reproducible and hashable across runs and engines.
+2. **First-occurrence-full-then-ref dedup.** Shared sub-objects are embedded
+   in full exactly once (the first occurrence in document order) and as
+   {"@id": ...} references everywhere else (DatsObjCache,
+   ccmm/dats/datsobj.py:156-172). Implemented with a row_number window over
+   the deterministic document order — the "first writer" rule — and a
+   same-schema struct whose non-@id fields are nulled for refs; to_json
+   omits null fields, so refs serialize as {"@id": "..."} exactly.
+3. **Cycles.** Circular links (subject↔StudyGroup) are representable only as
+   @id references; the edge always serializes as a ref struct.
+
+Scale: assembly is groupBy + sorted collect_list per level — shuffles on the
+parent key only; no driver-side materialization. One document per top-level
+entity lands as one row; df.write.text shards documents across files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def content_id(entity_type: str, *natural_key: Column | str) -> Column:
+    """Deterministic @id: sha256 over (type, natural key), truncated to 32
+    hex chars. Replaces the reference's uuid4 (SURVEY.md §7.4)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in natural_key]
+    return F.concat(
+        F.lit(f"dats:{entity_type}/"),
+        F.substring(F.sha2(F.concat_ws("\x1f", F.lit(entity_type), *cols), 256), 1, 32),
+    )
+
+
+def as_ref(struct_col: Column, schema: StructType) -> Column:
+    """Rebuild `struct_col` with every field nulled except `@id`. Because
+    to_json drops null fields, the ref serializes as {"@id": "..."} while
+    keeping the same Spark type as the full struct (so full-vs-ref can live
+    in one column)."""
+    fields = []
+    for f in schema.fields:
+        if f.name == "@id":
+            fields.append(struct_col.getField("@id").alias("@id"))
+        else:
+            fields.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.struct(*fields)
+
+
+def first_occurrence(df: DataFrame, object_id: str, order: list[Column | str]) -> Column:
+    """The deterministic "first writer" flag: true for the single row that
+    embeds the full object, false for every later reference. `order` must be
+    a total order (include a tie-breaking unique key)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(object_id).orderBy(*order)
+    return F.row_number().over(w) == 1
+
+
+def full_or_ref(struct_col: Column, is_first: Column, schema: StructType) -> Column:
+    """Emit the full object on its first occurrence, an @id ref after."""
+    return F.when(is_first, struct_col).otherwise(as_ref(struct_col, schema))
+
+
+def sorted_children(sort_key: Column, child: Column) -> Column:
+    """Deterministically ordered child array for collect_list aggregation:
+    collect (key, child) pairs, sort by key, project the child — the
+    emitter's answer to collect_list's nondeterministic order."""
+    return F.struct(sort_key.alias("k"), child.alias("v"))
+
+
+def children_array(collected: Column) -> Column:
+    return F.transform(F.array_sort(collected), lambda x: x["v"])
+
+
+def to_document(root_struct: Column) -> Column:
+    """Serialize the assembled root struct to the final JSON document.
+    Null fields are omitted (that is what makes refs minimal)."""
+    return F.to_json(root_struct)
+
+
+def write_documents(docs: DataFrame, path: str, doc_col: str = "doc") -> None:
+    """K1/K2 writer: one JSON-LD document per row, sharded across text
+    files. The reference's single-file write is the 1-partition special
+    case; at scale documents shard by top-level entity."""
+    docs.select(doc_col).write.mode("overwrite").text(path)
