@@ -1,0 +1,94 @@
+"""Unit tests for operator primitives not yet covered by the oracle-parity
+suite: conflict-checked merge (J2/J3), as-of join, derived-key join with
+dangling-FK detection, count assertion, and the bucketized range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark.operators import aggregates as A
+from gtec_etl_spark.operators import joins as J
+
+
+def test_conflict_checked_merge(spark):
+    base = spark.createDataFrame(
+        [("s1", "male", None), ("s2", "female", "30-39"), ("s3", None, "20-29")],
+        "id string, sex string, age string",
+    )
+    extra = spark.createDataFrame(
+        [("s1", "male", "40-49", "A"), ("s2", "male", "30-39", "B"), ("s4", "female", None, "C")],
+        "id string, sex string, age string, consent string",
+    )
+    merged, conflicts = J.conflict_checked_merge(base, extra, "id")
+
+    conf = [(r["id"], r["column"], r["base_value"], r["extra_value"]) for r in conflicts.collect()]
+    assert conf == [("s2", "sex", "female", "male")]  # the reference's fatal case
+
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows["s1"]["age"] == "40-49"          # null filled from extra
+    assert rows["s1"]["consent"] == "A"          # new column carried over
+    assert rows["s2"]["sex"] == "female"         # base wins on conflict
+    assert rows["s3"]["consent"] is None         # no extra row -> null
+    assert "s4" not in rows                      # left merge keeps base keys
+
+
+def test_asof_join_operator(spark):
+    facts = spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-05")], "k long, t string"
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "a"),
+            (1, "2024-01-09", "b"),
+            (1, "2024-01-11", "late"),
+            (2, "2024-01-07", "future"),
+        ],
+        "k long, et string, payload string",
+    ).select("k", F.col("et").cast("timestamp").alias("et"), "payload")
+
+    out = J.asof_join(facts, events, "k", "k", "t", "et", ["payload"])
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["payload"] == "b"      # latest at-or-before
+    assert rows[2]["payload"] is None     # only future events -> null
+
+
+def test_derived_key_join_and_dangling(spark):
+    samples = spark.createDataFrame(
+        [("GTEX-AB1-0001",), ("GTEX-AB1-0002",), ("GTEX-ZZ9-0001",)], "SAMPID string"
+    )
+    subjects = spark.createDataFrame([("GTEX-AB1", 60)], "SUBJID string, age long")
+    joined = J.derived_key_join(
+        samples, subjects, r"^(GTEX-[^-]+)", "SAMPID", "SUBJID"
+    )
+    assert joined.count() == 2
+    dangling = J.dangling_keys(
+        samples.withColumn("SUBJID", F.regexp_extract("SAMPID", r"^(GTEX-[^-]+)", 1)),
+        subjects,
+        "SUBJID",
+    )
+    assert [r["SAMPID"] for r in dangling.collect()] == ["GTEX-ZZ9-0001"]
+
+
+def test_count_assertion(spark):
+    actual = spark.createDataFrame([("GRU", 60), ("HMB", 39)], "code string, n long")
+    expected = spark.createDataFrame([("GRU", 60), ("HMB", 40)], "code string, expected long")
+    bad = A.count_assertion(actual, expected, "code", "n", "expected")
+    assert [(r["code"], r["n"], r["expected"]) for r in bad.collect()] == [("HMB", 39, 40)]
+
+
+def test_bucket_range_join_boundaries(spark):
+    facts = spark.createDataFrame([(0,), (4,), (5,), (29,), (59,), (60,)], "v long")
+    ranges = spark.createDataFrame(
+        [(0, 5, "XS"), (5, 30, "S"), (30, 60, "L")], "lo long, hi long, label string"
+    )
+    out = J.bucket_range_join(facts, F.col("v"), ranges, "lo", "hi", 7)
+    got = sorted((r["v"], r["label"]) for r in out.collect())
+    # half-open [lo, hi): 5 goes to S, 60 matches nothing
+    assert got == [(0, "XS"), (4, "XS"), (5, "S"), (29, "S"), (59, "L")]
+
+
+def test_found_counters(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
+    out = A.found_counters(df, F.col("x") <= 3).collect()[0]
+    assert (out["n_found"], out["n_not_found"]) == (3, 1)
