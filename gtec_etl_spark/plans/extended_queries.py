@@ -1,0 +1,196 @@
+"""Extended operator coverage beyond the reference's own surface
+(SURVEY.md §2.5 notes no cube/rollup; §2.8 no INTERSECT/EXCEPT; §2.9 date
+functions pass through as strings) — the new engine provides them as
+first-class, oracle-checked operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.plans.registry import query
+
+
+@query(
+    "q22_cube_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def q22_cube_order_counts(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping levels in one
+    pass — partial aggregation handles the expansion map-side, so the
+    shuffle carries only group keys (the profiling-at-scale shape)."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q23_map_functions",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS brand_from_map,
+           p_type AS type_from_map,
+           CAST(2 AS INT) AS map_size
+    FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    tags=("scalar", "map"),
+)
+def q23_map_functions(spark, sf_dir):
+    """§2.9 dynamic-keys model (GFF3 attribute maps, SURVEY.md §1.2):
+    build 'k=v;k=v' text, parse with str_to_map, read keys back. The
+    oracle checks the round-trip reproduces the source columns."""
+    part = catalog.table(spark, sf_dir, "part")
+    kv = F.concat_ws(
+        ";",
+        F.concat(F.lit("brand="), F.col("p_brand")),
+        F.concat(F.lit("type="), F.col("p_type")),
+    )
+    return (
+        part.filter(F.col("p_partkey") < 300)
+        .withColumn("attrs", F.str_to_map(kv, F.lit(";"), F.lit("=")))
+        .select(
+            "p_partkey",
+            F.col("attrs")["brand"].alias("brand_from_map"),
+            F.col("attrs")["type"].alias("type_from_map"),
+            F.size("attrs").alias("map_size"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q24_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)    AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(month(o_orderdate) AS INT)   AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE)   AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    tags=("scalar", "date"),
+)
+def q24_date_functions(spark, sf_dir):
+    """§2.9 date family: the reference passes ISO strings through; the
+    engine parses and computes (trunc, last_day, diffs) natively."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+                "days_since_95"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q25_found_counters",
+    oracle="""
+    SELECT
+      CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+      CAST(sum(CASE WHEN NOT (o_totalprice > 100000) THEN 1 ELSE 0 END) AS BIGINT) AS n_not_found
+    FROM orders
+    """,
+    tags=("agg",),
+)
+def q25_found_counters(spark, sf_dir):
+    """A7 found/not-found tallies (gtex_v7_to_dats.py:50-94) as one
+    conditional aggregation pass."""
+    from gtec_etl_spark.operators.aggregates import found_counters
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    return found_counters(orders, F.col("o_totalprice") > 100000)
+
+
+@query(
+    "q26_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(var_samp(l_quantity), 4)                    AS qty_var
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q26_corr_stats(spark, sf_dir):
+    """Bivariate statistics (correlation / covariance / variance) — the A5
+    profiling family extended to relationships between variables."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q27_intersect_except",
+    oracle="""
+    WITH small AS (SELECT p_brand FROM part WHERE p_size <= 15),
+         promo AS (SELECT p_brand FROM part WHERE p_type = 'PROMO')
+    SELECT 'both' AS which, p_brand FROM (SELECT p_brand FROM small INTERSECT SELECT p_brand FROM promo)
+    UNION ALL
+    SELECT 'only_small', p_brand FROM (SELECT p_brand FROM small EXCEPT SELECT p_brand FROM promo)
+    ORDER BY which, p_brand
+    """,
+    tags=("setop",),
+)
+def q27_intersect_except(spark, sf_dir):
+    """§2.8 INTERSECT / EXCEPT (absent from the reference; first-class
+    here). Both compile to distinct + semi/anti joins."""
+    part = catalog.table(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") <= 15).select("p_brand")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_brand")
+    both = small.intersect(promo).select(F.lit("both").alias("which"), "p_brand")
+    only = small.subtract(promo).select(F.lit("only_small").alias("which"), "p_brand")
+    return both.unionByName(only).orderBy("which", "p_brand")
+
+
+@query("prof_approx_profile", oracle=None, tags=("profile", "approx"))
+def prof_approx_profile(spark, sf_dir):
+    """The 100 TB scale path of A5: approx_count_distinct (HLL) and
+    percentile_approx replace their exact forms with bounded memory.
+    Sketch results are engine-specific, so this registers without an SQL
+    oracle (driver records the weaker rows-only check)."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

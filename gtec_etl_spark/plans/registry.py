@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
     from gtec_etl_spark.plans import (  # noqa: F401
         dedup_queries,
         etl_queries,
+        extended_queries,
         profile_queries,
         relational,
         similarity_queries,
