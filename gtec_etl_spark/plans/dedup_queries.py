@@ -152,18 +152,20 @@ def _simhash_oracle(bits: int, max_hamming: int, chunks: int, chunk_bits: int) -
     """
 
 
-@query("dedup_simhash", oracle=_simhash_oracle(60, 10, 4, 15), tags=("dedup",))
+@query("dedup_simhash", oracle=_simhash_oracle(60, 3, 4, 15), tags=("dedup",))
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 60-bit signature (±1 vote per token-hash bit),
-    4×15-bit chunk blocking (hamming ≤ 10 < 4 chunks ⇒ some chunk must...
-    — with r ≥ chunks the blocking is a recall heuristic, as in production
-    simhash pipelines), exact hamming verify via bit_count(xor)."""
+    4×15-bit chunk blocking (hamming ≤ 3 < 4 chunks ⇒ pigeonhole: some
+    chunk is identical, so blocking is exact, not heuristic), exact hamming
+    verify via bit_count(xor). The tight radius keeps the candidate set
+    near-linear on vocab-correlated corpora; a looser radius (≥ chunks)
+    degrades to quadratic pair counts."""
     docs = catalog.table(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
     )
     sigs = D.simhash_signatures(tokens, 60)
-    return D.simhash_near_pairs(sigs, 10, 4, 15).orderBy("doc_a", "doc_b")
+    return D.simhash_near_pairs(sigs, 3, 4, 15).orderBy("doc_a", "doc_b")
 
 
 def _dot_sql(a: str, b: str) -> str:
