@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
     """(file, line_no, line) with exact in-file line numbers."""
-    whole = spark.read.option("wholetext", True).text(path).select(
+    # NB: wholetext must be the .text() keyword — .option("wholetext", ...)
+    # is silently ignored by the text source in Spark 4.1, which would
+    # degrade this to per-line rows with line_no always 0.
+    whole = spark.read.text(path, wholetext=True).select(
         F.col("value"), F.input_file_name().alias("file")
     )
     return whole.select(

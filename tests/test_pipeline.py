@@ -1,0 +1,138 @@
+"""End-to-end ETL lifecycle test (SURVEY.md §3.1): validated sources →
+linkage → restricted merge → consent groups → JSON-LD + TSV + bag, plus
+the S9/S12 restricted readers and bag determinism.
+"""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+
+from gtec_etl_spark import pipelines
+from gtec_etl_spark.sinks.bdbag import make_bag, verify_bag
+from gtec_etl_spark.sources import restricted as R
+
+
+def _w(p, text):
+    p.write_text(textwrap.dedent(text))
+    return str(p)
+
+
+@pytest.fixture()
+def fixture_files(tmp_path):
+    subjects = _w(
+        tmp_path / "subjects.tsv",
+        """\
+        SUBJID\tSEX\tAGE
+        GTEX-AB1\t1\t20-29
+        GTEX-CD2\t2\t30-39
+        GTEX-EF3\t1\t40-49
+        """,
+    )
+    samples = _w(
+        tmp_path / "samples.tsv",
+        """\
+        SAMPID\tSMTS\tSMRIN
+        GTEX-AB1-0001\tBlood\t7.2
+        GTEX-AB1-0002\tBrain\t6.8
+        GTEX-CD2-0001\tBlood\t8.1
+        GTEX-ZZ9-0001\tSkin\t5.0
+        """,
+    )
+    restrictedf = _w(
+        tmp_path / "restricted.tsv",
+        """\
+        SUBJID\tCONSENT\tAGE
+        GTEX-AB1\t1\t20-29
+        GTEX-CD2\t2\t30-39
+        GTEX-EF3\t1\t40-49
+        """,
+    )
+    return subjects, samples, restrictedf
+
+
+def test_full_etl_lifecycle(spark, fixture_files, tmp_path):
+    subjects, samples, restrictedf = fixture_files
+    res = pipelines.run_gtex_like_etl(
+        spark, subjects, samples, restrictedf, expected_group_sizes={"1": 2, "2": 1}
+    )
+    # J1 linkage: the GTEX-ZZ9 sample dangles, 3 link.
+    assert [r["SAMPID"] for r in res.dangling_samples.collect()] == ["GTEX-ZZ9-0001"]
+    assert res.samples.count() == 3
+    # J2 merge: no conflicts in consistent fixture; CONSENT arrived.
+    assert res.conflicts.count() == 0
+    assert res.subjects.filter("CONSENT IS NULL").count() == 0
+    # A1 groups.
+    groups = {r["CONSENT"]: r for r in res.study_groups.collect()}
+    assert groups["1"]["size"] == 2 and groups["1"]["members"] == "GTEX-AB1,GTEX-EF3"
+    # K1 documents: valid JSON, member refs sorted.
+    docs = {r["group"]: json.loads(r["doc"]) for r in res.documents.collect()}
+    assert docs["1"]["size"] == 2 and docs["1"]["@type"] == "StudyGroup"
+
+    # Load: K3 + K1 + K4 bag; verify checksums round-trip.
+    out = tmp_path / "release"
+    bag = pipelines.export_release(res, str(out), str(tmp_path / "release.tgz"))
+    assert bag["n_files"] >= 2 and verify_bag(str(tmp_path / "release.tgz"))
+
+
+def test_etl_fails_fast_on_bad_source(spark, fixture_files, tmp_path):
+    subjects, samples, _ = fixture_files
+    bad = _w(
+        tmp_path / "bad_subjects.tsv",
+        """\
+        SUBJID\tSEX\tAGE
+        GTEX-AB1\t9\t20-29
+        """,
+    )
+    from gtec_etl_spark.sources.validated import ValidationError
+
+    with pytest.raises(ValidationError):
+        pipelines.run_gtex_like_etl(spark, bad, samples)
+
+
+def test_etl_count_reconciliation_fails(spark, fixture_files):
+    subjects, samples, restrictedf = fixture_files
+    with pytest.raises(ValueError, match="reconciliation"):
+        pipelines.run_gtex_like_etl(
+            spark, subjects, samples, restrictedf, expected_group_sizes={"1": 99}
+        )
+
+
+def test_restricted_reader_accessions(spark, tmp_path):
+    path = _w(
+        tmp_path / "restricted_subject.txt",
+        """\
+        # Study accession: phs000424.v7.p2
+        # Table accession: pht002741.v7.p2
+        SUBJID\tCONSENT
+        GTEX-AB1\t1
+        """,
+    )
+    rows, acc = R.read_restricted_tsv(spark, path)
+    assert rows.columns == ["SUBJID", "CONSENT"] and rows.count() == 1
+    got = {(r["kind"], r["accession"]) for r in acc.collect()}
+    assert got == {("Study", "phs000424.v7.p2"), ("Table", "pht002741.v7.p2")}
+
+
+def test_header_offset_reader(spark, tmp_path):
+    lines = ["# preamble %d" % i for i in range(3)]
+    lines += ["gene_id\thuman_gene", "MGI:1\tABC", "MGI:2\tDEF"]
+    path = tmp_path / "orth.tsv"
+    path.write_text("\n".join(lines) + "\n")
+    df = R.read_tsv_with_header_offset(spark, str(path), 3)
+    assert df.columns == ["gene_id", "human_gene"]
+    assert {r["gene_id"] for r in df.collect()} == {"MGI:1", "MGI:2"}
+
+
+def test_bag_determinism(tmp_path):
+    payload = tmp_path / "payload"
+    payload.mkdir()
+    (payload / "a.txt").write_text("hello")
+    (payload / "b.txt").write_text("world")
+    s1 = make_bag(str(payload), str(tmp_path / "bag1.tgz"))
+    s2 = make_bag(str(payload), str(tmp_path / "bag2.tgz"))
+    assert s1["bag_sha256"] == s2["bag_sha256"]  # byte-reproducible
+    assert (tmp_path / "bag1.tgz").read_bytes() == (tmp_path / "bag2.tgz").read_bytes()
+    assert verify_bag(str(tmp_path / "bag1.tgz"))
