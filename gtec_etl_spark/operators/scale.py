@@ -1,0 +1,85 @@
+"""Scale-path join strategies: salted joins for skewed keys and bucketed
+tables for shuffle-free co-located joins.
+
+Neither exists in the reference (single-process hash lookups, SURVEY.md
+§2.4); both are required engine features at 100 TB:
+
+- **Salting** handles the case AQE's skew-join splitting can't: a skewed
+  *build* side that must broadcast-explode. The fact side gets a random
+  salt in [0, n); the dim side is exploded across all n salts; the join key
+  becomes (key, salt). Results are identical to the plain join — tested —
+  while the hot key's rows spread over n tasks.
+- **Bucketing** pre-shuffles tables into persisted hash buckets
+  (`bucketBy(n, key).sortBy(key)`), so repeated joins/aggregations on the
+  bucket key run with NO exchange — the plan-level guarantee the tests
+  assert via the absence of Exchange nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on `key` with the fact side salted across `n_salts`
+    partitions per key value. Semantics identical to fact.join(dim, key).
+
+    The salt must be deterministic per row for retries — derive it from a
+    stable row hash rather than rand() (a failed task re-hashing to a
+    different salt would double/drop rows under speculative execution).
+    """
+    fact_cols = fact.columns
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(n_salts)),
+    )
+    exploded_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_fact.join(exploded_dim, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 16, sort: bool = True
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table. Joins and
+    aggregations on `key` between tables bucketed the same way need no
+    shuffle."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A fresh (in-memory derby) metastore forgets tables but their
+    # warehouse directories survive; clear the orphan location too.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table_name.lower()}", ignore_errors=True)
+
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key. The merge hint
+    steers Catalyst to the bucket-aware sort-merge join (at test scale the
+    planner would otherwise broadcast and ignore bucketing); matching
+    bucket specs then yield a ZERO-exchange plan."""
+    return spark.table(left_table).hint("merge").join(spark.table(right_table), key)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan — the
+    metric the bucketing tests assert on."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")

@@ -1,0 +1,56 @@
+"""Scale-strategy tests: salted joins preserve semantics; bucketed tables
+join without exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.operators import scale
+from tests.conftest import SF_DIR
+
+
+def _sorted(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = catalog.load_tables(spark, SF_DIR)
+    orders = t["orders"].select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
+    cust = t["customer"].select("c_custkey", "c_name")
+    plain = orders.join(cust, "c_custkey")
+    salted = scale.salted_join(orders, cust, "c_custkey", n_salts=4)
+    cols = ["c_custkey", "o_orderkey", "c_name"]
+    assert _sorted(salted, cols) == _sorted(plain, cols)
+
+
+def test_salted_join_left_semantics(spark):
+    spark_df = spark.createDataFrame([(1, "a"), (2, "b"), (99, "dangling")], "k long, v string")
+    dim = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    out = scale.salted_join(spark_df, dim, "k", n_salts=3, how="left")
+    rows = {r["k"]: r["w"] for r in out.collect()}
+    assert rows == {1: "X", 2: "Y", 99: None}
+    assert out.count() == 3  # no duplication from salting
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    t = catalog.load_tables(spark, SF_DIR)
+    scale.write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_b", "o_orderkey", 8,
+    )
+    scale.write_bucketed(
+        t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "lineitem_b", "o_orderkey", 8,
+    )
+    joined = scale.bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+    n_ex = scale.count_exchanges(joined)
+    assert n_ex == 0, f"bucketed join should not shuffle, found {n_ex} exchanges"
+    # and the result is the same as the plain join
+    plain = (
+        t["orders"]
+        .select(F.col("o_orderkey"), "o_custkey", "o_totalprice")
+        .join(t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"), "o_orderkey")
+    )
+    assert joined.count() == plain.count()
