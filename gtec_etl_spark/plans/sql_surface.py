@@ -1,0 +1,90 @@
+"""SQL-text query surface with parameter binding — the capability parity
+for the reference's SPARQL text + initBindings layer (SURVEY.md §3.3).
+
+The reference ships each query twice: SPARQL text evaluated generically,
+and a hand-compiled rdflib plan (the fast path). Catalyst collapses the
+distinction: the SQL text below IS the fast path (§4). Parameters use
+Spark's native named-parameter binding (`spark.sql(query, args=...)`) —
+constant-folded into the plan exactly like initBindings narrowed the BGP.
+
+Queries registered here share oracles with their DataFrame twins in
+etl_queries.py, proving the two surfaces are equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.plans.registry import query
+
+
+def run_sql(
+    spark: SparkSession, sf_dir: str, sql: str, args: dict | None = None
+) -> DataFrame:
+    """Register the catalog as temp views (parse-once-query-many) and run
+    parameterized SQL text."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(sql, args=args or {})
+
+
+REF_Q2_SQL = """
+    SELECT DISTINCT p.p_name AS var_name, p.p_partkey AS var_id
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE n.n_name = :study
+    ORDER BY var_name, var_id
+"""
+
+REF_Q3_SQL = """
+    SELECT r.r_name AS program, n.n_name AS study, c.c_mktsegment AS study_group,
+           c.c_custkey AS member_id, c.c_name AS member_name
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE r.r_name = :program AND c.c_mktsegment = :grp
+    ORDER BY study, member_name, member_id
+"""
+
+
+@query(
+    "ref_q2_sql_param",
+    oracle="""
+    SELECT DISTINCT p.p_name AS var_name, p.p_partkey AS var_id
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE n.n_name = 'NATION_3'
+    ORDER BY var_name, var_id
+    """,
+    tags=("refquery", "sql"),
+)
+def ref_q2_sql_param(spark, sf_dir):
+    """Q2 as parameterized SQL TEXT (initBindings parity): the :study
+    parameter is constant-folded by Catalyst into a pushed-down filter,
+    same plan as the DataFrame twin ref_q2_dataset_variables."""
+    return run_sql(spark, sf_dir, REF_Q2_SQL, {"study": "NATION_3"})
+
+
+@query(
+    "ref_q3_sql_param",
+    oracle="""
+    SELECT r.r_name AS program, n.n_name AS study, c.c_mktsegment AS study_group,
+           c.c_custkey AS member_id, c.c_name AS member_name
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA' AND c.c_mktsegment = 'BUILDING'
+    ORDER BY study, member_name, member_id
+    """,
+    tags=("refquery", "sql"),
+)
+def ref_q3_sql_param(spark, sf_dir):
+    """Q3 as parameterized SQL text with two bindings (study set + group
+    name), mirroring sparql_list_study_group_members.py:47-64."""
+    return run_sql(spark, sf_dir, REF_Q3_SQL, {"program": "ASIA", "grp": "BUILDING"})

@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY.md §5: it had no unit tests at all): operator semantics hold for
+arbitrary inputs, not just fixtures. Spark jobs are slow, so examples are
+few but adversarially shrunk.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark.operators.aggregates import mode_pick
+from gtec_etl_spark.operators.scale import salted_join
+
+SLOW = settings(max_examples=8, deadline=None)
+
+values = st.sampled_from(["a", "b", "c", "dd", "EE"])
+groups = st.integers(min_value=0, max_value=3)
+
+
+@SLOW
+@given(st.lists(st.tuples(groups, values), min_size=1, max_size=40))
+def test_mode_pick_matches_reference_tiebreak(spark, data):
+    """Mode with the reference's tie-break (count desc, then value asc —
+    dna_extracts.py:49-53) equals a direct Python computation."""
+    df = spark.createDataFrame(data, "g int, v string")
+    got = {
+        r["g"]: (r["mode_value"], r["mode_count"])
+        for r in mode_pick(df, "g", "v").collect()
+    }
+    want = {}
+    for g in {g for g, _ in data}:
+        counts = Counter(v for gg, v in data if gg == g)
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[g] = best
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30),
+    st.lists(st.integers(0, 5), min_size=0, max_size=6),
+)
+def test_salted_join_equals_plain_join(spark, fact_rows, dim_keys):
+    """Salting never changes join semantics, for arbitrary key overlap
+    (including empty sides and dangling keys)."""
+    fact = spark.createDataFrame(fact_rows, "k int, payload int") if fact_rows else (
+        spark.createDataFrame([], "k int, payload int")
+    )
+    dim_rows = [(k, f"d{k}") for k in sorted(set(dim_keys))]
+    dim = spark.createDataFrame(dim_rows, "k int, label string") if dim_rows else (
+        spark.createDataFrame([], "k int, label string")
+    )
+    plain = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(fact, dim, "k", n_salts=3).collect())
+    assert salted == plain
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=30), min_size=1, max_size=10))
+def test_exact_dedup_fingerprint_whitespace_invariant(spark, texts):
+    """The exact-dedup fingerprint is invariant under leading/trailing and
+    repeated internal whitespace (the normalization contract)."""
+    from gtec_etl_spark.operators.dedup import normalized_text
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["fp"] for r in df.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")).collect()}
+    messy = [(i, "  " + t.replace(" ", "   ") + " ") for i, t in rows]
+    df2 = spark.createDataFrame(messy, "doc_id long, text string")
+    fp2 = {r["doc_id"]: r["fp"] for r in df2.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")).collect()}
+    assert fp == fp2
