@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         dedup_queries,
         etl_queries,
         extended_queries,
+        live_queries,
         profile_queries,
         relational,
         similarity_queries,
