@@ -43,20 +43,18 @@ def dangling_keys(fact: DataFrame, dim: DataFrame, key: str | list[str]) -> Data
 
 def reconcile_ids(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """J9 `cross_check_ids` (bin/gtex_v7_to_dats.py:42-94): count ids found
-    and not found in each direction. Returns a 1-row DataFrame with four
-    counters — semi/anti joins keep it fully distributed."""
-    lf = left.select(key).distinct()
-    rf = right.select(key).distinct()
-    counts = [
-        lf.join(rf, key, "left_semi").count(),
-        lf.join(rf, key, "left_anti").count(),
-        rf.join(lf, key, "left_semi").count(),
-        rf.join(lf, key, "left_anti").count(),
-    ]
-    spark = left.sparkSession
-    return spark.createDataFrame(
-        [tuple(counts)],
-        "left_found long, left_missing long, right_found long, right_missing long",
+    and not found in each direction. ONE full-outer join over the distinct
+    key sets computes all four counters in a single pass (one shuffle),
+    instead of four separate semi/anti-join jobs."""
+    lf = left.select(key).distinct().withColumn("__l", F.lit(1))
+    rf = right.select(key).distinct().withColumn("__r", F.lit(1))
+    both = lf.join(rf, key, "full_outer")
+    in_l, in_r = F.col("__l").isNotNull(), F.col("__r").isNotNull()
+    return both.agg(
+        F.sum(F.when(in_l & in_r, 1).otherwise(0)).alias("left_found"),
+        F.sum(F.when(in_l & ~in_r, 1).otherwise(0)).alias("left_missing"),
+        F.sum(F.when(in_r & in_l, 1).otherwise(0)).alias("right_found"),
+        F.sum(F.when(in_r & ~in_l, 1).otherwise(0)).alias("right_missing"),
     )
 
 
