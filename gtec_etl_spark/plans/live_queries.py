@@ -35,6 +35,50 @@ def stream_tumbling_hourly(spark, sf_dir):
     return out.orderBy("window_start", "event_type")
 
 
+@query(
+    "stream_session_windows",
+    oracle="""
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL THEN 1
+                    WHEN date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) > 1800 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "live"),
+)
+def stream_session_windows(spark, sf_dir):
+    """Native session_window (30-minute gap) executed as a REAL streaming
+    job; the oracle reconstructs identical sessions with the classic
+    lag + cumulative-sum gaps-and-islands SQL. Session start is the first
+    event's timestamp on both sides (Spark's session end — last event +
+    gap — is a convention, so the comparison uses start + count)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.streaming import pipelines as P
+
+    out = P.run_to_memory(
+        P.session_counts(P.read_events_stream(spark, sf_dir), gap="30 minutes")
+    )
+    return out.select(
+        "user_id", F.col("session_start"), "n_events"
+    ).orderBy("user_id", "session_start")
+
+
 @query("mm_decode_features", oracle=None, tags=("multimodal",))
 def mm_decode_features(spark, sf_dir):
     """Multimodal pipeline: deterministic media table → decode (FAKEIMG

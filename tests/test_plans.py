@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the properties that make these queries
+scale are asserted on the plan itself, so a refactor that silently drops a
+pushdown or broadcast fails CI — the engine-level equivalent of the
+reference's hand-tuned join orders (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from gtec_etl_spark.plans import registry
+from tests.conftest import SF_DIR
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = registry.specs()[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_filter_reaches_parquet_scan(spark):
+    plan = _formatted_plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_schema_pruned_to_needed_columns(spark):
+    plan = _formatted_plan(spark, "q01_pricing_summary")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema  # unused columns never leave parquet
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_star_join_dimensions_broadcast(spark):
+    for name in ["q02_regional_revenue", "ref_q6_tabular_dump"]:
+        plan = _formatted_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast joins"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = _formatted_plan(spark, "q03_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_semi_anti_joins_stay_semi_anti(spark):
+    plan = _formatted_plan(spark, "q04_priority_semi_join")
+    assert "LeftSemi" in plan
+    plan = _formatted_plan(spark, "q05_customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_window_queries_shuffle_once_per_key(spark):
+    # q16's single window over l_suppkey: one hash-partition exchange for
+    # the window plus the final presentation (range) sort; never more.
+    # executedPlan inlines "Exchange hashpartitioning(...)" on one line.
+    df = registry.specs()["q16_top3_lineitems_per_supplier"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, f"expected 1 hash exchange, got {n_hash_exchanges}"
+
+
+def test_no_python_udfs_in_relational_queries(spark):
+    # The relational pack must stay JVM-side (SURVEY.md §2.11): python
+    # evals appear as BatchEvalPython / ArrowEvalPython nodes.
+    for name in ["q13_scalar_suite", "q17_running_revenue", "ref_q6_tabular_dump"]:
+        plan = _formatted_plan(spark, name)
+        assert "EvalPython" not in plan, f"{name}: Python UDF leaked into the plan"
