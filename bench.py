@@ -41,8 +41,11 @@ def main() -> None:
         n for n in sorted(specs) if n not in HEADLINE
     ]
 
-    # Warm the JVM + parquet footers once (not timed).
+    # Warm the JVM, codegen, broadcast machinery, and parquet footers (not
+    # timed): one light aggregation and one join-heavy query.
     specs[names[0]].fn(spark, sf_dir).count()
+    if "q02_regional_revenue" in specs:
+        specs["q02_regional_revenue"].fn(spark, sf_dir).count()
 
     # Two timed runs per query, keep the min: damps transient machine
     # contention (one slow run doesn't misreport plan cost).

@@ -226,6 +226,27 @@ phs000964.v3.p1 TOPMed WGS JHS Study
 """
 
 
+def test_datacite_works_and_dup_titles(spark):
+    from gtec_etl_spark.sources import datacite
+
+    payload = """
+    {"data": [
+      {"attributes": {"doi": "10.1/a", "titles": [{"title": "Study A"}], "version": "1"}},
+      {"attributes": {"doi": "10.1/b", "titles": [{"title": "Study B"}], "version": "1"}},
+      {"attributes": {"doi": "10.1/c", "titles": [{"title": "Study A"}], "version": "2"}}
+    ]}
+    """
+    works = datacite.parse_works(spark, payload)
+    assert works.count() == 3
+    dups = datacite.duplicate_titles(works).collect()
+    assert len(dups) == 1 and dups[0]["title"] == "Study A"
+    assert dups[0]["dois"] == ["10.1/a", "10.1/c"]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        datacite.fetch_works("https://api.datacite.org/works")
+
+
 def test_study_catalog_text(spark, tmp_path):
     path = _write(tmp_path / "catalog.txt", CATALOG)
     df = catalog_text.parse_study_catalog(spark, path)
