@@ -178,6 +178,26 @@ def q27_intersect_except(spark, sf_dir):
     return both.unionByName(only).orderBy("which", "p_brand")
 
 
+@query(
+    "q28_dynamic_pivot_langs",
+    oracle="""
+    PIVOT documents ON lang USING count(*) GROUP BY source ORDER BY source
+    """,
+    tags=("pivot", "dynamic"),
+)
+def q28_dynamic_pivot_langs(spark, sf_dir):
+    """Q6's data-dependent pivot (SURVEY.md §7.4 hard-part #4): the output
+    columns are the distinct lang values discovered at runtime — two-pass
+    dynamic pivot against DuckDB's native dynamic PIVOT as the oracle.
+    Both engines derive the same sorted column set from the same data."""
+    from gtec_etl_spark.operators.pivot import dynamic_pivot
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    return dynamic_pivot(
+        docs, ["source"], "lang", F.count(F.lit(1)), fill=0
+    ).orderBy("source")
+
+
 @query("prof_approx_profile", oracle=None, tags=("profile", "approx"))
 def prof_approx_profile(spark, sf_dir):
     """The 100 TB scale path of A5: approx_count_distinct (HLL) and
