@@ -72,6 +72,36 @@ def test_dedup_within_watermark_removes_nothing_on_unique_ids(spark):
     assert got.count() == catalog.table(spark, SF_DIR, "events").count()
 
 
+def test_stateful_state_survives_across_microbatches(spark, tmp_path):
+    """Split the events into several files and replay with
+    maxFilesPerTrigger=1: keyed state must accumulate across micro-batches
+    (update-mode emissions are monotone per user and the final counter
+    equals the batch total)."""
+    import pyspark.sql.functions as SF
+
+    from gtec_etl_spark.streaming import pipelines as P
+    from gtec_etl_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "events_split")
+    catalog.table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long,"
+                                " event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = P.run_to_memory(running_user_totals(stream), timeout_sec=180)
+    n_users = catalog.table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    # More emitted rows than users == multiple micro-batches updated state.
+    assert got.count() > n_users
+    final = got.groupBy("user_id").agg(SF.max("n_events").alias("n_events"))
+    want = catalog.table(spark, SF_DIR, "events").groupBy("user_id").count()
+    assert sorted(tuple(r) for r in final.collect()) == sorted(
+        (r["user_id"], r["count"]) for r in want.collect()
+    )
+
+
 def test_stateful_running_user_totals(spark):
     from gtec_etl_spark.streaming.stateful import running_user_totals
 
