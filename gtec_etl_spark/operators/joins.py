@@ -157,6 +157,54 @@ def asof_join(
     return joined.groupBy(*[F.col(c) for c in fact.columns]).agg(*aggs)
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bucket_width: int,
+    partition_key: str | None = None,
+) -> DataFrame:
+    """Interval-interval overlap join (half-open [lo, hi) semantics) via
+    shared bucketization — the GenomeLocation join shape (SURVEY.md §1.2).
+
+    Both sides explode into the fixed-width buckets their interval covers;
+    candidates equi-join on (partition_key, bucket); the exact overlap
+    predicate re-filters; each overlapping pair is kept exactly once by
+    retaining only the FIRST bucket the pair shares (no dedup shuffle).
+    Turns the O(n*m) theta join into an equi-join whose cost tracks actual
+    overlap density — the standard genomic/temporal interval plan.
+    """
+    def burst(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        # Empty intervals ([x, x)) cover nothing and must match nothing —
+        # the raw overlap predicate alone would wrongly treat them as points.
+        return df.filter(F.col(lo) < F.col(hi)).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(lo) / bucket_width).cast("long"),
+                    # hi is exclusive: the last covered bucket is (hi-1)/w
+                    ((F.col(hi) - 1) / bucket_width).cast("long"),
+                )
+            ),
+        )
+
+    keys = ["__bucket"] + ([partition_key] if partition_key else [])
+    joined = burst(a, a_lo, a_hi).join(burst(b, b_lo, b_hi), keys)
+    overlap = (F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi))
+    first_shared = F.greatest(
+        (F.col(a_lo) / bucket_width).cast("long"),
+        (F.col(b_lo) / bucket_width).cast("long"),
+    )
+    return (
+        joined.filter(overlap)
+        .filter(F.col("__bucket") == first_shared)
+        .drop("__bucket")
+    )
+
+
 def bucket_range_join(
     fact: DataFrame,
     fact_point: Column,

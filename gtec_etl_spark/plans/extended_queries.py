@@ -198,6 +198,47 @@ def q28_dynamic_pivot_langs(spark, sf_dir):
     ).orderBy("source")
 
 
+@query(
+    "q33_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id, epoch(o_orderdate) // 86400 AS a_lo,
+             epoch(o_orderdate) // 86400 + 1 + o_orderkey % 10 AS a_hi
+      FROM orders WHERE o_custkey < 15
+    ),
+    b AS (
+      SELECT o_orderkey AS b_id, epoch(o_orderdate) // 86400 AS b_lo,
+             epoch(o_orderdate) // 86400 + 1 + o_orderkey % 15 AS b_hi
+      FROM orders WHERE o_custkey >= 15 AND o_custkey < 30
+    )
+    SELECT a_id, b_id FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+    ORDER BY a_id, b_id
+    """,
+    tags=("join", "interval"),
+)
+def q33_interval_overlap_join(spark, sf_dir):
+    """Interval-interval overlap join (the GenomeLocation shape,
+    SURVEY.md §1.2) — bucketized equi-join with first-shared-bucket
+    dedup, oracle-checked against the direct theta join. Intervals are
+    day-number ranges derived deterministically from order dates."""
+    from gtec_etl_spark.operators.joins import interval_overlap_join
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    day = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    a = orders.filter(F.col("o_custkey") < 15).select(
+        F.col("o_orderkey").alias("a_id"),
+        day.alias("a_lo"),
+        (day + 1 + F.col("o_orderkey") % 10).alias("a_hi"),
+    )
+    b = orders.filter((F.col("o_custkey") >= 15) & (F.col("o_custkey") < 30)).select(
+        F.col("o_orderkey").alias("b_id"),
+        day.alias("b_lo"),
+        (day + 1 + F.col("o_orderkey") % 15).alias("b_hi"),
+    )
+    out = interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bucket_width=7)
+    return out.select("a_id", "b_id").orderBy("a_id", "b_id")
+
+
 @query("prof_approx_profile", oracle=None, tags=("profile", "approx"))
 def prof_approx_profile(spark, sf_dir):
     """The 100 TB scale path of A5: approx_count_distinct (HLL) and

@@ -88,6 +88,26 @@ def test_bucket_range_join_boundaries(spark):
     assert got == [(0, "XS"), (4, "XS"), (5, "S"), (29, "S"), (59, "L")]
 
 
+def test_interval_overlap_join_equals_theta_join(spark):
+    a = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 6), (3, 100, 101), (4, 20, 40)], "a_id long, a_lo long, a_hi long"
+    )
+    b = spark.createDataFrame(
+        [(11, 9, 12), (12, 5, 6), (13, 39, 45), (14, 200, 210)], "b_id long, b_lo long, b_hi long"
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in J.interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 7).collect()
+    )
+    theta = sorted(
+        (r["a_id"], r["b_id"])
+        for r in a.join(
+            b, (F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi"))
+        ).collect()
+    )
+    assert got == theta == [(1, 11), (1, 12), (2, 12), (4, 13)]
+
+
 def test_found_counters(spark):
     df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
     out = A.found_counters(df, F.col("x") <= 3).collect()[0]
