@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         sql_surface,
         streaming_batch,
         text_queries,
+        triples_queries,
         window_queries,
     )
 

@@ -1,0 +1,107 @@
+"""RDF-style triples view + basic-graph-pattern query — S16/J13
+(sparql/v0.7/rdflib_util.py:54-63 and the SPARQL BGP plans, SURVEY.md §2.4
+J13).
+
+The reference materializes its document as ~663k (s, p, o) triples and
+answers queries by chained triple scans. This module demonstrates both
+halves of the engine's position (SURVEY.md §4):
+
+1. a `triples` view CAN be built from the normalized tables (entity
+   columns unpivoted to predicates) and BGP queries run as self-joins of
+   that view — shown here, oracle-checked;
+2. the same answer falls out of one direct join on the entity tables —
+   which is why the engine's primary surface is the normalized model (the
+   reference itself abandoned the generic evaluator for hand-compiled
+   plans at 120x speedup; Catalyst compiles our joins automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.plans.registry import query
+
+TRIPLES_SQL_CTE = """
+    triples AS (
+      SELECT concat('cust:', CAST(c_custkey AS VARCHAR)) AS s, 'name' AS p,
+             c_name AS o FROM customer
+      UNION ALL
+      SELECT concat('cust:', CAST(c_custkey AS VARCHAR)), 'segment',
+             c_mktsegment FROM customer
+      UNION ALL
+      SELECT concat('cust:', CAST(c_custkey AS VARCHAR)), 'nation',
+             concat('nation:', CAST(c_nationkey AS VARCHAR)) FROM customer
+      UNION ALL
+      SELECT concat('nation:', CAST(n_nationkey AS VARCHAR)), 'title',
+             n_name FROM nation
+    )
+"""
+
+
+def triples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (s, p, o) unpivot of the customer/nation entity tables."""
+    t = catalog.load_tables(spark, sf_dir)
+    c = t["customer"]
+    s = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    cust_triples = c.select(
+        F.expr(
+            "stack(3,"
+            " 'name', c_name,"
+            " 'segment', c_mktsegment,"
+            " 'nation', concat('nation:', CAST(c_nationkey AS STRING))"
+            ") AS (p, o)"
+        ),
+        s.alias("s"),
+    ).select("s", "p", "o")
+    nation_triples = t["nation"].select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("title").alias("p"),
+        F.col("n_name").alias("o"),
+    )
+    return cust_triples.unionByName(nation_triples)
+
+
+@query(
+    "q34_bgp_over_triples",
+    oracle=f"""
+    WITH {TRIPLES_SQL_CTE}
+    SELECT t_name.o AS customer_name, t_title.o AS nation_name
+    FROM triples t_seg
+    JOIN triples t_nat   ON t_nat.s = t_seg.s AND t_nat.p = 'nation'
+    JOIN triples t_name  ON t_name.s = t_seg.s AND t_name.p = 'name'
+    JOIN triples t_title ON t_title.s = t_nat.o AND t_title.p = 'title'
+    WHERE t_seg.p = 'segment' AND t_seg.o = 'BUILDING'
+      AND t_title.o IN ('NATION_1', 'NATION_2', 'NATION_3')
+    ORDER BY customer_name
+    """,
+    tags=("refquery", "triples"),
+)
+def q34_bgp_over_triples(spark, sf_dir):
+    """A 4-pattern SPARQL basic graph pattern evaluated as self-joins of
+    the triples view (J13): ?c segment 'BUILDING' . ?c nation ?n .
+    ?c name ?name . ?n title ?title FILTER(?title IN ...). Catalyst
+    reorders the pattern joins — the optimization the reference performed
+    by hand (starting from the most selective pattern)."""
+    tr = triples_view(spark, sf_dir)
+
+    def pat(p_val, s_col, o_col):
+        return tr.filter(F.col("p") == p_val).select(
+            F.col("s").alias(s_col), F.col("o").alias(o_col)
+        )
+
+    seg = tr.filter((F.col("p") == "segment") & (F.col("o") == "BUILDING")).select(
+        F.col("s").alias("c")
+    )
+    nat = pat("nation", "c", "n")
+    name = pat("name", "c", "customer_name")
+    title = pat("title", "n", "nation_name")
+    return (
+        seg.join(nat, "c")
+        .join(name, "c")
+        .join(title, "n")
+        .filter(F.col("nation_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("customer_name", "nation_name")
+        .orderBy("customer_name")
+    )
