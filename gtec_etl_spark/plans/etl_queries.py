@@ -191,6 +191,40 @@ def ref_q5_subject_sample_chain(spark, sf_dir):
     )
 
 
+@query(
+    "ref_q2_all_studies",
+    oracle="""
+    SELECT DISTINCT n.n_name AS study, p.p_name AS var_name, p.p_partkey AS var_id
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    ORDER BY study, var_name, var_id
+    """,
+    tags=("refquery",),
+)
+def ref_q2_all_studies(spark, sf_dir):
+    """Q2 WITHOUT the study parameter (the reference times both variants —
+    run-sparql-queries-faster.sh:39-44: ~5s unfiltered vs ~1.5s filtered):
+    the full study×variable cross-listing."""
+    t = catalog.load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("n_name").alias("study"),
+            F.col("p_name").alias("var_name"),
+            F.col("p_partkey").alias("var_id"),
+        )
+        .distinct()
+        .orderBy("study", "var_name", "var_id")
+    )
+
+
 TABULAR_DUMP_ORACLE = """
     SELECT r.r_name AS program, n.n_name AS study,
            c.c_custkey AS subject_id, c.c_name AS subject_name,

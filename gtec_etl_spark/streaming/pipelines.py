@@ -7,7 +7,12 @@ events through readStream (Trigger.AvailableNow) into a memory sink and
 assert equality with the batch results, which are themselves oracle-checked.
 
 Scale design: all aggregations are keyed on (window, low-cardinality key) so
-state is bounded; watermarks bound state retention for late data; the
+state is bounded; watermarks bound state retention for late data — note
+Spark's contract is state EVICTION, not a strict input filter: stragglers
+beyond the horizon "may or may not" be aggregated (observed in 4.1: a
+beyond-horizon row can still create and immediately emit its expired
+window), so horizon-exceeding data needs an upstream filter if exclusion
+must be strict (tests/test_streaming.py documents this); the
 stateful per-user operator uses applyInPandasWithState with an explicit
 timeout so idle keys are evicted. On a real cluster the same code runs
 against kafka/file sources unchanged — only read_events_stream swaps.

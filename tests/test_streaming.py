@@ -65,6 +65,84 @@ def test_session_counts_total_events_preserved(spark):
     assert _sorted_rows(per_user_stream, "user_id") == _sorted_rows(per_user_batch, "user_id")
 
 
+def test_watermark_bounds_state_across_batches(spark, tmp_path):
+    """What the watermark actually guarantees (Spark's contract is
+    state-eviction, NOT a strict late-input filter — data beyond the
+    horizon 'may or may not' be aggregated): after replaying two
+    micro-batches whose event times span five days with a 1-hour
+    watermark, the aggregation state retains only the windows newer than
+    the final watermark, and each window_start is emitted at most once."""
+    import os
+    import time
+    import uuid
+
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+    fresh = [(i, f"2024-01-10 12:{i:02d}:00", 1, "a", 1.0, "{}") for i in range(10)]
+    late = [
+        (100, "2024-01-05 00:00:00", 1, "a", 1.0, "{}"),
+        (101, "2024-01-10 11:40:00", 1, "a", 1.0, "{}"),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(fresh, schema).withColumn(
+        "ts", SF.col("ts").cast("timestamp")
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(late, schema).withColumn(
+        "ts", SF.col("ts").cast("timestamp")
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    # File source orders batches by modification time; pin b1 strictly
+    # older so the watermark advances before the stragglers arrive.
+    now = time.time()
+    for root, _d, files in os.walk(src / "b1"):
+        for f in files:
+            os.utime(os.path.join(root, f), (now - 3600, now - 3600))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(SF.window("ts", "1 hour").alias("w"))
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .select(SF.col("w.start").alias("window_start"), "n")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        progress = q.recentProgress
+    finally:
+        if q.isActive:
+            q.stop()
+
+    assert len(progress) >= 2, "expected multiple micro-batches"
+    # Final watermark advanced from batch 0's data (12:09 - 1h).
+    assert progress[-1]["eventTime"]["watermark"].startswith("2024-01-10T11:09")
+    # State eviction: only windows at/after the watermark hour remain in
+    # state (the 11:00 and 12:00 windows) — five days of event-time span
+    # does NOT mean five days of retained state.
+    state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert state_rows <= 2, f"watermark failed to bound state: {state_rows} rows"
+    # Append-mode output: each closed window emitted at most once.
+    out = spark.table(name).collect()
+    starts = [r["window_start"] for r in out]
+    assert len(starts) == len(set(starts)), f"duplicate window emissions: {starts}"
+
+
 def test_dedup_within_watermark_removes_nothing_on_unique_ids(spark):
     # event_id is unique in the test table; dedup must be a no-op.
     stream = P.deduped_events(P.read_events_stream(spark, SF_DIR))
