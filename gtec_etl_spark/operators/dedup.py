@@ -66,14 +66,41 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text", id_col: str =
     )
 
 
+def frequency_cap_shingles(
+    shingles: DataFrame, max_doc_freq: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Skew guard for candidate generation at scale: drop shingles that
+    appear in more than `max_doc_freq` documents BEFORE the inverted-index
+    self-join. An ultra-frequent shingle contributes O(df^2) candidate
+    pairs while carrying almost no similarity signal (stopword-like); the
+    cap bounds the join's per-key fan-out. NOTE: changes recall slightly —
+    pairs supported ONLY by ultra-common shingles are missed, which is the
+    standard production trade (the capped shingles are exactly the ones
+    that would also dominate false positives)."""
+    df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    keep = df_counts.filter(F.col("__df") <= max_doc_freq).select("shingle")
+    return shingles.join(keep, "shingle", "left_semi")
+
+
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.0
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over an inverted shingle index: equi-join on the
-    shingle (candidate generation), then |∩| / (|A|+|B|−|∩|)."""
+    shingle (candidate generation), then |∩| / (|A|+|B|−|∩|). With
+    max_doc_freq set, capped shingles are excluded from the intersection
+    count, so the reported jaccard is a LOWER BOUND of the true value
+    (set sizes stay uncapped); with the cap unset the value is exact."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    candidates = (
+        frequency_cap_shingles(shingles, max_doc_freq, id_col)
+        if max_doc_freq is not None
+        else shingles
+    )
+    a = candidates.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = candidates.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -162,6 +162,84 @@ def text_langid(spark, sf_dir):
 
 
 @query(
+    "text_vocab_top50",
+    oracle="""
+    SELECT token, n_occurrences, n_docs FROM (
+      SELECT token,
+             count(*) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY token
+    )
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+    tags=("text", "vocab"),
+)
+def text_vocab_top50(spark, sf_dir):
+    """Corpus vocabulary building: token -> (total occurrences, document
+    frequency), top-50 with deterministic ties — the wordcount that seeds
+    tokenizer vocabularies. One explode + one groupBy; at 100 TB the
+    map-side partial aggregation makes the shuffle carry only the vocab,
+    not the corpus."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "text_train_test_split",
+    oracle="""
+    SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(concat('seed42|',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split ORDER BY split
+    """,
+    tags=("text", "sampling"),
+)
+def text_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/test split (90/10): assignment =
+    md5(seed || id) mod 100 — stable across runs, engines, partitionings,
+    and cluster sizes, unlike rand()-based sampling. The property every
+    training-data pipeline needs for reproducible holdouts."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("seed42|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = F.when(bucket < 90, "train").otherwise("test")
+    return (
+        docs.select(F.col("doc_id"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,

@@ -108,6 +108,32 @@ def test_interval_overlap_join_equals_theta_join(spark):
     assert got == theta == [(1, 11), (1, 12), (2, 12), (4, 13)]
 
 
+def test_frequency_cap_preserves_low_freq_pairs(spark):
+    from gtec_etl_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),    # high overlap with 1
+            (3, "x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.word_shingles(docs, 3)
+    uncapped = sorted(
+        (r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs(sh, min_jaccard=0.3).collect()
+    )
+    # A generous cap changes nothing; every shingle here has df <= 2.
+    capped = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(sh, min_jaccard=0.3, max_doc_freq=10).collect()
+    )
+    assert uncapped == capped == [(1, 2)]
+    # A cap of 1 removes all shared shingles -> no candidates at all.
+    none = D.jaccard_pairs(sh, min_jaccard=0.0, max_doc_freq=1).collect()
+    assert none == []
+
+
 def test_found_counters(spark):
     df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
     out = A.found_counters(df, F.col("x") <= 3).collect()[0]
