@@ -47,9 +47,9 @@ def main() -> None:
     if "q02_regional_revenue" in specs:
         specs["q02_regional_revenue"].fn(spark, sf_dir).count()
 
-    # Two timed runs per query, keep the min: damps transient machine
-    # contention (one slow run doesn't misreport plan cost).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Three timed runs per query, keep the min: damps transient machine
+    # contention (one or two slow runs don't misreport plan cost).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
