@@ -245,6 +245,76 @@ TABULAR_DUMP_ORACLE = """
 """
 
 
+FULL_DUMP_ORACLE = """
+    WITH chars AS (
+      PIVOT (
+        SELECT c_custkey AS subject_id, char_name, char_value FROM (
+          SELECT c_custkey, 'mktsegment' AS char_name, c_mktsegment AS char_value FROM customer
+          UNION ALL
+          SELECT c_custkey, 'balance_band',
+                 CASE WHEN c_acctbal < 0 THEN 'neg'
+                      WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END FROM customer
+        )
+      ) ON char_name USING min(char_value) GROUP BY subject_id
+    )
+    SELECT r.r_name AS program, n.n_name AS study,
+           c.c_custkey AS subject_id, c.c_name AS subject_name,
+           ch.mktsegment, ch.balance_band,
+           o.o_orderkey AS sample_id, l.l_linenumber AS file_id,
+           round(l.l_extendedprice, 4) AS file_size
+    FROM customer c
+    JOIN nation n  ON n.n_nationkey = c.c_nationkey
+    JOIN region r  ON r.r_regionkey = n.n_regionkey
+    JOIN chars ch  ON ch.subject_id = c.c_custkey
+    LEFT JOIN orders o   ON o.o_custkey = c.c_custkey
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ORDER BY program, study, subject_name, sample_id, file_id
+"""
+
+
+@query("ref_q6_full_dump", oracle=FULL_DUMP_ORACLE, tags=("refquery", "dump", "dynamic"))
+def ref_q6_full_dump(spark, sf_dir):
+    """The COMPLETE Q6 shape (rdflib_tabular_dump.py:334-418): the
+    denormalizing dump with subject characteristics pivoted into
+    data-dependent wide columns (the dynamic pivot the reference builds by
+    scanning characteristic names) AND file-less subjects preserved via
+    left joins. Composes q32's dynamic pivot with ref_q6's join spine."""
+    from gtec_etl_spark.operators.pivot import dynamic_pivot
+
+    t = catalog.load_tables(spark, sf_dir)
+    tall = t["customer"].select(
+        F.col("c_custkey").alias("subject_id"),
+        F.expr(
+            "stack(2,"
+            " 'mktsegment', c_mktsegment,"
+            " 'balance_band', CASE WHEN c_acctbal < 0 THEN 'neg'"
+            "   WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END"
+            ") AS (char_name, char_value)"
+        ),
+    )
+    chars = dynamic_pivot(tall, ["subject_id"], "char_name", F.min("char_value"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(chars, F.col("subject_id") == F.col("c_custkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .select(
+            F.col("r_name").alias("program"),
+            F.col("n_name").alias("study"),
+            F.col("c_custkey").alias("subject_id"),
+            F.col("c_name").alias("subject_name"),
+            "mktsegment",
+            "balance_band",
+            F.col("o_orderkey").alias("sample_id"),
+            F.col("l_linenumber").alias("file_id"),
+            F.round("l_extendedprice", 4).alias("file_size"),
+        )
+        .orderBy("program", "study", "subject_name", "sample_id", "file_id")
+    )
+
+
 @query("ref_q6_tabular_dump", oracle=TABULAR_DUMP_ORACLE, tags=("refquery", "dump"))
 def ref_q6_tabular_dump(spark, sf_dir):
     """Q6 tabular dump (rdflib_tabular_dump.py:334-418): the full

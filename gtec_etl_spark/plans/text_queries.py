@@ -63,13 +63,10 @@ _EN_STOP_SQL = "['" + "','".join(STOPWORDS["en"]) + "']"
 @query(
     "text_quality_score",
     oracle=f"""
-    SELECT doc_id,
-           n_words,
-           round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
-           round(n_distinct * 1.0 / n_words, 4) AS distinct_ratio,
-           round(0.4 * (n_stop * 1.0 / n_words)
-                 + 0.3 * least(1.0, n_words / 100.0)
-                 + 0.3 * (n_distinct * 1.0 / n_words), 4) AS quality_score
+    SELECT doc_id, n_words, n_stop, n_distinct,
+           (400 * n_stop + 300 * n_distinct
+            + 3 * least(n_words, 100) * n_words) * 10 // n_words
+             AS quality_score_scaled
     FROM (
       SELECT doc_id,
              len(string_split(lower(text), ' ')) AS n_words,
@@ -86,7 +83,14 @@ _EN_STOP_SQL = "['" + "','".join(STOPWORDS["en"]) + "']"
 def text_quality_score(spark, sf_dir):
     """Quality scoring: stopword ratio, lexical diversity, length factor —
     the standard cheap pre-filter for training-data pipelines, as pure
-    array expressions (split / filter / array_distinct)."""
+    array expressions (split / filter / array_distinct).
+
+    The score 0.4*stop_ratio + 0.3*min(1, n/100) + 0.3*distinct_ratio is
+    emitted as an INTEGER in [0, 10000] via exact integer arithmetic
+    (numerator*10 div n_words): rounded-double scores are not
+    cross-engine-stable at decimal ties (0.31475 rounds to .3148 on Spark's
+    decimal-string HALF_UP but .3147 on DuckDB's binary rounding — caught
+    at sf0.01), while integer division is bit-identical everywhere."""
     docs = catalog.table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), " ")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -96,17 +100,15 @@ def text_quality_score(spark, sf_dir):
         F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
         F.size(F.array_distinct(words)).alias("n_distinct"),
     ).filter(F.col("doc_id") < 200)
-    stop_ratio = F.col("n_stop") / F.col("n_words")
-    distinct_ratio = F.col("n_distinct") / F.col("n_words")
     return base.select(
         "doc_id",
         "n_words",
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(
-            0.4 * stop_ratio + 0.3 * F.least(F.lit(1.0), F.col("n_words") / 100.0) + 0.3 * distinct_ratio,
-            4,
-        ).alias("quality_score"),
+        "n_stop",
+        "n_distinct",
+        F.expr(
+            "CAST((400 * n_stop + 300 * n_distinct"
+            " + 3 * least(n_words, 100) * n_words) * 10 div n_words AS BIGINT)"
+        ).alias("quality_score_scaled"),
     ).orderBy("doc_id")
 
 
