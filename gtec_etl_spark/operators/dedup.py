@@ -185,24 +185,64 @@ def simhash_near_pairs(
     sigs: DataFrame, max_hamming: int, chunks: int = 4, chunk_bits: int = 15, id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash blocking: near pairs (hamming ≤ r) must agree on ≥1 of the
-    `chunks` bit-chunks when r < chunks; union the per-chunk equi-joins and
-    re-check exact hamming via bit_count(xor)."""
+    `chunks` bit-chunks when r < chunks; per-chunk equi-joins + exact
+    bit_count(xor) re-check.
+
+    Joins on DISTINCT signatures, not documents: vocab-correlated corpora
+    collapse many documents onto one signature, so the candidate join runs
+    on the (much smaller) unique-signature set, signature pairs are
+    deduplicated BEFORE expanding to document pairs, and hamming-0 pairs
+    come straight from each signature's member list — the join cost tracks
+    unique signatures, not corpus size."""
+    groups = sigs.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("members")
+    )
+
+    # Hamming 0: all intra-group document pairs (i < j within members).
+    within = groups.filter(F.size("members") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) ->"
+                " transform(slice(members, i + 2, size(members)),"
+                " y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", F.lit(0).alias("hamming"))
+
+    # Hamming 1..r: chunk-blocked join over unique signatures, sig pairs
+    # deduplicated before member expansion.
     mask = (1 << chunk_bits) - 1
     parts = None
     for k in range(chunks):
         ck = F.shiftright(F.col("simhash"), k * chunk_bits).bitwiseAND(F.lit(mask))
-        p = sigs.select(F.col(id_col), F.col("simhash"), F.lit(k).alias("chunk"), ck.alias("ckey"))
+        p = groups.select("simhash", F.lit(k).alias("chunk"), ck.alias("ckey"))
         parts = p if parts is None else parts.unionByName(p)
-    a = parts.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "ckey"
-    )
-    b = parts.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "ckey"
-    )
-    return (
+    a = parts.select(F.col("simhash").alias("sim_a"), "chunk", "ckey")
+    b = parts.select(F.col("simhash").alias("sim_b"), "chunk", "ckey")
+    sig_pairs = (
         a.join(b, ["chunk", "ckey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .filter(F.col("sim_a") < F.col("sim_b"))
+        .select(
+            "sim_a", "sim_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_hamming))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    ga = groups.select(F.col("simhash").alias("sim_a"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("simhash").alias("sim_b"), F.col("members").alias("mb"))
+    cross = (
+        sig_pairs.join(ga, "sim_a")
+        .join(gb, "sim_b")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ma, x -> transform(mb, y ->"
+                    " struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+                )
+            ).alias("p"),
+            "hamming",
+        )
+        .select("p.doc_a", "p.doc_b", "hamming")
+    )
+    return within.unionByName(cross)

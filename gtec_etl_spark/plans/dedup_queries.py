@@ -44,6 +44,46 @@ def dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_apply_keep_canonical",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ),
+    canon AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint)
+    SELECT count(*) AS n_surviving,
+           (SELECT count(*) FROM documents) - count(*) AS n_removed,
+           min(f.doc_id) AS min_kept, max(f.doc_id) AS max_kept
+    FROM fp f JOIN canon c ON c.fingerprint = f.fingerprint AND c.keep_id = f.doc_id
+    """,
+    tags=("dedup", "apply"),
+)
+def dedup_apply_keep_canonical(spark, sf_dir):
+    """The dedup APPLICATION (not just detection): keep the canonical
+    (min-id) document per exact-content group, drop the rest — the pass a
+    training pipeline actually runs. One fingerprint groupBy picks
+    canonicals; the corpus self-joins on (fingerprint, id) to filter. At
+    100 TB this is two shuffles on the fingerprint hash, no driver state."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    from gtec_etl_spark.operators.dedup import normalized_text
+
+    fp = docs.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint"))
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    surviving = fp.join(
+        canon,
+        (fp.fingerprint == canon.fingerprint) & (fp.doc_id == canon.keep_id),
+    ).select(fp.doc_id)
+    total = docs.count()
+    return surviving.agg(
+        F.count(F.lit(1)).alias("n_surviving"),
+        (F.lit(total) - F.count(F.lit(1))).alias("n_removed"),
+        F.min("doc_id").alias("min_kept"),
+        F.max("doc_id").alias("max_kept"),
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {SHINGLES_CTE},
