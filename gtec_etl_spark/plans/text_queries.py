@@ -242,6 +242,46 @@ def text_train_test_split(spark, sf_dir):
 
 
 @query(
+    "text_stratified_sample",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc
+    FROM (
+      SELECT lang, doc_id,
+             CAST(('0x' || substr(md5(concat('strat7|', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 10 END
+    GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "sampling"),
+)
+def text_stratified_sample(spark, sf_dir):
+    """Stratified sampling with EXACT determinism: per-stratum fractions
+    (en 50%, zh 30%, others 10%) decided by a seeded md5 hash bucket per
+    document — reproducible across runs/engines/partitionings, unlike
+    sampleBy's rand(). The per-language rebalancing pass of a training
+    mixture."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat7|"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    threshold = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "zh", 30).otherwise(10)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < threshold)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_doc"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,
