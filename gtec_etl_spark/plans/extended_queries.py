@@ -239,6 +239,79 @@ def q33_interval_overlap_join(spark, sf_dir):
     return out.select("a_id", "b_id").orderBy("a_id", "b_id")
 
 
+@query(
+    "q35_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS grouping_level,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY grouping_level, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "groupingsets"),
+)
+def q35_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the subset-selective form of q22's CUBE)
+    with grouping() markers distinguishing real NULL keys from rolled-up
+    rows — the §2.5 profiling family completed."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS grouping_level,
+               count(*) AS n_orders
+        FROM {orders}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY grouping_level, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        orders=orders,
+    )
+
+
+@query(
+    "q36_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                              ELSE o_orderkey % 5 END AS k
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    b AS (
+      SELECT CASE WHEN x = 99 THEN NULL ELSE x END AS k,
+             concat('label_', CAST(x AS VARCHAR)) AS label
+      FROM (SELECT unnest([0, 1, 2, 99]) AS x)
+    )
+    SELECT count(*) AS n_plain,
+           CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "nulls"),
+)
+def q36_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the P6 nullability model carried into join
+    semantics (a plain equi-join silently drops NULL-keyed rows)."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+    )
+    b = spark.createDataFrame(
+        [(0, "label_0"), (1, "label_1"), (2, "label_2"), (None, "label_99")],
+        "k long, label string",
+    )
+    joined = a.join(b, a.k.eqNullSafe(b.k))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_plain"),
+        F.sum(F.when(a.k.isNull(), 1).otherwise(0)).alias("n_null_matches"),
+    )
+
+
 @query("prof_approx_profile", oracle=None, tags=("profile", "approx"))
 def prof_approx_profile(spark, sf_dir):
     """The 100 TB scale path of A5: approx_count_distinct (HLL) and
