@@ -62,15 +62,33 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Full per-query timings go to a file; stdout gets ONE SHORT line so the
+    # driver's tail capture can always parse it (BENCH_r01 lost the result
+    # because the 60+-query dict outran the captured tail).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    headline = {k: timings[k] for k in HEADLINE if k in timings}
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "file": "bench_out.json",
+            },
+            separators=(",", ":"),
         )
     )
 

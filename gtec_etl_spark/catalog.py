@@ -31,11 +31,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # events.parquet is INT64 TIMESTAMP(NANOS); any session that hasn't set
+    # nanosAsLong throws PARQUET_TYPE_ILLEGAL at plan time. Set it
+    # defensively here (runtime-settable) so the catalog works under ANY
+    # SparkSession, not just our own session.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it scans as a long that we
-        # truncate to microseconds (same floor DuckDB applies reading ns).
+        # With nanosAsLong the ts column scans as a long that we truncate
+        # to microseconds (same floor DuckDB applies reading ns).
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
@@ -44,8 +48,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+class _LazyTables(dict):
+    """Mapping of table name -> DataFrame that reads each parquet footer
+    only on first access. A query touching 3 tables plans 3 scans, and a
+    bad/unreadable table can never block queries that don't use it."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        df = table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: table(spark, sf_dir, name) for name in TABLES}
+    """Lazy per-table access: tables load on first subscript, not here."""
+    return _LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

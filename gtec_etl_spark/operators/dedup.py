@@ -82,23 +82,50 @@ def frequency_cap_shingles(
     return shingles.join(keep, "shingle", "left_semi")
 
 
+def frequency_cap_shingles_rel(
+    shingles: DataFrame, max_frac: float, floor: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Relative-df skew guard: drop shingles whose document frequency
+    exceeds max(floor, max_frac * n_docs). The threshold is computed
+    INSIDE the plan (1-row aggregate broadcast-joined into the filter), so
+    no driver-side count and the cap tracks corpus size across scales —
+    the property that makes it safe at 100 TB where any absolute number
+    is wrong at one end or the other."""
+    df_counts = shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    ndocs = shingles.agg(F.countDistinct(id_col).alias("__n_docs"))
+    keep = (
+        df_counts.crossJoin(F.broadcast(ndocs))
+        .filter(
+            F.col("__df")
+            <= F.greatest(F.lit(floor), F.lit(max_frac) * F.col("__n_docs"))
+        )
+        .select("shingle")
+    )
+    return shingles.join(keep, "shingle", "left_semi")
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.0,
     max_doc_freq: int | None = None,
+    candidate_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over an inverted shingle index: equi-join on the
     shingle (candidate generation), then |∩| / (|A|+|B|−|∩|). With
-    max_doc_freq set, capped shingles are excluded from the intersection
-    count, so the reported jaccard is a LOWER BOUND of the true value
-    (set sizes stay uncapped); with the cap unset the value is exact."""
+    max_doc_freq (or an explicitly pre-capped candidate_shingles) set,
+    capped shingles are excluded from the intersection count, so the
+    reported jaccard is a LOWER BOUND of the true value (set sizes stay
+    uncapped); with no cap the value is exact."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    candidates = (
-        frequency_cap_shingles(shingles, max_doc_freq, id_col)
-        if max_doc_freq is not None
-        else shingles
-    )
+    if candidate_shingles is not None:
+        candidates = candidate_shingles
+    elif max_doc_freq is not None:
+        candidates = frequency_cap_shingles(shingles, max_doc_freq, id_col)
+    else:
+        candidates = shingles
     a = candidates.select(F.col(id_col).alias("doc_a"), "shingle")
     b = candidates.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (

@@ -29,12 +29,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join on `key` with the fact side salted across `n_salts`
-    partitions per key value. Semantics identical to fact.join(dim, key).
+    partitions per key value. Semantics identical to fact.join(dim, key)
+    for fact-preserving join types ONLY: with how='right'/'full_outer' an
+    unmatched dim row would survive once per salt (n_salts duplicates), so
+    those are rejected.
 
     The salt must be deterministic per row for retries — derive it from a
     stable row hash rather than rand() (a failed task re-hashing to a
     different salt would double/drop rows under speculative execution).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"once per salt; only fact-preserving joins are supported"
+        )
+    if "__salt" in fact.columns or "__salt" in dim.columns:
+        raise ValueError("salted_join: input already has a __salt column")
     fact_cols = fact.columns
     salted_fact = fact.withColumn(
         "__salt",

@@ -104,13 +104,64 @@ def dedup_apply_keep_canonical(spark, sf_dir):
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup: inverted shingle index → shared-shingle
-    equi-join candidates → exact |∩|/|∪| ≥ 0.8. Never an all-pairs cross
-    join; the candidate join key (shingle) is capped-skew at scale by
-    dropping ultra-frequent shingles."""
+    """n-gram Jaccard near-dup, EXACT variant: inverted shingle index →
+    shared-shingle equi-join candidates → exact |∩|/|∪| ≥ 0.8. Never an
+    all-pairs cross join, but the candidate join is uncapped — at 100 TB
+    use dedup_ngram_jaccard_capped, which bounds per-shingle fan-out."""
     docs = catalog.table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, 3)
     return D.jaccard_pairs(sh, min_jaccard=0.8).orderBy("doc_a", "doc_b")
+
+
+# Skew cap: drop shingles present in > max(20, 10% of corpus) documents
+# before candidate generation. 10% is far above any shingle that carries
+# similarity signal and far below the hot stopword-run shingles that drive
+# O(df^2) pair blowup; the floor keeps tiny corpora uncapped.
+CAP_FRAC, CAP_FLOOR = 0.10, 20
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh),
+    capped AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN df USING (shingle) CROSS JOIN nd
+      WHERE df.df <= greatest({CAP_FLOOR}, {CAP_FRAC} * nd.n_docs)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "scale"),
+)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """n-gram Jaccard near-dup, SCALE variant: identical to
+    dedup_ngram_jaccard but ultra-frequent shingles (df > max(20, 10% of
+    corpus), threshold computed inside the plan) are dropped before the
+    inverted-index self-join, bounding per-key fan-out — the O(df^2) hot
+    shingle is the one scale-killer of the exact variant at 100 TB. The
+    reported jaccard is a lower bound (capped shingles leave the
+    intersection but not the set sizes); pairs supported ONLY by
+    stopword-like shingles are the ones dropped."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    capped = D.frequency_cap_shingles_rel(sh, CAP_FRAC, CAP_FLOOR)
+    return D.jaccard_pairs(
+        sh, min_jaccard=0.8, candidate_shingles=capped
+    ).orderBy("doc_a", "doc_b")
 
 
 def _minhash_oracle(num_hashes: int, bands: int) -> str:

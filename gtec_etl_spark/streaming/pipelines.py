@@ -129,8 +129,13 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming query {name} did not finish within {timeout_sec}s; "
+            f"memory table would be partial"
+        )
     return stream_df.sparkSession.table(name)
