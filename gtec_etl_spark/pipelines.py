@@ -157,6 +157,152 @@ def run_gtex_like_etl(
     )
 
 
+@dataclass
+class MultiStudyResult:
+    subjects: DataFrame
+    samples: DataFrame
+    study_groups: DataFrame
+    summary: DataFrame
+
+
+def run_multi_study_etl(
+    spark: SparkSession,
+    studies: DataFrame,
+    subjects: DataFrame,
+    samples: DataFrame,
+    files: DataFrame,
+    expected_group_sizes: DataFrame | None = None,
+) -> MultiStudyResult:
+    """TOPMed-style multi-study ETL (reference bin/topmed_to_dats.py:170-266,
+    337-355) as ONE study_id-partitioned Spark job — no per-study driver
+    loop; every per-study step is a groupBy/join keyed on study_id, so a
+    1000-study run is the same plan as a 2-study run.
+
+    Inputs (domain-neutral schemas):
+      studies(study_id long, study_name)    — public study list
+      subjects(study_id, subject_id, consent) — RESTRICTED metadata; a study
+        absent here is public-only
+      samples(subject_id, sample_id)        — restricted sample metadata
+      files(sample_id, file_id)             — per-sample file manifest
+
+    Semantics mirrored from the reference:
+      - restricted studies: full subject list; consent StudyGroups (A1)
+        with sorted members; optional size reconciliation (A2, fatal on
+        mismatch like topmed_to_dats.py:155-158).
+      - public-only studies: ONE synthetic subject 'SU%07d' + sample
+        'SA%07d' (topmed_to_dats.py:186-189,229-233); its consent comes
+        from the A4 mode picker (count desc, value asc —
+        ccmm/gtex/dna_extracts.py:49-53) over the public value summary
+        (stand-in: the pooled restricted subjects).
+      - referenced-samples semi-join filter applied ONLY on the restricted
+        path (topmed_to_dats.py:251-266).
+    """
+    from gtec_etl_spark.operators.aggregates import mode_pick
+
+    restricted_ids = subjects.select("study_id").distinct()
+
+    # A4 pick for the synthetic subject's consent value.
+    picked = mode_pick(
+        subjects.withColumn("__g", F.lit(1)), "__g", "consent"
+    ).select(F.col("mode_value").alias("picked_consent"))
+
+    synth_subjects = (
+        studies.join(restricted_ids, "study_id", "left_anti")
+        .crossJoin(F.broadcast(picked))
+        .select(
+            "study_id",
+            F.concat(F.lit("SU"), F.lpad(F.col("study_id").cast("string"), 7, "0")).alias(
+                "subject_id"
+            ),
+            F.col("picked_consent").alias("consent"),
+            F.lit("synthetic").alias("subject_source"),
+        )
+    )
+    all_subjects = subjects.select(
+        "study_id", "subject_id", "consent", F.lit("restricted").alias("subject_source")
+    ).unionByName(synth_subjects)
+
+    # Restricted samples linked to their study through the subject.
+    linked_samples = samples.join(
+        subjects.select("study_id", "subject_id"), "subject_id"
+    ).select("study_id", "subject_id", "sample_id")
+    synth_samples = synth_subjects.select(
+        "study_id",
+        "subject_id",
+        F.concat(F.lit("SA"), F.lpad(F.col("study_id").cast("string"), 7, "0")).alias(
+            "sample_id"
+        ),
+    )
+    all_samples = linked_samples.unionByName(synth_samples)
+
+    # Referenced-samples filter (restricted path only): keep samples with
+    # at least one file Dataset. left_semi on the file manifest.
+    referenced = linked_samples.join(
+        files.select("sample_id").distinct(), "sample_id", "left_semi"
+    )
+
+    # A1: consent StudyGroups with deterministic sorted member lists.
+    study_groups = all_subjects.groupBy("study_id", "consent").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.concat_ws(",", F.sort_array(F.collect_list("subject_id"))).alias("members"),
+    )
+    if expected_group_sizes is not None:
+        bad = study_groups.join(
+            expected_group_sizes, ["study_id", "consent"]
+        ).filter(F.col("size") != F.col("expected"))
+        if bad.take(1):
+            raise ValueError(
+                f"consent-group size reconciliation failed: {bad.collect()}"
+            )
+
+    subj_agg = subjects.groupBy("study_id").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.countDistinct("consent").alias("n_groups"),
+    )
+    samp_agg = linked_samples.groupBy("study_id").agg(
+        F.count(F.lit(1)).alias("n_samples")
+    )
+    ref_agg = referenced.groupBy("study_id").agg(
+        F.count(F.lit(1)).alias("n_referenced")
+    )
+
+    is_synth = F.col("__restricted").isNull()
+    summary = (
+        studies
+        .join(restricted_ids.withColumn("__restricted", F.lit(1)), "study_id", "left")
+        .join(subj_agg, "study_id", "left")
+        .join(samp_agg, "study_id", "left")
+        .join(ref_agg, "study_id", "left")
+        .crossJoin(F.broadcast(picked))
+        .select(
+            F.col("study_id").cast("long").alias("study_id"),
+            "study_name",
+            F.when(is_synth, "synthetic").otherwise("restricted").alias("subject_source"),
+            F.when(is_synth, F.lit(1).cast("long"))
+            .otherwise(F.col("n_subjects"))
+            .alias("n_subjects"),
+            F.when(is_synth, F.lit(1).cast("long"))
+            .otherwise(F.col("n_groups"))
+            .alias("n_groups"),
+            F.when(is_synth, F.lit(1).cast("long"))
+            .otherwise(F.coalesce(F.col("n_samples"), F.lit(0).cast("long")))
+            .alias("n_samples"),
+            F.when(is_synth, F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col("n_referenced"), F.lit(0).cast("long")))
+            .alias("n_referenced"),
+            F.when(is_synth, F.col("picked_consent"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("picked_consent"),
+        )
+    )
+    return MultiStudyResult(
+        subjects=all_subjects,
+        samples=all_samples,
+        study_groups=study_groups,
+        summary=summary,
+    )
+
+
 def export_release(result: EtlResult, out_dir: str, bag_path: str) -> dict:
     """Load phase: TSV dump (K3) + JSON-LD documents (K1) + checksummed
     bag (K4). Returns the bag summary."""

@@ -353,3 +353,83 @@ def ref_q6_tabular_dump(spark, sf_dir):
         )
         .orderBy("program", "study", "subject_name", "sample_id", "file_id")
     )
+
+
+@query(
+    "topmed_multi_study_summary",
+    oracle="""
+    WITH subj AS (
+      SELECT c_nationkey AS study_id, CAST(c_custkey AS VARCHAR) AS subject_id,
+             c_mktsegment AS consent
+      FROM customer WHERE c_nationkey < 20
+    ),
+    restricted AS (SELECT DISTINCT study_id FROM subj),
+    picked AS (
+      SELECT consent AS picked_consent FROM subj
+      GROUP BY consent ORDER BY count(*) DESC, consent ASC LIMIT 1
+    ),
+    samp AS (
+      SELECT s.study_id, CAST(o.o_orderkey AS VARCHAR) AS sample_id
+      FROM orders o JOIN subj s ON CAST(o.o_custkey AS VARCHAR) = s.subject_id
+    ),
+    ref AS (
+      SELECT study_id, count(*) AS n_referenced FROM samp
+      WHERE sample_id IN (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) FROM lineitem)
+      GROUP BY study_id
+    ),
+    subj_agg AS (
+      SELECT study_id, count(*) AS n_subjects, count(DISTINCT consent) AS n_groups
+      FROM subj GROUP BY study_id
+    ),
+    samp_agg AS (SELECT study_id, count(*) AS n_samples FROM samp GROUP BY study_id)
+    SELECT CAST(n.n_nationkey AS BIGINT) AS study_id, n.n_name AS study_name,
+      CASE WHEN r.study_id IS NULL THEN 'synthetic' ELSE 'restricted' END AS subject_source,
+      CASE WHEN r.study_id IS NULL THEN CAST(1 AS BIGINT) ELSE sa.n_subjects END AS n_subjects,
+      CASE WHEN r.study_id IS NULL THEN CAST(1 AS BIGINT) ELSE sa.n_groups END AS n_groups,
+      CASE WHEN r.study_id IS NULL THEN CAST(1 AS BIGINT)
+           ELSE coalesce(sm.n_samples, 0) END AS n_samples,
+      CASE WHEN r.study_id IS NULL THEN CAST(NULL AS BIGINT)
+           ELSE coalesce(rf.n_referenced, 0) END AS n_referenced,
+      CASE WHEN r.study_id IS NULL THEN (SELECT picked_consent FROM picked)
+           ELSE CAST(NULL AS VARCHAR) END AS picked_consent
+    FROM nation n
+    LEFT JOIN restricted r ON r.study_id = n.n_nationkey
+    LEFT JOIN subj_agg sa ON sa.study_id = n.n_nationkey
+    LEFT JOIN samp_agg sm ON sm.study_id = n.n_nationkey
+    LEFT JOIN ref rf ON rf.study_id = n.n_nationkey
+    ORDER BY study_id
+    """,
+    tags=("refquery", "pipeline"),
+)
+def topmed_multi_study_summary(spark, sf_dir):
+    """TOPMed-style multi-study ETL (bin/topmed_to_dats.py:170-266,337-355)
+    run through pipelines.run_multi_study_etl as ONE study_id-partitioned
+    job. Studies 20-24 are public-only: they get a synthetic 'SU%07d'
+    subject whose consent is the A4 mode pick, and no referenced-samples
+    filter; restricted studies get full subject lists, consent StudyGroups
+    and the referenced-samples semi-join (file manifest = lineitem)."""
+    from gtec_etl_spark import pipelines
+
+    t = catalog.load_tables(spark, sf_dir)
+    studies = t["nation"].select(
+        F.col("n_nationkey").alias("study_id"), F.col("n_name").alias("study_name")
+    )
+    subjects = (
+        t["customer"]
+        .filter(F.col("c_nationkey") < 20)
+        .select(
+            F.col("c_nationkey").alias("study_id"),
+            F.col("c_custkey").cast("string").alias("subject_id"),
+            F.col("c_mktsegment").alias("consent"),
+        )
+    )
+    samples = t["orders"].select(
+        F.col("o_custkey").cast("string").alias("subject_id"),
+        F.col("o_orderkey").cast("string").alias("sample_id"),
+    )
+    files = t["lineitem"].select(
+        F.col("l_orderkey").cast("string").alias("sample_id"),
+        F.col("l_linenumber").cast("string").alias("file_id"),
+    )
+    res = pipelines.run_multi_study_etl(spark, studies, subjects, samples, files)
+    return res.summary.orderBy("study_id")

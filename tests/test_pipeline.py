@@ -100,6 +100,64 @@ def test_etl_count_reconciliation_fails(spark, fixture_files):
         )
 
 
+@pytest.fixture()
+def multi_study_frames(spark):
+    studies = spark.createDataFrame(
+        [(1, "study_a"), (2, "study_b"), (3, "study_public")],
+        "study_id long, study_name string",
+    )
+    subjects = spark.createDataFrame(
+        [(1, "s1", "GRU"), (1, "s2", "GRU"), (1, "s3", "HMB"), (2, "s4", "HMB")],
+        "study_id long, subject_id string, consent string",
+    )
+    samples = spark.createDataFrame(
+        [("s1", "sa1"), ("s1", "sa2"), ("s2", "sa3"), ("s4", "sa4")],
+        "subject_id string, sample_id string",
+    )
+    files = spark.createDataFrame(
+        [("sa1", "f1"), ("sa3", "f2"), ("sa3", "f3")],
+        "sample_id string, file_id string",
+    )
+    return studies, subjects, samples, files
+
+
+def test_multi_study_etl(spark, multi_study_frames):
+    studies, subjects, samples, files = multi_study_frames
+    res = pipelines.run_multi_study_etl(spark, studies, subjects, samples, files)
+    rows = {r["study_id"]: r for r in res.summary.collect()}
+    # Restricted study 1: 3 subjects, 2 consent groups, 3 samples of which
+    # sa1+sa3 are file-referenced (sa2 is filtered by the semi-join).
+    assert rows[1]["subject_source"] == "restricted"
+    assert rows[1]["n_subjects"] == 3 and rows[1]["n_groups"] == 2
+    assert rows[1]["n_samples"] == 3 and rows[1]["n_referenced"] == 2
+    # Public-only study 3: synthetic subject, A4 consent pick = GRU
+    # (count 2 beats HMB 2? GRU=2, HMB=2 -> tie broken ascending = GRU).
+    assert rows[3]["subject_source"] == "synthetic"
+    assert rows[3]["n_subjects"] == 1 and rows[3]["n_referenced"] is None
+    assert rows[3]["picked_consent"] == "GRU"
+    # Synthetic ids follow the reference's SU%07d / SA%07d format.
+    synth = res.subjects.filter("subject_source = 'synthetic'").collect()
+    assert [s["subject_id"] for s in synth] == ["SU0000003"]
+    assert res.samples.filter("sample_id = 'SA0000003'").count() == 1
+    # A1 groups: sorted member lists.
+    g = {
+        (r["study_id"], r["consent"]): r["members"]
+        for r in res.study_groups.collect()
+    }
+    assert g[(1, "GRU")] == "s1,s2"
+
+
+def test_multi_study_reconciliation_fails(spark, multi_study_frames):
+    studies, subjects, samples, files = multi_study_frames
+    expected = spark.createDataFrame(
+        [(1, "GRU", 99)], "study_id long, consent string, expected long"
+    )
+    with pytest.raises(ValueError, match="reconciliation"):
+        pipelines.run_multi_study_etl(
+            spark, studies, subjects, samples, files, expected_group_sizes=expected
+        )
+
+
 def test_restricted_reader_accessions(spark, tmp_path):
     path = _w(
         tmp_path / "restricted_subject.txt",
