@@ -148,6 +148,60 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation: the step
+    a dedup pipeline runs between pair detection and canonical-pick, so
+    transitive near-dups (A~B, B~C) collapse into ONE cluster instead of
+    overlapping pairs.
+
+    Each iteration propagates the current minimum label across edges (one
+    join + one groupBy-min, both shuffles on the node id) and stops when no
+    label changed — the same fixpoint GraphX/GraphFrames use. Iterations
+    needed = graph diameter; near-dup clusters are near-cliques, so 2-3
+    rounds in practice, log(n) worst case. localCheckpoint() truncates the
+    growing lineage each round (iterative plans otherwise re-execute from
+    the source). Returns (id_col, component) with component = min node id
+    of the cluster; isolated nodes are their own component.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(F.col(id_col), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        prop = sym.join(
+            labels.withColumnRenamed(id_col, "a"), "a"
+        ).select(F.col("b").alias(id_col), "component")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy(id_col)
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), id_col
+            )
+            .filter(F.col("component") != F.col("old"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -164,7 +164,10 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
-def _minhash_oracle(num_hashes: int, bands: int) -> str:
+def _minhash_ctes(num_hashes: int, bands: int) -> str:
+    """Shared CTE chain ending in a `pairs` CTE of LSH candidate pairs —
+    used by both the pair-listing oracle and the recursive-CTE clustering
+    oracle so the two stay literally identical upstream."""
     rows = num_hashes // bands
     params = minhash_params(num_hashes)
     hb = hash60_sql("shingle")
@@ -179,19 +182,26 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
         )
         for k in range(bands)
     )
-    return f"""
-    WITH {SHINGLES_CTE},
+    return f"""{SHINGLES_CTE},
     h AS (SELECT doc_id, {hb} AS hb FROM sh),
     sig AS (SELECT doc_id,
            {mins}
       FROM h GROUP BY doc_id),
     banded AS (
 {band_arms}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
-    FROM banded a
-    JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+def _minhash_oracle(num_hashes: int, bands: int) -> str:
+    return f"""
+    WITH {_minhash_ctes(num_hashes, bands)}
+    SELECT doc_a, doc_b, n_bands_matched FROM pairs
     ORDER BY doc_a, doc_b
     """
 
@@ -208,6 +218,43 @@ def dedup_minhash_lsh(spark, sf_dir):
     sh = D.word_shingles(docs, 3)
     sigs = D.minhash_signatures(sh, 16)
     return D.lsh_candidate_pairs(sigs, 16, 4).orderBy("doc_a", "doc_b")
+
+
+def _cc_oracle(num_hashes: int, bands: int) -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes(num_hashes, bands)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM documents),
+    reach AS (
+      SELECT doc_id, doc_id AS rep FROM nodes
+      UNION
+      SELECT e.b AS doc_id, r.rep FROM reach r JOIN edges e ON e.a = r.doc_id
+    )
+    SELECT doc_id, min(rep) AS component FROM reach
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("dedup_clusters_cc", oracle=_cc_oracle(16, 4), tags=("dedup", "scale"))
+def dedup_clusters_cc(spark, sf_dir):
+    """Dedup CLUSTERING: connected components over the MinHash-LSH pair
+    graph, so transitive near-dups (A~B, B~C) collapse into one cluster
+    with component = min doc_id — the step between pair detection and
+    canonical-pick that production dedup pipelines run. Spark side is
+    min-label propagation (join + groupBy-min per round, fixpoint when no
+    label moves — near-dup clusters are near-cliques, so 2-3 rounds);
+    oracle side is the equivalent recursive-CTE reachability fixpoint over
+    the SAME pair CTEs as dedup_minhash_lsh."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    pairs = D.lsh_candidate_pairs(sigs, 16, 4)
+    nodes = docs.select("doc_id")
+    return D.connected_components(nodes, pairs).orderBy("doc_id")
 
 
 def _simhash_oracle(bits: int, max_hamming: int, chunks: int, chunk_bits: int) -> str:

@@ -43,6 +43,20 @@ def read_bgi_genes(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_phenotype_annotations(spark: SparkSession, path: str) -> DataFrame:
+    """Phenotype documents (agr/genes.py:327-380): one MP term per record
+    (the reference's stated RGD/MGI assumption), publication id possibly
+    empty — the downstream pub count skips empties exactly like the
+    reference's `if i == "": continue`."""
+    recs = read_data_array_json(spark, path)
+    return recs.select(
+        F.col("rec.objectId").alias("gene_id"),
+        F.col("rec.phenotypeTermId").alias("phe_term_id"),
+        F.col("rec.evidence.publicationId").alias("publication_id"),
+        F.col("rec.dateAssigned").alias("date_assigned"),
+    )
+
+
 def read_disease_annotations(spark: SparkSession, path: str) -> DataFrame:
     """Disease documents (agr/genes.py:126-162): DOid + evidence codes +
     publication ids per object; grouped per (gene, DOid) downstream with

@@ -138,3 +138,19 @@ def test_found_counters(spark):
     df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
     out = A.found_counters(df, F.col("x") <= 3).collect()[0]
     assert (out["n_found"], out["n_not_found"]) == (3, 1)
+
+
+def test_connected_components_chain_and_isolate(spark):
+    from gtec_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # Chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 5-6,
+    # isolated 7.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (6, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
