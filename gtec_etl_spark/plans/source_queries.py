@@ -17,7 +17,7 @@ import os
 from pyspark.sql import functions as F
 
 from gtec_etl_spark.plans.registry import query
-from gtec_etl_spark.sources import json_docs, restricted, validated
+from gtec_etl_spark.sources import gff3, json_docs, restricted, validated
 
 FIXTURES = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
@@ -197,6 +197,110 @@ def agr_gene_annotations(spark, sf_dir):
             F.coalesce("human_homolog_symbols", F.lit("")).alias(
                 "human_homolog_symbols"
             ),
+        )
+        .orderBy("gene_id")
+    )
+
+
+GFF3 = os.path.join(FIXTURES, "agr", "features.gff3.gz")
+
+
+@query(
+    "gff_gene_transcript_exon_counts",
+    oracle=f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{GFF3}', delim='\t', header=false,
+        all_varchar=true, null_padding=true,
+        names=['seqid','source','type','start','end','score','strand',
+               'phase','attributes'])
+      WHERE seqid NOT LIKE '#%'
+    ),
+    f AS (
+      SELECT seqid, type, CAST(start AS BIGINT) AS start,
+             CAST("end" AS BIGINT) AS "end",
+             nullif(regexp_extract(attributes, '(?:^|;)ID=([^;]+)', 1), '')
+               AS feature_id,
+             nullif(regexp_extract(attributes, '(?:^|;)Parent=([^;]+)', 1), '')
+               AS parent_id,
+             nullif(regexp_extract(attributes, '(?:^|;)Name=([^;]+)', 1), '')
+               AS symbol
+      FROM raw
+    ),
+    genes AS (
+      SELECT feature_id AS gene_id, symbol, seqid, start, "end"
+      FROM f WHERE type = 'gene'
+    ),
+    tr AS (SELECT feature_id, parent_id FROM f WHERE type = 'mRNA'),
+    ntr AS (
+      SELECT parent_id AS gene_id, count(*) AS n_transcripts
+      FROM tr GROUP BY parent_id
+    ),
+    nex AS (
+      SELECT t.parent_id AS gene_id, count(*) AS n_exons
+      FROM f e JOIN tr t ON e.parent_id = t.feature_id
+      WHERE e.type = 'exon' GROUP BY t.parent_id
+    ),
+    dang AS (
+      SELECT count(*) AS n FROM f
+      WHERE parent_id IS NOT NULL
+        AND parent_id NOT IN (SELECT feature_id FROM f WHERE feature_id IS NOT NULL)
+    )
+    SELECT g.gene_id, g.symbol, g.seqid, g.start, g."end",
+           coalesce(ntr.n_transcripts, 0) AS n_transcripts,
+           coalesce(nex.n_exons, 0) AS n_exons,
+           (SELECT n FROM dang) AS n_dangling
+    FROM genes g
+    LEFT JOIN ntr ON ntr.gene_id = g.gene_id
+    LEFT JOIN nex ON nex.gene_id = g.gene_id
+    ORDER BY g.gene_id
+    """,
+    tags=("sources", "gff3"),
+)
+def gff_gene_transcript_exon_counts(spark, sf_dir):
+    """S10 GFF3 source + J12 parent/child self-joins at the driver level
+    (ccmm/mgd/ref_genome_dataset.py:90-199): gzip CSV scan with comment
+    lines dropped, attributes → map (str_to_map), gene→mRNA→exon two-hop
+    rollup, plus the dangling-Parent consistency count (the reference's
+    fatal check) carried as a column. The oracle re-parses the same .gz
+    with regex attribute extraction."""
+    feats = gff3.read_gff3(spark, GFF3)
+    genes = feats.filter(F.col("type") == "gene").select(
+        F.col("feature_id").alias("gene_id"),
+        F.col("attrs")["Name"].alias("symbol"),
+        "seqid",
+        "start",
+        "end",
+    )
+    tr = feats.filter(F.col("type") == "mRNA").select("feature_id", "parent_id")
+    ntr = tr.groupBy(F.col("parent_id").alias("gene_id")).agg(
+        F.count(F.lit(1)).alias("n_transcripts")
+    )
+    nex = (
+        feats.filter(F.col("type") == "exon")
+        .join(
+            tr.select(
+                F.col("feature_id").alias("parent_id"),
+                F.col("parent_id").alias("gene_id"),
+            ),
+            "parent_id",
+        )
+        .groupBy("gene_id")
+        .agg(F.count(F.lit(1)).alias("n_exons"))
+    )
+    n_dangling = gff3.dangling_parents(feats).count()
+    zero = F.lit(0).cast("long")
+    return (
+        genes.join(ntr, "gene_id", "left")
+        .join(nex, "gene_id", "left")
+        .select(
+            "gene_id",
+            "symbol",
+            "seqid",
+            "start",
+            "end",
+            F.coalesce("n_transcripts", zero).alias("n_transcripts"),
+            F.coalesce("n_exons", zero).alias("n_exons"),
+            F.lit(n_dangling).cast("long").alias("n_dangling"),
         )
         .orderBy("gene_id")
     )
