@@ -165,7 +165,7 @@ def ref_q4_subject_characteristics(spark, sf_dir):
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag IN ('A', 'R') AND c.c_custkey < 100
-    ORDER BY subject, sample_id, extract_id
+    ORDER BY subject, sample_id, extract_id, role
     """,
     tags=("refquery",),
 )
@@ -187,7 +187,7 @@ def ref_q5_subject_sample_chain(spark, sf_dir):
             F.col("l_linenumber").alias("extract_id"),
             F.col("l_returnflag").alias("role"),
         )
-        .orderBy("subject", "sample_id", "extract_id")
+        .orderBy("subject", "sample_id", "extract_id", "role")
     )
 
 
@@ -241,7 +241,8 @@ TABULAR_DUMP_ORACLE = """
     LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     LEFT JOIN part p     ON p.p_partkey = l.l_partkey
     LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    ORDER BY program, study, subject_name, sample_id, file_id
+    ORDER BY program, study, subject_name, sample_id, file_id,
+             file_type, producer, quantity, file_size
 """
 
 
@@ -268,7 +269,7 @@ FULL_DUMP_ORACLE = """
     JOIN chars ch  ON ch.subject_id = c.c_custkey
     LEFT JOIN orders o   ON o.o_custkey = c.c_custkey
     LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ORDER BY program, study, subject_name, sample_id, file_id
+    ORDER BY program, study, subject_name, sample_id, file_id, file_size
 """
 
 
@@ -311,7 +312,9 @@ def ref_q6_full_dump(spark, sf_dir):
             F.col("l_linenumber").alias("file_id"),
             F.round("l_extendedprice", 4).alias("file_size"),
         )
-        .orderBy("program", "study", "subject_name", "sample_id", "file_id")
+        .orderBy(
+            "program", "study", "subject_name", "sample_id", "file_id", "file_size"
+        )
     )
 
 
@@ -351,7 +354,10 @@ def ref_q6_tabular_dump(spark, sf_dir):
             F.round("l_quantity", 4).alias("quantity"),
             F.round("l_extendedprice", 4).alias("file_size"),
         )
-        .orderBy("program", "study", "subject_name", "sample_id", "file_id")
+        .orderBy(
+            "program", "study", "subject_name", "sample_id", "file_id",
+            "file_type", "producer", "quantity", "file_size",
+        )
     )
 
 
