@@ -203,6 +203,65 @@ def agr_gene_annotations(spark, sf_dir):
 
 
 GFF3 = os.path.join(FIXTURES, "agr", "features.gff3.gz")
+CATALOG_TXT = os.path.join(FIXTURES, "sources", "study_catalog.txt")
+
+
+def _catalog_oracle() -> str:
+    """S15 oracle: the same line-oriented state machine as
+    sources/catalog_text.py, in SQL — record id = running sum of
+    record-start markers over line numbers, fields = max(regexp_extract)
+    per record. Shares the exact regex literals with the Spark reader."""
+    from gtec_etl_spark.sources.catalog_text import STUDY_FIELDS, STUDY_START
+
+    field_exprs = ",\n             ".join(
+        f"max(CASE WHEN regexp_matches(line, '{pat}')"
+        f" THEN regexp_extract(line, '{pat}', 1) END) AS {name}"
+        for name, pat in STUDY_FIELDS.items()
+    )
+    return f"""
+    WITH whole AS (
+      SELECT string_split(content, chr(10)) AS l FROM read_text('{CATALOG_TXT}')
+    ),
+    nums AS (
+      SELECT unnest(generate_series(1, len(l))) - 1 AS line_no, l FROM whole
+    ),
+    lines AS (SELECT line_no, l[line_no + 1] AS line FROM nums),
+    marks AS (
+      SELECT line_no, line,
+             CASE WHEN regexp_matches(line, '{STUDY_START}') THEN 1 ELSE 0 END AS s
+      FROM lines
+    ),
+    rec AS (
+      SELECT line_no, line,
+             sum(s) OVER (ORDER BY line_no ROWS UNBOUNDED PRECEDING) AS record_id
+      FROM marks
+    ),
+    agg AS (
+      SELECT {field_exprs}
+      FROM rec WHERE record_id > 0 GROUP BY record_id
+    )
+    SELECT study_id, study_name, CAST(n_participants AS BIGINT) AS n_participants,
+           study_type, platform
+    FROM agg ORDER BY study_id
+    """
+
+
+@query(
+    "src_catalog_state_machine",
+    oracle=_catalog_oracle(),
+    tags=("sources", "statemachine"),
+)
+def src_catalog_state_machine(spark, sf_dir):
+    """S15 embedded study-catalog parser at the driver level
+    (ccmm/gtex/wgs_datasets.py:65-119, topmed/wgs_datasets.py:188-248):
+    the line-oriented regex state machine as wholetext → posexplode line
+    numbers → running-sum record ids → per-record max(regexp_extract) —
+    no driver loop, per-file sequential semantics, files parallel. The
+    oracle replays the same machine with SQL window functions over
+    file_row_number."""
+    from gtec_etl_spark.sources.catalog_text import parse_study_catalog
+
+    return parse_study_catalog(spark, CATALOG_TXT).orderBy("study_id")
 
 
 @query(
@@ -304,6 +363,51 @@ def gff_gene_transcript_exon_counts(spark, sf_dir):
         )
         .orderBy("gene_id")
     )
+
+
+DATA_DICT_XML = os.path.join(
+    FIXTURES, "sources", "phs000001.v1.pht000001.v1.Example_Subject.data_dict.xml"
+)
+
+
+@query(
+    "src_dbgap_data_dict",
+    oracle=f"""
+    WITH x AS (SELECT content FROM read_text('{DATA_DICT_XML}')),
+    vars AS (
+      SELECT unnest(regexp_extract_all(content,
+        '(?s)<variable[^>]*>.*?</variable>')) AS block
+      FROM x
+    )
+    SELECT regexp_extract(block, 'id="([^"]+)"', 1) AS var_id,
+           regexp_extract(block, '<name>([^<]*)</name>', 1) AS var_name,
+           regexp_extract(block, '<type>([^<]*)</type>', 1) AS var_type,
+           nullif(regexp_extract(block, '<unit>([^<]*)</unit>', 1), '') AS unit,
+           CAST(len(regexp_extract_all(block, '<value ')) AS BIGINT)
+             AS n_enum_values
+    FROM vars ORDER BY var_id
+    """,
+    tags=("sources", "dbgap"),
+)
+def src_dbgap_data_dict(spark, sf_dir):
+    """S7 dbGaP data_dict XML at the driver level
+    (ccmm/dbgap/public_metadata.py:94-231): Spark's native XML source
+    scans <variable> row tags distributed (no driver-side ElementTree),
+    yielding id/name/type/unit plus the enum value count. The oracle
+    re-parses the same document with block-level regexes over read_text —
+    an independent parse path."""
+    from gtec_etl_spark.sources.dbgap_xml import read_data_dict
+
+    df = read_data_dict(spark, DATA_DICT_XML)
+    return df.select(
+        "var_id",
+        "var_name",
+        "var_type",
+        "unit",
+        F.coalesce(F.size("enum_values"), F.lit(0)).cast("long").alias(
+            "n_enum_values"
+        ),
+    ).orderBy("var_id")
 
 
 SUBJECT_SPEC = validated.TableSpec(
