@@ -79,6 +79,33 @@ def stream_session_windows(spark, sf_dir):
     ).orderBy("user_id", "session_start")
 
 
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events ORDER BY event_id
+    """,
+    tags=("streaming", "live"),
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) as a REAL
+    streaming job: the events file is replayed through TWO file-source
+    streams unioned together (every event arrives twice), and the dedup
+    operator must emit each event_id exactly once with bounded state. On
+    a finite replay the result is exactly the distinct source rows, which
+    is what the batch oracle states. The streaming counterpart of the
+    dedup_exact batch pass."""
+    from gtec_etl_spark.streaming import pipelines as P
+
+    doubled = P.read_events_stream(spark, sf_dir).unionByName(
+        P.read_events_stream(spark, sf_dir)
+    )
+    out = P.run_to_memory(P.deduped_events(doubled))
+    return out.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).orderBy("event_id")
+
+
 @query("mm_decode_features", oracle=None, tags=("multimodal",))
 def mm_decode_features(spark, sf_dir):
     """Multimodal pipeline: deterministic media table → decode (FAKEIMG

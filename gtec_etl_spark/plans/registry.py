@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         profile_queries,
         relational,
         similarity_queries,
+        sink_queries,
         source_queries,
         sql_surface,
         streaming_batch,

@@ -1,0 +1,116 @@
+"""Driver-level queries over the SINK layer (K1/K2 JSON-LD emitters).
+
+The emitter's determinism contract (content-hash @ids, sorted child
+arrays, null-dropping serialization — SURVEY.md §7.4) is checked
+cross-engine: the oracle hand-assembles the byte-identical JSON document
+with sha256 + string concatenation, so any drift in id derivation, member
+ordering, or field order hash-mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.plans.registry import query
+from gtec_etl_spark.sinks import jsonld
+
+
+@query(
+    "k1_jsonld_study_groups",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment, c_name,
+             '{"@id":"dats:Material/'
+               || substr(sha256('Material' || chr(31) || c_name), 1, 32)
+               || '","@type":"Material","name":"' || c_name || '"}' AS mjson
+      FROM customer WHERE c_custkey < 50
+    ),
+    g AS (
+      SELECT c_mktsegment AS grp,
+             '[' || string_agg(mjson, ',' ORDER BY c_name) || ']' AS members,
+             count(*) AS n
+      FROM m GROUP BY c_mktsegment
+    )
+    SELECT grp AS "group",
+           '{"@id":"dats:StudyGroup/'
+             || substr(sha256('StudyGroup' || chr(31) || grp), 1, 32)
+             || '","@type":"StudyGroup","name":"' || grp || '","size":' || n
+             || ',"members":' || members || '}' AS doc
+    FROM g ORDER BY "group"
+    """,
+    tags=("sinks", "jsonld"),
+)
+def k1_jsonld_study_groups(spark, sf_dir):
+    """K1 JSON-LD emission as an oracle-checked query: one StudyGroup
+    document per market segment with sorted member Materials, content-hash
+    @ids (sha256 of type + natural key — the deterministic replacement for
+    the reference's uuid4, ccmm/dats/datsobj.py:109-116), serialized with
+    to_json. The oracle assembles the SAME bytes with sha256 || concat in
+    SQL, so id scheme, member order and field order are all pinned."""
+    cust = catalog.table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    member = F.struct(
+        jsonld.content_id("Material", "c_name").alias("@id"),
+        F.lit("Material").alias("@type"),
+        F.col("c_name").alias("name"),
+    )
+    per = cust.select("c_mktsegment", "c_name", member.alias("s"))
+    return (
+        per.groupBy("c_mktsegment")
+        .agg(
+            jsonld.children_array(
+                F.collect_list(jsonld.sorted_children(F.col("c_name"), F.col("s")))
+            ).alias("members"),
+            F.count(F.lit(1)).alias("size"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("group"),
+            jsonld.to_document(
+                F.struct(
+                    jsonld.content_id("StudyGroup", "c_mktsegment").alias("@id"),
+                    F.lit("StudyGroup").alias("@type"),
+                    F.col("c_mktsegment").alias("name"),
+                    F.col("size"),
+                    F.col("members"),
+                )
+            ).alias("doc"),
+        )
+        .orderBy("group")
+    )
+
+
+@query(
+    "k2_per_entity_docs",
+    oracle="""
+    SELECT 'Material/' || substr(sha256('Material' || chr(31) || c_name), 1, 32)
+             || '.json' AS path,
+           '{"@id":"dats:Material/'
+             || substr(sha256('Material' || chr(31) || c_name), 1, 32)
+             || '","@type":"Material","name":"' || c_name
+             || '","custkey":' || c_custkey || '}' AS doc
+    FROM customer WHERE c_custkey <= 100 ORDER BY path
+    """,
+    tags=("sinks", "jsonld"),
+)
+def k2_per_entity_docs(spark, sf_dir):
+    """K2 per-entity JSON writer (ccmm/gtex/rna_extracts.py:167-191): one
+    JSON document plus one deterministic relative path per entity — the
+    content-hash id doubles as the file name, so re-runs land on the same
+    paths (the reference names files by sample id). The physical write is
+    sinks.jsonld.write_documents (sharded text); returning (path, doc)
+    rows pins both the document bytes and the naming scheme to the
+    oracle."""
+    cust = catalog.table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    cid = jsonld.content_id("Material", "c_name")
+    doc_struct = F.struct(
+        cid.alias("@id"),
+        F.lit("Material").alias("@type"),
+        F.col("c_name").alias("name"),
+        F.col("c_custkey").alias("custkey"),
+    )
+    return cust.select(
+        F.concat(
+            F.regexp_replace(cid, "^dats:", ""), F.lit(".json")
+        ).alias("path"),
+        jsonld.to_document(doc_struct).alias("doc"),
+    ).orderBy("path")

@@ -410,6 +410,78 @@ def src_dbgap_data_dict(spark, sf_dir):
     ).orderBy("var_id")
 
 
+SOURCES_DIR = os.path.join(FIXTURES, "sources")
+RESTRICTED_TSV = os.path.join(FIXTURES, "sources", "restricted_subject.txt")
+
+
+@query(
+    "src_study_directory_scan",
+    oracle=f"""
+    SELECT regexp_extract(fname, '(phs\\d+)', 1) AS study_id,
+           regexp_extract(fname, 'phs\\d+\\.(v\\d+)', 1) AS study_version,
+           regexp_extract(fname, '(pht\\d+)', 1) AS phenotype_id,
+           regexp_extract(fname, 'pht\\d+\\.(v\\d+)', 1) AS table_version,
+           regexp_extract(fname,
+             'pht\\d+\\.v\\d+\\.([A-Za-z0-9_]+?)\\.(?:data_dict|var_report)\\.xml$', 1)
+             AS table_name,
+           regexp_extract(fname, '(data_dict|var_report)\\.xml$', 1)
+             AS metadata_type
+    FROM (
+      SELECT regexp_extract(file, '([^/]+)$', 1) AS fname
+      FROM glob('{SOURCES_DIR}/*.xml')
+    )
+    WHERE regexp_matches(fname,
+      '(phs\\d+)\\.(v\\d+)\\.(pht\\d+)\\.(v\\d+)\\.([A-Za-z0-9_]+?)\\.(data_dict|var_report)\\.xml$')
+    ORDER BY fname
+    """,
+    tags=("sources", "dbgap"),
+)
+def src_study_directory_scan(spark, sf_dir):
+    """S8 study-directory scanner (ccmm/dbgap/public_metadata.py:234-266):
+    dbGaP metadata filenames regex-parsed into the (study, phenotype,
+    table, metadata_type) catalog. The oracle lists the same directory
+    with DuckDB's glob() and applies equivalent regexes."""
+    from gtec_etl_spark.sources.dbgap_xml import scan_study_directory
+
+    return scan_study_directory(spark, SOURCES_DIR).select(
+        "study_id",
+        "study_version",
+        "phenotype_id",
+        "table_version",
+        "table_name",
+        "metadata_type",
+    ).orderBy("study_id", "phenotype_id", "metadata_type")
+
+
+@query(
+    "src_restricted_accessions",
+    oracle=f"""
+    WITH whole AS (
+      SELECT string_split(content, chr(10)) AS l FROM read_text('{RESTRICTED_TSV}')
+    ),
+    nums AS (
+      SELECT unnest(generate_series(1, len(l))) AS i, l FROM whole
+    ),
+    lines AS (SELECT l[i] AS line FROM nums)
+    SELECT regexp_extract(line, '^#\\s*(Study|Table)\\s+accession:\\s*(\\S+)', 1)
+             AS kind,
+           regexp_extract(line, '^#\\s*(Study|Table)\\s+accession:\\s*(\\S+)', 2)
+             AS accession
+    FROM lines
+    WHERE regexp_matches(line, '^#\\s*(Study|Table)\\s+accession:\\s*(\\S+)')
+    ORDER BY kind, accession
+    """,
+    tags=("sources", "restricted"),
+)
+def src_restricted_accessions(spark, sf_dir):
+    """S9 restricted-metadata reader (ccmm/dbgap/restricted_metadata.py:
+    21-92): the `# Study/Table accession:` comment capture as a
+    distributed line scan; the oracle replays the same regex over
+    read_text lines."""
+    _rows, acc = restricted.read_restricted_tsv(spark, RESTRICTED_TSV)
+    return acc.orderBy("kind", "accession")
+
+
 SUBJECT_SPEC = validated.TableSpec(
     columns=[
         validated.ColumnSpec("SUBJID", regex=r"^GTEX-[A-Z0-9]+$", empty_ok=False),
