@@ -197,14 +197,18 @@ def run_multi_study_etl(
       - referenced-samples semi-join filter applied ONLY on the restricted
         path (topmed_to_dats.py:251-266).
     """
-    from gtec_etl_spark.operators.aggregates import mode_pick
-
     restricted_ids = subjects.select("study_id").distinct()
 
-    # A4 pick for the synthetic subject's consent value.
-    picked = mode_pick(
-        subjects.withColumn("__g", F.lit(1)), "__g", "consent"
-    ).select(F.col("mode_value").alias("picked_consent"))
+    # A4 pick for the synthetic subject's consent value. A global (ungrouped)
+    # mode is a top-1 over the value histogram: partial-aggregated counts +
+    # TakeOrderedAndProject — not a single-partition window.
+    picked = (
+        subjects.groupBy("consent")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("consent").asc())
+        .limit(1)
+        .select(F.col("consent").alias("picked_consent"))
+    )
 
     synth_subjects = (
         studies.join(restricted_ids, "study_id", "left_anti")

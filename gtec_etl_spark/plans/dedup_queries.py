@@ -69,11 +69,15 @@ def dedup_apply_keep_canonical(spark, sf_dir):
     from gtec_etl_spark.operators.dedup import normalized_text
 
     fp = docs.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint"))
-    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    canon = (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("fingerprint", "canon_fp")
+    )
     surviving = fp.join(
         canon,
-        (fp.fingerprint == canon.fingerprint) & (fp.doc_id == canon.keep_id),
-    ).select(fp.doc_id)
+        (fp["fingerprint"] == canon["canon_fp"]) & (fp["doc_id"] == canon["keep_id"]),
+    ).select(fp["doc_id"])
     total = docs.count()
     return surviving.agg(
         F.count(F.lit(1)).alias("n_surviving"),

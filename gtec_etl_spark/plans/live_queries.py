@@ -106,6 +106,40 @@ def stream_dedup_watermark(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum("value"), 4) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "live", "stateful"),
+)
+def stream_stateful_user_totals(spark, sf_dir):
+    """Custom keyed-state operator (applyInPandasWithState) as a REAL
+    streaming job: per-user running totals whose state survives across
+    micro-batches. Update mode emits one cumulative row per user per
+    batch; the final (max-n) emission per user is the complete total, so
+    a finite replay must equal the batch groupBy — which is what the
+    oracle states. max_by keeps the query correct under any micro-batch
+    split (maxFilesPerTrigger tuning changes batching, not the answer)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.streaming import pipelines as P
+    from gtec_etl_spark.streaming.stateful import running_user_totals
+
+    out = P.run_to_memory(
+        running_user_totals(P.read_events_stream(spark, sf_dir))
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_value, n_events)").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query("mm_decode_features", oracle=None, tags=("multimodal",))
 def mm_decode_features(spark, sf_dir):
     """Multimodal pipeline: deterministic media table → decode (FAKEIMG

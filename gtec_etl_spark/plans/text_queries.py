@@ -314,3 +314,95 @@ def text_fingerprint(spark, sf_dir):
         F.md5(normalized_text(F.col("text"))).alias("content_md5"),
         min_hash.alias("rolling_min_hash"),
     ).orderBy("doc_id")
+
+
+# Corpus-clean gate: predicted-English docs scoring >= QMIN (the sf0.01
+# median is ~3345, so the gate removes roughly half the corpus plus all
+# non-English predictions — a realistic C4-style keep rate).
+QMIN = 3300
+
+_HITS_SQL = ",\n             ".join(
+    f"{_hits_sql(lg)} AS hit_{lg}" for lg in STOPWORDS
+)
+_PRED_FROM_HITS = _langid_case({lg: f"hit_{lg}" for lg in STOPWORDS})
+_Q_FROM_HITS = (
+    "(400 * hit_en + 300 * n_distinct + 3 * least(n_words, 100) * n_words)"
+    " * 10 // n_words"
+)
+
+
+@query(
+    "text_corpus_clean",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source, text,
+             len(string_split(lower(text), ' ')) AS n_words,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+             {_HITS_SQL}
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source,
+             CAST({_Q_FROM_HITS} AS BIGINT) AS quality_score_scaled,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+      FROM feats
+      WHERE {_PRED_FROM_HITS} = 'en' AND {_Q_FROM_HITS} >= {QMIN}
+    ),
+    canon AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp)
+    SELECT k.doc_id, k.source, k.quality_score_scaled
+    FROM kept k JOIN canon c ON c.fp = k.fp AND c.keep_id = k.doc_id
+    ORDER BY k.doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_corpus_clean(spark, sf_dir):
+    """The composed C4-style corpus-cleaning pass a training pipeline
+    actually runs, as ONE job: language-ID (stopword argmax) → integer
+    quality gate (>= QMIN) → exact dedup keeping the canonical (min-id)
+    copy. Scoring and langid are pure map-side codegen over the scan; the
+    only shuffles are the fingerprint groupBy and the canonical
+    semi-filter — at 100 TB this is two shuffles on a uniform 128-bit
+    hash, the same shape as dedup_apply_keep_canonical."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    from gtec_etl_spark.operators.dedup import normalized_text
+
+    words = F.split(F.lower(F.col("text")), " ")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        *[F.expr(_hits_spark(lg)).alias(f"hit_{lg}") for lg in STOPWORDS],
+    )
+    q_expr = F.expr(
+        "CAST((400 * hit_en + 300 * n_distinct"
+        " + 3 * least(n_words, 100) * n_words) * 10 div n_words AS BIGINT)"
+    )
+    kept = (
+        feats.withColumn("predicted_lang", F.expr(_PRED_FROM_HITS))
+        .withColumn("quality_score_scaled", q_expr)
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("quality_score_scaled") >= QMIN)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "quality_score_scaled",
+            F.md5(normalized_text(F.col("text"))).alias("fp"),
+        )
+    )
+    canon = (
+        kept.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("fp", "canon_fp")
+    )
+    return (
+        kept.join(
+            canon,
+            (kept["fp"] == canon["canon_fp"]) & (kept["doc_id"] == canon["keep_id"]),
+        )
+        .select(kept["doc_id"], kept["source"], kept["quality_score_scaled"])
+        .orderBy("doc_id")
+    )
