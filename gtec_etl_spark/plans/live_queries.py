@@ -164,3 +164,28 @@ def mm_decode_features(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query("mm_resize_frame_sample", oracle=None, tags=("multimodal",))
+def mm_resize_frame_sample(spark, sf_dir):
+    """Composed media pipeline: resize (decode → nearest-neighbor grid →
+    re-encode, 1:1 mapInPandas) then frame-sampling (1:N row expansion —
+    the video stand-in), summarized per media row. Exercises that media
+    passes COMPOSE: the re-encoded container from one Arrow-batched pass
+    is the direct input of the next, with no driver round-trip."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.media_table(spark, n=12, width=64, height=48)
+    small = M.resize_image(media, 16, 12)
+    frames = M.frame_sample(small, every_n_bytes=64)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mean_byte"), 4).alias("avg_frame_intensity"),
+        )
+        .orderBy("media_id")
+    )

@@ -538,3 +538,44 @@ def src_validated_violations(spark, sf_dir):
     return validated.validate(df, SUBJECT_SPEC).orderBy(
         "row_key", "column", "check", "value"
     )
+
+
+DATACITE_JSON = os.path.join(FIXTURES, "sources", "datacite_works.json")
+
+
+@query(
+    "src_datacite_works",
+    oracle=f"""
+    SELECT rec.attributes.doi AS doi,
+           rec.attributes.titles[1].title AS title,
+           rec.attributes.version AS version,
+           count(*) OVER (PARTITION BY rec.attributes.titles[1].title)
+             AS n_title_dups
+    FROM (SELECT unnest(data) AS rec
+          FROM read_json('{DATACITE_JSON}'))
+    ORDER BY doi
+    """,
+    tags=("sources", "datacite"),
+)
+def src_datacite_works(spark, sf_dir):
+    """S14 DataCite works source at the driver level
+    (ccmm/gtex/rnaseq_datasets.py:160-202): the works-API payload parsed
+    DISTRIBUTED (spark.read.json + explode — one page per file shards
+    across executors) with the duplicate-title constraint surfaced as a
+    per-title count (the reference fatals when any count > 1; empty
+    titles arrays become NULL, try_element_at under ANSI). The HTTP fetch
+    itself stays the documented stub boundary
+    (sources/datacite.py:fetch_works) — no network in this container."""
+    raw = spark.read.option("multiLine", "true").json(DATACITE_JSON)
+    rec = raw.select(F.explode("data").alias("rec")).select(
+        F.col("rec.attributes.doi").alias("doi"),
+        F.try_element_at(F.col("rec.attributes.titles"), F.lit(1))["title"].alias(
+            "title"
+        ),
+        F.col("rec.attributes.version").alias("version"),
+    )
+    from pyspark.sql import Window as W
+
+    return rec.withColumn(
+        "n_title_dups", F.count(F.lit(1)).over(W.partitionBy("title"))
+    ).orderBy("doi")
