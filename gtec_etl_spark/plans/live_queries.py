@@ -189,3 +189,61 @@ def mm_resize_frame_sample(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "live"),
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream event-time inner join as a REAL streaming job: clicks
+    joined to same-user purchases within the following 30 minutes, both
+    sides watermarked so the state store evicts rows once they can no
+    longer match (the time-range condition is what bounds state — an
+    unconstrained stream-stream join would retain both streams forever).
+    On a finite replay the emitted pairs equal the batch interval
+    self-join, which is what the oracle states."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.streaming import pipelines as P
+
+    clicks = (
+        P.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        P.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    )
+    out = P.run_to_memory(joined)
+    return out.select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+    ).orderBy("click_id", "purchase_id")

@@ -406,3 +406,57 @@ def text_corpus_clean(spark, sf_dir):
         .select(kept["doc_id"], kept["source"], kept["quality_score_scaled"])
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    big AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words)
+    ),
+    cnt AS (SELECT doc_id, bg, count(*) AS n FROM big GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+             CAST(sum(n) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, top_bigram_n,
+           CAST(top_bigram_n * 10000 // n_bigrams AS BIGINT) AS rep_scaled
+    FROM top ORDER BY doc_id
+    """,
+    tags=("text",),
+)
+def text_repetition_score(spark, sf_dir):
+    """Repetition-ratio quality signal (the Gopher-style top-2-gram
+    fraction): explode word bigrams → per-(doc, bigram) counts → per-doc
+    max — the dominant-bigram share as exact integer ten-thousandths
+    (cross-engine-stable; see text_quality_score for why not rounded
+    doubles). Distributed shape: the explode is map-side; the two
+    aggregations shuffle on (doc_id, bigram) then doc_id — both uniform
+    keys, so the pass scales to corpus size, not vocabulary size."""
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+        " i -> concat(split(lower(text), ' ')[i - 1], ' ',"
+        " split(lower(text), ' ')[i]))"
+    )
+    big = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    cnt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.groupBy("doc_id").agg(
+        F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams")
+    )
+    return top.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
+        F.expr("CAST(top_bigram_n * 10000 div n_bigrams AS BIGINT)").alias(
+            "rep_scaled"
+        ),
+    ).orderBy("doc_id")

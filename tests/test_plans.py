@@ -71,3 +71,34 @@ def test_no_python_udfs_in_relational_queries(spark):
     for name in ["q13_scalar_suite", "q17_running_revenue", "ref_q6_tabular_dump"]:
         plan = _formatted_plan(spark, name)
         assert "EvalPython" not in plan, f"{name}: Python UDF leaked into the plan"
+
+
+def test_corpus_clean_two_hash_shuffles(spark):
+    # text_corpus_clean: scoring/langid are map-side; the only hash
+    # exchanges are the fingerprint groupBy + the canonical join — a
+    # refactor that adds a third shuffle broke the 100 TB shape.
+    df = registry.specs()["text_corpus_clean"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 hash exchanges, got {n}"
+    assert "EvalPython" not in plan
+
+
+def test_repetition_score_stays_jvm_side(spark):
+    # Bigram explode + two keyed aggregations; no Python in the hot path.
+    plan = _formatted_plan(spark, "text_repetition_score")
+    assert "EvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_k2_docs_no_join_no_python(spark):
+    # Per-entity document emission is scan -> project -> sort: no
+    # exchange other than the presentation sort, nothing Python-side.
+    plan = _formatted_plan(spark, "k2_per_entity_docs")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_datacite_read_prunes_and_projects(spark):
+    plan = _formatted_plan(spark, "src_datacite_works")
+    assert "EvalPython" not in plan
