@@ -31,7 +31,8 @@ def stream_tumbling_hourly(spark, sf_dir):
     watermarked windows guarantee once all data is ingested."""
     from gtec_etl_spark.streaming import pipelines as P
 
-    out = P.run_to_memory(P.tumbling_counts(P.read_events_stream(spark, sf_dir)))
+    with P.state_partitions(spark, 8):
+        out = P.run_to_memory(P.tumbling_counts(P.read_events_stream(spark, sf_dir)))
     return out.orderBy("window_start", "event_type")
 
 
@@ -71,9 +72,10 @@ def stream_session_windows(spark, sf_dir):
 
     from gtec_etl_spark.streaming import pipelines as P
 
-    out = P.run_to_memory(
-        P.session_counts(P.read_events_stream(spark, sf_dir), gap="30 minutes")
-    )
+    with P.state_partitions(spark, 8):
+        out = P.run_to_memory(
+            P.session_counts(P.read_events_stream(spark, sf_dir), gap="30 minutes")
+        )
     return out.select(
         "user_id", F.col("session_start"), "n_events"
     ).orderBy("user_id", "session_start")
@@ -97,10 +99,11 @@ def stream_dedup_watermark(spark, sf_dir):
     dedup_exact batch pass."""
     from gtec_etl_spark.streaming import pipelines as P
 
-    doubled = P.read_events_stream(spark, sf_dir).unionByName(
-        P.read_events_stream(spark, sf_dir)
-    )
-    out = P.run_to_memory(P.deduped_events(doubled))
+    with P.state_partitions(spark, 8):
+        doubled = P.read_events_stream(spark, sf_dir).unionByName(
+            P.read_events_stream(spark, sf_dir)
+        )
+        out = P.run_to_memory(P.deduped_events(doubled))
     return out.select(
         "event_id", "ts", "user_id", "event_type", "value"
     ).orderBy("event_id")
@@ -127,9 +130,10 @@ def stream_stateful_user_totals(spark, sf_dir):
     from gtec_etl_spark.streaming import pipelines as P
     from gtec_etl_spark.streaming.stateful import running_user_totals
 
-    out = P.run_to_memory(
-        running_user_totals(P.read_events_stream(spark, sf_dir))
-    )
+    with P.state_partitions(spark, 8):
+        out = P.run_to_memory(
+            running_user_totals(P.read_events_stream(spark, sf_dir))
+        )
     return (
         out.groupBy("user_id")
         .agg(
@@ -216,34 +220,35 @@ def stream_stream_join(spark, sf_dir):
 
     from gtec_etl_spark.streaming import pipelines as P
 
-    clicks = (
-        P.read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.col("ts").alias("click_ts"),
+    with P.state_partitions(spark, 8):
+        clicks = (
+            P.read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "2 hours")
         )
-        .withWatermark("click_ts", "2 hours")
-    )
-    purchases = (
-        P.read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
+        purchases = (
+            P.read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
         )
-        .withWatermark("purchase_ts", "2 hours")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "user_id = p_user_id AND purchase_ts >= click_ts"
-            " AND purchase_ts <= click_ts + interval 30 minutes"
-        ),
-    )
-    out = P.run_to_memory(joined)
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts"
+                " AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+        )
+        out = P.run_to_memory(joined)
     return out.select(
         "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
     ).orderBy("click_id", "purchase_id")

@@ -21,9 +21,28 @@ against kafka/file sources unchanged — only read_events_stream swaps.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int):
+    """Pin spark.sql.shuffle.partitions while a streaming plan is BUILT and
+    started (Spark resolves the stateful-operator partitioning during
+    analysis, and a checkpoint pins it for the query's lifetime). State
+    partition count should track stream key cardinality / throughput, not
+    the batch shuffle width: a keyed state store costs per-partition setup
+    every run, so over-partitioning a modest stream wastes seconds per
+    trigger (measured 6.6s -> 1.5s on the stream-stream join at sf0.1).
+    At production volume raise it — once, before first start."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # Schema of the driver's events table as scanned with
 # spark.sql.legacy.parquet.nanosAsLong=true (ts is TIMESTAMP(NANOS) in the
