@@ -88,3 +88,47 @@ def ref_q3_sql_param(spark, sf_dir):
     """Q3 as parameterized SQL text with two bindings (study set + group
     name), mirroring sparql_list_study_group_members.py:47-64."""
     return run_sql(spark, sf_dir, REF_Q3_SQL, {"program": "ASIA", "grp": "BUILDING"})
+
+
+EXISTS_SQL = """
+    SELECT c.c_custkey AS member_id, c.c_name AS member_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY member_id
+"""
+
+
+@query("q37_correlated_exists", oracle=EXISTS_SQL, tags=("refquery", "sql"))
+def q37_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS — the SQL spelling of the J9/J10
+    semi/anti reconciliation (bin/gtex_v7_to_dats.py:42-94): members with
+    at least one finalized order and none open. Catalyst rewrites both
+    subqueries into left-semi / left-anti hash joins (no per-row
+    subquery execution), so the plan is the same 100 TB shape as the
+    DataFrame twins q04/q05. The oracle is the IDENTICAL SQL text run on
+    DuckDB."""
+    return run_sql(spark, sf_dir, EXISTS_SQL)
+
+
+LATERAL_SQL = """
+    SELECT n.n_name AS study, t.c_name AS member_name, t.c_acctbal AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    ORDER BY study, acctbal DESC, member_name
+"""
+
+
+@query("q38_lateral_topk_per_group", oracle=LATERAL_SQL, tags=("refquery", "sql"))
+def q38_lateral_topk_per_group(spark, sf_dir):
+    """LATERAL correlated subquery: top-2 members per study by balance —
+    the SQL spelling of the q16 window top-k. Spark decorrelates the
+    LATERAL into a ranked window over one hash exchange (never a per-group
+    re-scan). The comma-LATERAL text parses identically on DuckDB, so the
+    same string is query and oracle."""
+    return run_sql(spark, sf_dir, LATERAL_SQL)

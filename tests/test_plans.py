@@ -102,3 +102,17 @@ def test_k2_docs_no_join_no_python(spark):
 def test_datacite_read_prunes_and_projects(spark):
     plan = _formatted_plan(spark, "src_datacite_works")
     assert "EvalPython" not in plan
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark):
+    df = registry.specs()["q37_correlated_exists"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_decorrelates_to_window(spark):
+    df = registry.specs()["q38_lateral_topk_per_group"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # not a per-group re-scan
+    assert plan.count("Exchange hashpartitioning") <= 1
