@@ -1,0 +1,129 @@
+"""Self-run of the driver's correctness protocol under a VANILLA
+SparkSession (no session.py configs — the environment the round driver
+actually uses): every registered query on Spark vs its DuckDB oracle at
+$SPARK_GRAFT_TEST_SF_DIR (default sf0.01), comparing row count, column
+names, and order-insensitive canonicalized values.
+
+Exists because round 1's CORRECTNESS file was truncated by a harness
+error storm; this records the same per-query check locally so a driver
+gap is distinguishable from a real regression. Output:
+CORRECTNESS_self.json (one entry per query, driver-format keys).
+
+Usage: python selfcheck.py [--sf-dir DIR] [-k SUBSTRING]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, then rows; stringify values canonically
+    (same rules as tests/test_oracle_parity.py)."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def canon(v):
+        if v is None:
+            return "\x00NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            if v == int(v) and abs(v) < 1e15:
+                return repr(int(v))
+            return repr(round(v, 9))
+        if isinstance(v, bool):
+            return repr(int(v))
+        return str(v)
+
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    ap.add_argument("-k", default="", help="only queries containing this substring")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from gtec_etl_spark.plans import registry
+
+    # Deliberately bare: the same session shape the driver builds. The
+    # engine must be correct here without session.py's conveniences
+    # (catalog.table sets nanosAsLong defensively; streaming queries pin
+    # their own state partitioning).
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("selfcheck")
+        .getOrCreate()
+    )
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    results: dict[str, dict] = {}
+    names = [n for n in sorted(registry.specs()) if args.k in n]
+    n_pass = n_fail = 0
+    for name in names:
+        spec = registry.specs()[name]
+        entry = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = spec.fn(spark, args.sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            entry["spark_rows"] = len(srows)
+            if spec.oracle is None:
+                entry["err"] = "no_oracle"
+            else:
+                res = con.sql(spec.oracle)
+                dcols = list(res.columns)
+                drows = res.fetchall()
+                entry["oracle_rows"] = len(drows)
+                entry["rows_match"] = len(srows) == len(drows)
+                entry["schema_match"] = sorted(sdf.columns) == sorted(dcols)
+                entry["hash_match"] = normalize(srows, list(sdf.columns)) == normalize(
+                    drows, dcols
+                )
+            ok = entry["err"] == "no_oracle" or (
+                entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
+            )
+        except Exception:
+            entry["err"] = traceback.format_exc()[-1500:]
+            ok = False
+        n_pass += ok
+        n_fail += not ok
+        print(f"{'ok ' if ok else 'FAIL'} {name}", flush=True)
+        results[name] = entry
+
+    with open("CORRECTNESS_self.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"\n{n_pass} pass, {n_fail} fail of {len(names)} -> CORRECTNESS_self.json")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
