@@ -328,3 +328,53 @@ def prof_approx_profile(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q39_salted_skew_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority,
+             CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS urgency
+      FROM orders
+    )
+    SELECT o.o_orderpriority AS priority, d.urgency,
+           count(*) AS n_orders,
+           CAST(sum(o.o_orderkey) AS BIGINT) AS orderkey_sum
+    FROM orders o JOIN dim d ON d.o_orderpriority = o.o_orderpriority
+    GROUP BY priority, d.urgency
+    ORDER BY priority
+    """,
+    tags=("scale", "join"),
+)
+def q39_salted_skew_join(spark, sf_dir):
+    """The salted-join skew path through the driver gate: orders (fact)
+    joined to the 5-value priority dimension — the
+    every-key-is-hot shape where one dim row matches ~20% of the fact, so
+    a plain shuffle join puts each key on one task. salted_join spreads
+    every key across 4 salts (deterministic row-hash salt, dim exploded
+    x4). The integer aggregates (count + orderkey sum) are an exact
+    duplicate/drop detector: any salting bug changes them."""
+    from gtec_etl_spark.operators.scale import salted_join
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "urgency",
+            F.split(F.col("o_orderpriority"), "-").getItem(0).cast("long"),
+        )
+    )
+    joined = salted_join(
+        orders.select("o_orderkey", "o_orderpriority"), dim,
+        "o_orderpriority", n_salts=4,
+    )
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"), "urgency")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("orderkey_sum"),
+        )
+        .orderBy("priority")
+    )
