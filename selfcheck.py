@@ -119,6 +119,12 @@ def main() -> int:
         print(f"{'ok ' if ok else 'FAIL'} {name}", flush=True)
         results[name] = entry
 
+    results["__meta__"] = {
+        "sf_dir": args.sf_dir,
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "session": "vanilla (no session.py configs)",
+    }
     with open("CORRECTNESS_self.json", "w") as fh:
         json.dump(results, fh, indent=1)
     print(f"\n{n_pass} pass, {n_fail} fail of {len(names)} -> CORRECTNESS_self.json")
