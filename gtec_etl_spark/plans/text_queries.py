@@ -460,3 +460,128 @@ def text_repetition_score(spark, sf_dir):
             "rep_scaled"
         ),
     ).orderBy("doc_id")
+
+
+# Sequence packing: 8 parallel packers, 4096-token target per packed
+# sequence. Docs land in a packer by content hash; inside a packer they
+# pack in deterministic hash order.
+PACK_BUCKETS, PACK_BUDGET = 8, 4096
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             {hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tok, h % {PACK_BUCKETS} AS bucket,
+             sum(n_tok) OVER (
+               PARTITION BY h % {PACK_BUCKETS} ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST((cum_tok - n_tok) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM placed ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing — assigning documents to fixed-token-budget packed
+    training sequences — as a distributed op: docs shard across
+    PACK_BUCKETS parallel packers by content hash (packing is inherently
+    sequential, so parallelism comes from independent packers, the
+    standard large-corpus compromise), then a per-packer running token
+    sum places each doc in sequence floor(start_offset / budget).
+    Deterministic hash order makes the packing reproducible across runs,
+    partitionings, and engines; all integer arithmetic. One shuffle (the
+    bucket window); at 100 TB raise PACK_BUCKETS to the cluster width."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return placed.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr(f"CAST((cum_tok - n_tok) div {PACK_BUDGET} AS BIGINT)").alias("seq_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_mixture_rebalance",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sqrt(count(*))) AS BIGINT) AS isqrt_n
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(10000 * (SELECT min(isqrt_n) FROM per_source) // isqrt_n
+                  AS BIGINT) AS keep_bp
+      FROM per_source
+    )
+    SELECT r.source, r.n_docs, r.keep_bp,
+           CAST(count(*) FILTER (
+             WHERE {hash60_sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < r.keep_bp
+           ) AS BIGINT) AS n_sampled
+    FROM rates r JOIN documents d ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.keep_bp
+    ORDER BY r.source
+    """,
+    tags=("text", "pipeline"),
+)
+def text_mixture_rebalance(spark, sf_dir):
+    """Training-mixture rebalancing (temperature-style, α = 0.5): per-doc
+    keep probability ∝ 1/sqrt(source size), normalized so the smallest
+    source keeps everything — big sources downsample toward balance. The
+    rate is an exact integer (basis points, floor(sqrt) is stable in
+    double for integer inputs) and the sample is a deterministic hash
+    threshold per doc — reproducible across runs, partitionings, and
+    engines, like text_train_test_split. Plan: one groupBy for source
+    sizes, broadcast of the tiny rate dim back onto the corpus — a single
+    wide shuffle-free pass over the docs at 100 TB."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_isqrt = per_source.agg(
+        F.min(F.floor(F.sqrt(F.col("n_docs"))).cast("long")).alias("m")
+    )
+    rates = (
+        per_source.crossJoin(F.broadcast(min_isqrt))
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "CAST(10000 * m div CAST(floor(sqrt(n_docs)) AS BIGINT) AS BIGINT)"
+            ).alias("keep_bp"),
+        )
+    )
+    sampled = docs.join(F.broadcast(rates), "source").select(
+        "source",
+        "n_docs",
+        "keep_bp",
+        (hash60(F.col("doc_id").cast("string")) % 10000 < F.col("keep_bp"))
+        .cast("long")
+        .alias("keep"),
+    )
+    return (
+        sampled.groupBy("source", "n_docs", "keep_bp")
+        .agg(F.sum("keep").alias("n_sampled"))
+        .orderBy("source")
+    )
