@@ -51,7 +51,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 class _LazyTables(dict):
     """Mapping of table name -> DataFrame that reads each parquet footer
     only on first access. A query touching 3 tables plans 3 scans, and a
-    bad/unreadable table can never block queries that don't use it."""
+    bad/unreadable table can never block queries that don't use it.
+
+    Membership, iteration, and len() answer for the full TABLES catalog
+    (not just what's been loaded), so dict-protocol callers see the same
+    world as subscripting; .get()/.items()/.values() load on demand."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         super().__init__()
@@ -62,6 +66,27 @@ class _LazyTables(dict):
         df = table(self._spark, self._sf_dir, name)
         self[name] = df
         return df
+
+    def __contains__(self, name: object) -> bool:
+        return name in TABLES
+
+    def __iter__(self):
+        return iter(TABLES)
+
+    def __len__(self) -> int:
+        return len(TABLES)
+
+    def keys(self):
+        return list(TABLES)
+
+    def get(self, name, default=None):
+        return self[name] if name in TABLES else default
+
+    def items(self):
+        return [(name, self[name]) for name in TABLES]
+
+    def values(self):
+        return [self[name] for name in TABLES]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -199,6 +199,14 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
+    else:
+        # Exhausting max_iter without the fixpoint means labels are still
+        # moving (a chain longer than max_iter hops): returning them would
+        # silently split one cluster into several "canonical" pieces.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations;"
+            " raise max_iter (needed rounds ~ graph diameter)"
+        )
     return labels
 
 

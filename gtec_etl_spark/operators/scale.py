@@ -38,7 +38,18 @@ def salted_join(
     stable row hash rather than rand() (a failed task re-hashing to a
     different salt would double/drop rows under speculative execution).
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    if how not in (
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    ):
         raise ValueError(
             f"salted_join: how={how!r} would duplicate unmatched dim rows "
             f"once per salt; only fact-preserving joins are supported"

@@ -202,12 +202,21 @@ def run_multi_study_etl(
     # A4 pick for the synthetic subject's consent value. A global (ungrouped)
     # mode is a top-1 over the value histogram: partial-aggregated counts +
     # TakeOrderedAndProject — not a single-partition window.
-    picked = (
+    picked_top1 = (
         subjects.groupBy("consent")
         .agg(F.count(F.lit(1)).alias("__n"))
         .orderBy(F.col("__n").desc(), F.col("consent").asc())
         .limit(1)
         .select(F.col("consent").alias("picked_consent"))
+    )
+    # Exactly ONE row even when subjects is empty (an all-public run):
+    # left-joining a single anchor row against the ≤1-row pick yields
+    # (picked_consent) or (NULL) — never zero rows, so the crossJoins
+    # below can't silently drop every public study.
+    picked = (
+        spark.range(1)
+        .join(F.broadcast(picked_top1), F.lit(True), "left")
+        .select("picked_consent")
     )
 
     synth_subjects = (
@@ -251,9 +260,11 @@ def run_multi_study_etl(
         F.concat_ws(",", F.sort_array(F.collect_list("subject_id"))).alias("members"),
     )
     if expected_group_sizes is not None:
+        # Right join from the expectations so a group that is entirely
+        # ABSENT (actual size 0) fails too, not just a wrong-sized one.
         bad = study_groups.join(
-            expected_group_sizes, ["study_id", "consent"]
-        ).filter(F.col("size") != F.col("expected"))
+            expected_group_sizes, ["study_id", "consent"], "right"
+        ).filter(F.coalesce(F.col("size"), F.lit(0)) != F.col("expected"))
         if bad.take(1):
             raise ValueError(
                 f"consent-group size reconciliation failed: {bad.collect()}"

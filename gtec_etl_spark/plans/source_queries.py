@@ -346,11 +346,18 @@ def gff_gene_transcript_exon_counts(spark, sf_dir):
         .groupBy("gene_id")
         .agg(F.count(F.lit(1)).alias("n_exons"))
     )
-    n_dangling = gff3.dangling_parents(feats).count()
+    # Dangling-Parent count carried IN the plan (1-row aggregate broadcast
+    # crossJoin, same pattern as frequency_cap_shingles_rel) — an eager
+    # .count() here would run an extra job and a second gz scan every time
+    # the query is merely constructed.
+    n_dangling = gff3.dangling_parents(feats).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dangling")
+    )
     zero = F.lit(0).cast("long")
     return (
         genes.join(ntr, "gene_id", "left")
         .join(nex, "gene_id", "left")
+        .crossJoin(F.broadcast(n_dangling))
         .select(
             "gene_id",
             "symbol",
@@ -359,7 +366,7 @@ def gff_gene_transcript_exon_counts(spark, sf_dir):
             "end",
             F.coalesce("n_transcripts", zero).alias("n_transcripts"),
             F.coalesce("n_exons", zero).alias("n_exons"),
-            F.lit(n_dangling).cast("long").alias("n_dangling"),
+            "n_dangling",
         )
         .orderBy("gene_id")
     )

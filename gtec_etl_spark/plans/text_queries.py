@@ -442,10 +442,15 @@ def text_repetition_score(spark, sf_dir):
     keys, so the pass scales to corpus size, not vocabulary size."""
     docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     words = F.split(F.lower(F.col("text")), " ")
+    # Guarded for one-word docs: sequence(1, 0) DESCENDS in Spark
+    # ([1, 0] — out-of-bounds indexing, fatal under ANSI), while DuckDB's
+    # generate_series(1, 0) is empty; emit an explicit empty array so
+    # both engines exclude bigram-less docs.
     bigrams = F.expr(
-        "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+        "CASE WHEN size(split(lower(text), ' ')) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(split(lower(text), ' ')) - 1),"
         " i -> concat(split(lower(text), ' ')[i - 1], ' ',"
-        " split(lower(text), ' ')[i]))"
+        " split(lower(text), ' ')[i])) END"
     )
     big = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     cnt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))

@@ -16,35 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import sys
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def normalize(rows, colnames):
-    """Sort columns by name, then rows; stringify values canonically
-    (same rules as tests/test_oracle_parity.py)."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-
-    def canon(v):
-        if v is None:
-            return "\x00NULL"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            if v == int(v) and abs(v) < 1e15:
-                return repr(int(v))
-            return repr(round(v, 9))
-        if isinstance(v, bool):
-            return repr(int(v))
-        return str(v)
-
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out
+from gtec_etl_spark.parity import normalize  # noqa: E402
 
 
 def main() -> int:

@@ -6,12 +6,12 @@ columns — an order-insensitive exact comparison).
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
 import pytest
 
+from gtec_etl_spark.parity import normalize
 from gtec_etl_spark.plans import registry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -26,28 +26,6 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
-
-
-def normalize(rows, colnames):
-    """Sort columns by name, then rows; stringify values canonically."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-
-    def canon(v):
-        if v is None:
-            return "\x00NULL"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            if v == int(v) and abs(v) < 1e15:
-                return repr(int(v))
-            return repr(round(v, 9))
-        if isinstance(v, bool):
-            return repr(int(v))
-        return str(v)
-
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for _, c in sorted(zip(range(len(colnames)), [colnames[i] for i in order]))], out
 
 
 def spec_ids():
@@ -76,8 +54,8 @@ def test_query_matches_oracle(spark, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
-    _, s_norm = normalize(spark_rows, spark_cols)
-    _, d_norm = normalize(duck_rows, duck_cols)
+    s_norm = normalize(spark_rows, spark_cols)
+    d_norm = normalize(duck_rows, duck_cols)
     mism = [i for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b][:5]
     assert s_norm == d_norm, (
         f"{name}: value mismatch at sorted-row idx {mism}; "

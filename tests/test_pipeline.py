@@ -194,3 +194,43 @@ def test_bag_determinism(tmp_path):
     assert s1["bag_sha256"] == s2["bag_sha256"]  # byte-reproducible
     assert (tmp_path / "bag1.tgz").read_bytes() == (tmp_path / "bag2.tgz").read_bytes()
     assert verify_bag(str(tmp_path / "bag1.tgz"))
+
+
+def test_multi_study_all_public(spark, multi_study_frames):
+    # No restricted subjects at all: every study is public-only and must
+    # still get a synthetic subject (picked_consent NULL — there is no
+    # value distribution to pick from), not vanish from the summary.
+    studies, subjects, samples, files = multi_study_frames
+    empty_subjects = subjects.limit(0)
+    res = pipelines.run_multi_study_etl(
+        spark, studies, empty_subjects, samples.limit(0), files
+    )
+    rows = {r["study_id"]: r for r in res.summary.collect()}
+    assert set(rows) == {r["study_id"] for r in studies.collect()}
+    assert all(r["subject_source"] == "synthetic" for r in rows.values())
+    assert all(r["picked_consent"] is None for r in rows.values())
+    assert res.subjects.count() == studies.count()
+
+
+def test_multi_study_reconciliation_catches_absent_group(spark, multi_study_frames):
+    # An expected group with NO matching computed group (actual size 0)
+    # must fail, not silently drop out of the inner join.
+    studies, subjects, samples, files = multi_study_frames
+    expected = spark.createDataFrame(
+        [(1, "NO-SUCH-CONSENT", 5)], "study_id long, consent string, expected long"
+    )
+    with pytest.raises(ValueError, match="reconciliation"):
+        pipelines.run_multi_study_etl(
+            spark, studies, subjects, samples, files, expected_group_sizes=expected
+        )
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from gtec_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=1).collect()
