@@ -9,6 +9,8 @@ ordering, or field order hash-mismatches.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from gtec_etl_spark import catalog
@@ -114,3 +116,42 @@ def k2_per_entity_docs(spark, sf_dir):
         ).alias("path"),
         jsonld.to_document(doc_struct).alias("doc"),
     ).orderBy("path")
+
+
+FIXTURES = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
+)
+BAG_GLOB = os.path.join(FIXTURES, "sources", "*.txt")
+
+
+@query(
+    "k4_bag_manifest",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+           md5(decode(content)) AS md5,
+           sha256(decode(content)) AS sha256,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes
+    FROM read_blob('{BAG_GLOB}')
+    ORDER BY file
+    """,
+    tags=("sinks", "bdbag"),
+)
+def k4_bag_manifest(spark, sf_dir):
+    """K4 BDBag checksum manifests (make-crosscut-instance-bdbag.sh:
+    139-148) as a distributed pass: binaryFile scan of the payload files →
+    md5 + sha256 + byte size per file — exactly the rows
+    manifest-md5.txt / manifest-sha256.txt contain, computed by executors
+    instead of a driver loop (at 100 TB payload the checksums are the
+    expensive part of bagging). sinks/bdbag.py consumes the same hashes
+    when it writes the deterministic archive."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(os.path.dirname(BAG_GLOB))
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("file"),
+        F.md5(F.col("content")).alias("md5"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+    ).orderBy("file")
