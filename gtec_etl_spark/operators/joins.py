@@ -235,3 +235,58 @@ def bucket_range_join(
         .filter((F.col("__point") >= F.col(lo)) & (F.col("__point") < F.col(hi)))
         .drop("__bucket", "__point")
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tolerance_us: int,
+    direction: str = "nearest",
+) -> DataFrame:
+    """As-of join with direction + tolerance (pandas merge_asof parity):
+    per left row, the single closest right row with the same key whose
+    timestamp is at-or-before ('backward'), at-or-after ('forward'), or
+    either side ('nearest') of the left timestamp, within tolerance_us
+    microseconds. Unlike independent per-column max_by picks, ONE struct
+    arg-min selects the row, so the returned value columns are always
+    mutually consistent — ties break by (distance, right time,
+    value_cols), total as long as value_cols include a unique id.
+
+    Plan: equi-join on the key prunes candidates, the tolerance predicate
+    bounds fan-out, one groupBy on the left row picks the winner — one
+    shuffle on the key, no window materialization, AQE splits hot keys.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    ev = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        *[F.col(c) for c in value_cols],
+    )
+    delta = F.unix_micros(F.col(left_time)) - F.unix_micros(F.col("__t"))
+    dist = F.abs(delta)
+    cond = (F.col(key) == F.col("__k")) & (dist <= F.lit(tolerance_us))
+    if direction == "backward":
+        cond = cond & (delta >= 0)
+    elif direction == "forward":
+        cond = cond & (delta <= 0)
+    joined = left.join(ev, cond, "inner")
+    payload = F.struct(F.col("__t").alias("asof_t"), *[F.col(c) for c in value_cols])
+    order = F.struct(dist.alias("d"), F.col("__t"), *[F.col(c) for c in value_cols])
+    picked = (
+        joined.groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.min_by(payload, order).alias("__pick"))
+    )
+    out = picked.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__pick.asof_t").alias("asof_t"),
+        *[F.col(f"__pick.{c}").alias(c) for c in value_cols],
+    )
+    return out.withColumn(
+        "asof_dist_us",
+        F.abs(F.unix_micros(F.col(left_time)) - F.unix_micros(F.col("asof_t"))),
+    )

@@ -378,3 +378,56 @@ def q39_salted_skew_join(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "q40_asof_nearest_click",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, c.click_id, c.ts,
+             abs(epoch_us(p.p_ts) - epoch_us(c.ts)) AS d
+      FROM p JOIN c ON c.user_id = p.user_id
+      WHERE abs(epoch_us(p.p_ts) - epoch_us(c.ts)) <= 1800000000
+    ),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY purchase_id ORDER BY d, ts, click_id) AS rn
+          FROM cand)
+    SELECT purchase_id, user_id, p_ts, ts AS asof_t, click_id,
+           CAST(d AS BIGINT) AS asof_dist_us
+    FROM r WHERE rn = 1 ORDER BY purchase_id
+    """,
+    tags=("join", "asof"),
+)
+def q40_asof_nearest_click(spark, sf_dir):
+    """Nearest-direction as-of join with tolerance (pandas merge_asof
+    parity, beyond q19's backward-only pick): each purchase attributed to
+    the same user's closest click within ±30 minutes, either side. Uses
+    asof_nearest_join — ONE struct arg-min per purchase, so the picked
+    click's columns are mutually consistent even under timestamp ties
+    (ties break by distance, click time, click id). The oracle replays
+    the pick with a row_number over the same total order."""
+    from gtec_etl_spark.operators.joins import asof_nearest_join
+
+    ev = catalog.table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return asof_nearest_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="p_ts",
+        right_time="ts",
+        value_cols=["click_id"],
+        tolerance_us=1_800_000_000,
+        direction="nearest",
+    ).orderBy("purchase_id")

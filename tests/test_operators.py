@@ -154,3 +154,29 @@ def test_connected_components_chain_and_isolate(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_asof_nearest_join_directions(spark):
+    from datetime import datetime
+
+    from gtec_etl_spark.operators.joins import asof_nearest_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, t(30))], "lid long, k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(20)), (200, 10, t(35)), (300, 10, t(50)), (400, 99, t(30))],
+        "rid long, k long, rt timestamp",
+    )
+    def run(direction, tol=60_000_000):
+        rows = asof_nearest_join(
+            left, right, key="k", left_time="lt", right_time="rt",
+            value_cols=["rid"], tolerance_us=tol, direction=direction,
+        ).collect()
+        return [(r["rid"], r["asof_dist_us"]) for r in rows]
+
+    assert run("nearest") == [(200, 5_000_000)]      # +5s beats -10s
+    assert run("backward") == [(100, 10_000_000)]    # only at-or-before
+    assert run("forward") == [(200, 5_000_000)]
+    assert run("nearest", tol=1_000_000) == []       # tolerance excludes all
