@@ -9,6 +9,7 @@ pruned `ReadSchema` in `.explain("formatted")`.
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,27 +49,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-class _LazyTables(dict):
+class _LazyTables(Mapping):
     """Mapping of table name -> DataFrame that reads each parquet footer
     only on first access. A query touching 3 tables plans 3 scans, and a
     bad/unreadable table can never block queries that don't use it.
 
-    Membership, iteration, and len() answer for the full TABLES catalog
-    (not just what's been loaded), so dict-protocol callers see the same
-    world as subscripting; .get()/.items()/.values() load on demand."""
+    A real collections.abc.Mapping (NOT a dict subclass, whose C-level
+    fast paths like dict(t) / {**t} would bypass lazy loading and see an
+    empty store): every protocol operation — get/items/values/in/dict() —
+    derives from __getitem__/__iter__/__len__, so all of them agree and
+    materializing the whole mapping explicitly loads all tables."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
-        super().__init__()
         self._spark = spark
         self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
 
-    def __missing__(self, name: str) -> DataFrame:
-        df = table(self._spark, self._sf_dir, name)
-        self[name] = df
-        return df
-
-    def __contains__(self, name: object) -> bool:
-        return name in TABLES
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(name)
+        if name not in self._cache:
+            self._cache[name] = table(self._spark, self._sf_dir, name)
+        return self._cache[name]
 
     def __iter__(self):
         return iter(TABLES)
@@ -76,20 +78,8 @@ class _LazyTables(dict):
     def __len__(self) -> int:
         return len(TABLES)
 
-    def keys(self):
-        return list(TABLES)
 
-    def get(self, name, default=None):
-        return self[name] if name in TABLES else default
-
-    def items(self):
-        return [(name, self[name]) for name in TABLES]
-
-    def values(self):
-        return [self[name] for name in TABLES]
-
-
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def load_tables(spark: SparkSession, sf_dir: str) -> Mapping[str, DataFrame]:
     """Lazy per-table access: tables load on first subscript, not here."""
     return _LazyTables(spark, sf_dir)
 

@@ -246,6 +246,7 @@ def asof_nearest_join(
     value_cols: list[str],
     tolerance_us: int,
     direction: str = "nearest",
+    how: str = "left",
 ) -> DataFrame:
     """As-of join with direction + tolerance (pandas merge_asof parity):
     per left row, the single closest right row with the same key whose
@@ -256,12 +257,23 @@ def asof_nearest_join(
     mutually consistent — ties break by (distance, right time,
     value_cols), total as long as value_cols include a unique id.
 
+    merge_asof semantics are preserved exactly: every left row survives —
+    duplicates included (the winner is picked per physical row, not per
+    distinct value combination) — and rows with no right match within
+    tolerance come back with NULL asof columns (how='left', the default;
+    how='inner' drops them).
+
     Plan: equi-join on the key prunes candidates, the tolerance predicate
     bounds fan-out, one groupBy on the left row picks the winner — one
     shuffle on the key, no window materialization, AQE splits hot keys.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown how {how!r}")
+    # Physical-row identity: group back on this, not the left columns,
+    # so identical left rows don't collapse into one output row.
+    tagged = left.withColumn("__rowid", F.monotonically_increasing_id())
     ev = right.select(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
@@ -274,19 +286,21 @@ def asof_nearest_join(
         cond = cond & (delta >= 0)
     elif direction == "forward":
         cond = cond & (delta <= 0)
-    joined = left.join(ev, cond, "inner")
+    joined = tagged.join(ev, cond, "left")
     payload = F.struct(F.col("__t").alias("asof_t"), *[F.col(c) for c in value_cols])
     order = F.struct(dist.alias("d"), F.col("__t"), *[F.col(c) for c in value_cols])
     picked = (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy("__rowid", *[F.col(c) for c in left.columns])
         .agg(F.min_by(payload, order).alias("__pick"))
     )
     out = picked.select(
         *[F.col(c) for c in left.columns],
         F.col("__pick.asof_t").alias("asof_t"),
         *[F.col(f"__pick.{c}").alias(c) for c in value_cols],
-    )
-    return out.withColumn(
+    ).withColumn(
         "asof_dist_us",
         F.abs(F.unix_micros(F.col(left_time)) - F.unix_micros(F.col("asof_t"))),
     )
+    if how == "inner":
+        out = out.filter(F.col("asof_t").isNotNull())
+    return out

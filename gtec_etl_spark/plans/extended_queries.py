@@ -430,4 +430,5 @@ def q40_asof_nearest_click(spark, sf_dir):
         value_cols=["click_id"],
         tolerance_us=1_800_000_000,
         direction="nearest",
+        how="inner",  # unattributed purchases are out of scope here
     ).orderBy("purchase_id")

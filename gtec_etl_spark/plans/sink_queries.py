@@ -143,7 +143,14 @@ def k4_bag_manifest(spark, sf_dir):
     manifest-md5.txt / manifest-sha256.txt contain, computed by executors
     instead of a driver loop (at 100 TB payload the checksums are the
     expensive part of bagging). sinks/bdbag.py consumes the same hashes
-    when it writes the deterministic archive."""
+    when it writes the deterministic archive.
+
+    Oracle boundary: DuckDB 1.0's md5/sha256 only accept VARCHAR, so the
+    oracle hashes decode(content) — byte-identical to Spark's raw-byte
+    hash for UTF-8 payloads (all *.txt fixtures), but decode() would
+    throw on arbitrary binary. The Spark side hashes raw bytes and is
+    correct for ANY payload; tests/test_sinks.py pins that against
+    hashlib on non-UTF-8 content."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")

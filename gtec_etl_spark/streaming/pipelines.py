@@ -59,10 +59,8 @@ def read_events_stream(
     """File-source stream over the events parquet. In production this is the
     one function that changes (kafka topic / cloud landing bucket); the
     downstream pipelines are source-agnostic."""
-    # The explicit user schema ('ts long') reads TIMESTAMP(NANOS) fine even
-    # without nanosAsLong (verified on a bare session), but set it anyway so
-    # this module never depends on which code path touched the session first.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The explicit user schema ('ts long') reads TIMESTAMP(NANOS) without
+    # any legacy conf (verified on a bare session) — no session mutation here.
     reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -169,14 +169,34 @@ def test_asof_nearest_join_directions(spark):
         [(100, 10, t(20)), (200, 10, t(35)), (300, 10, t(50)), (400, 99, t(30))],
         "rid long, k long, rt timestamp",
     )
-    def run(direction, tol=60_000_000):
+    def run(direction, tol=60_000_000, how="inner"):
         rows = asof_nearest_join(
             left, right, key="k", left_time="lt", right_time="rt",
-            value_cols=["rid"], tolerance_us=tol, direction=direction,
+            value_cols=["rid"], tolerance_us=tol, direction=direction, how=how,
         ).collect()
         return [(r["rid"], r["asof_dist_us"]) for r in rows]
 
     assert run("nearest") == [(200, 5_000_000)]      # +5s beats -10s
     assert run("backward") == [(100, 10_000_000)]    # only at-or-before
     assert run("forward") == [(200, 5_000_000)]
-    assert run("nearest", tol=1_000_000) == []       # tolerance excludes all
+    assert run("nearest", tol=1_000_000) == []       # inner: excluded
+    # merge_asof default: unmatched left rows survive with NULLs.
+    assert run("nearest", tol=1_000_000, how="left") == [(None, None)]
+
+
+def test_asof_nearest_join_keeps_duplicate_left_rows(spark):
+    from datetime import datetime
+
+    from gtec_etl_spark.operators.joins import asof_nearest_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # Two IDENTICAL left rows (no unique id): merge_asof returns both.
+    left = spark.createDataFrame(
+        [(10, t(30)), (10, t(30))], "k long, lt timestamp"
+    )
+    right = spark.createDataFrame([(100, 10, t(20))], "rid long, k long, rt timestamp")
+    rows = asof_nearest_join(
+        left, right, key="k", left_time="lt", right_time="rt",
+        value_cols=["rid"], tolerance_us=60_000_000,
+    ).collect()
+    assert [r["rid"] for r in rows] == [100, 100]

@@ -100,3 +100,20 @@ def test_tsv_dump_roundtrip(spark, tmp_path):
     )
     assert back.count() == df.count()
     assert back.columns == df.columns
+
+
+def test_binary_content_hashes_match_hashlib(spark):
+    """Spark-side manifest hashing (k4_bag_manifest's engine half) is the
+    raw-byte digest for ANY payload, including non-UTF-8 bytes the
+    DuckDB oracle's decode() path can't represent."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    payload = bytes(range(256))  # decidedly not UTF-8
+    df = spark.createDataFrame([(payload,)], "content binary")
+    row = df.select(
+        F.md5("content").alias("m"), F.sha2("content", 256).alias("s")
+    ).collect()[0]
+    assert row["m"] == hashlib.md5(payload).hexdigest()
+    assert row["s"] == hashlib.sha256(payload).hexdigest()
