@@ -93,3 +93,135 @@ def ev_json_props_extract(spark, sf_dir):
         )
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "ev_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n_events, round(sum("value"), 4) AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    grid AS (
+      SELECT s.h, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.h AS window_start, g.event_type AS event_type,
+           coalesce(n.n_events, 0) AS n_events,
+           last_value(n.total_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_known_total
+    FROM grid g LEFT JOIN hourly n ON n.h = g.h AND n.event_type = g.event_type
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "timeseries"),
+)
+def ev_gap_fill(spark, sf_dir):
+    """Time-series gap filling — the hypertable/telemetry pattern: a dense
+    hourly spine (sequence over the observed range, computed IN the plan
+    from a 1-row bounds aggregate) × the event-type dimension, left-joined
+    onto the hourly rollup; missing hours get count 0 and carry the last
+    observed total forward (last(..., ignorenulls) window per type). Plan:
+    bounds broadcast, one explode, one left join on (hour, type), one
+    window per type — the spine's size is rows = hours × types regardless
+    of raw event volume, so the pass is scan-dominated at 100 TB."""
+    ev = catalog.table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("window_start"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("total_value", ignorenulls=True).over(w).alias("last_known_total"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "ev_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after_view,
+           (SELECT count(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("streaming", "funnel"),
+)
+def ev_funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel (view → later click → later purchase per
+    user): each stage is a keyed min-timestamp aggregation semi-joined
+    onto the previous stage's anchor time — the standard event-sequence
+    analytics pass. Three aggregations + two broadcast-size joins keyed
+    on user_id; no window over raw events, so the plan is aggregate-
+    dominated at any event volume."""
+    ev = catalog.table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
