@@ -45,7 +45,13 @@ def reconcile_ids(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """J9 `cross_check_ids` (bin/gtex_v7_to_dats.py:42-94): count ids found
     and not found in each direction. ONE full-outer join over the distinct
     key sets computes all four counters in a single pass (one shuffle),
-    instead of four separate semi/anti-join jobs."""
+    instead of four separate semi/anti-join jobs.
+
+    Under distinct-set semantics (the reference dedups ids before counting,
+    lines 60-64/75-78) left_found and right_found are both |L ∩ R| and thus
+    always equal; both are kept because the API mirrors the reference's
+    bidirectional report format, where each direction's log line repeats
+    the found count."""
     lf = left.select(key).distinct().withColumn("__l", F.lit(1))
     rf = right.select(key).distinct().withColumn("__r", F.lit(1))
     both = lf.join(rf, key, "full_outer")
@@ -140,21 +146,38 @@ def asof_join(
     """As-of join (latest event at-or-before the fact timestamp).
 
     Not in the reference (SURVEY.md §2.4 notes its absence) — provided as a
-    first-class operator. Implemented as equi-join on key + max_by over the
-    qualifying events: one shuffle on the key, no window materialization.
-    At scale the equi-join prunes to matching keys before the time filter,
-    and AQE handles skewed keys.
+    first-class operator. Implemented as equi-join on key + ONE struct
+    arg-max over the qualifying events: one shuffle on the key, no window
+    materialization. At scale the equi-join prunes to matching keys before
+    the time filter, and AQE handles skewed keys.
+
+    Row-consistent and duplicate-preserving: the winner is a single struct
+    pick (per-column max_by could mix columns from different events on
+    timestamp ties), grouped on a per-physical-row id so identical fact
+    rows each survive. Ties break by (event time, value_cols) — total as
+    long as value_cols include a unique id.
     """
+    tagged = fact.withColumn("__rowid", F.monotonically_increasing_id())
     ev = events.select(
         F.col(event_key).alias("__k"),
         F.col(event_time).alias("__t"),
         *[F.col(c) for c in value_cols],
     )
-    joined = fact.join(ev, (F.col(fact_key) == F.col("__k")) & (F.col("__t") <= F.col(fact_time)), "left")
-    aggs = [
-        F.max_by(F.col(c), F.col("__t")).alias(c) for c in value_cols
-    ] + [F.max(F.col("__t")).alias("asof_time")]
-    return joined.groupBy(*[F.col(c) for c in fact.columns]).agg(*aggs)
+    joined = tagged.join(
+        ev,
+        (F.col(fact_key) == F.col("__k")) & (F.col("__t") <= F.col(fact_time)),
+        "left",
+    )
+    payload = F.struct(F.col("__t").alias("asof_time"), *[F.col(c) for c in value_cols])
+    order = F.struct(F.col("__t"), *[F.col(c) for c in value_cols])
+    picked = joined.groupBy("__rowid", *[F.col(c) for c in fact.columns]).agg(
+        F.max_by(payload, order).alias("__pick")
+    )
+    return picked.select(
+        *[F.col(c) for c in fact.columns],
+        *[F.col(f"__pick.{c}").alias(c) for c in value_cols],
+        F.col("__pick.asof_time").alias("asof_time"),
+    )
 
 
 def interval_overlap_join(
@@ -184,9 +207,13 @@ def interval_overlap_join(
             "__bucket",
             F.explode(
                 F.sequence(
-                    (F.col(lo) / bucket_width).cast("long"),
-                    # hi is exclusive: the last covered bucket is (hi-1)/w
-                    ((F.col(hi) - 1) / bucket_width).cast("long"),
+                    # floor (not cast-truncate) so negative coordinates
+                    # land in the right bucket; hi is exclusive, so the
+                    # last covered bucket is ceil(hi/w)-1 — correct for
+                    # fractional bounds too ((hi-1)/w under-counts when
+                    # hi isn't an integer multiple boundary).
+                    F.floor(F.col(lo) / bucket_width).cast("long"),
+                    (F.ceil(F.col(hi) / bucket_width) - 1).cast("long"),
                 )
             ),
         )
@@ -195,8 +222,8 @@ def interval_overlap_join(
     joined = burst(a, a_lo, a_hi).join(burst(b, b_lo, b_hi), keys)
     overlap = (F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi))
     first_shared = F.greatest(
-        (F.col(a_lo) / bucket_width).cast("long"),
-        (F.col(b_lo) / bucket_width).cast("long"),
+        F.floor(F.col(a_lo) / bucket_width).cast("long"),
+        F.floor(F.col(b_lo) / bucket_width).cast("long"),
     )
     return (
         joined.filter(overlap)
@@ -222,14 +249,17 @@ def bucket_range_join(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(lo) / bucket_width).cast("long"),
-                (F.col(hi) / bucket_width).cast("long"),
+                # floor, not cast-truncate: negative coordinates bucket
+                # correctly; the hi/w bucket may over-cover and the exact
+                # re-filter below removes any false candidates.
+                F.floor(F.col(lo) / bucket_width).cast("long"),
+                F.floor(F.col(hi) / bucket_width).cast("long"),
             )
         ),
     )
-    f = fact.withColumn("__bucket", (fact_point / bucket_width).cast("long")).withColumn(
-        "__point", fact_point
-    )
+    f = fact.withColumn(
+        "__bucket", F.floor(fact_point / bucket_width).cast("long")
+    ).withColumn("__point", fact_point)
     return (
         f.join(exploded, "__bucket")
         .filter((F.col("__point") >= F.col(lo)) & (F.col("__point") < F.col(hi)))

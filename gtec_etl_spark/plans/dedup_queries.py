@@ -78,12 +78,23 @@ def dedup_apply_keep_canonical(spark, sf_dir):
         canon,
         (fp["fingerprint"] == canon["canon_fp"]) & (fp["doc_id"] == canon["keep_id"]),
     ).select(fp["doc_id"])
-    total = docs.count()
-    return surviving.agg(
-        F.count(F.lit(1)).alias("n_surviving"),
-        (F.lit(total) - F.count(F.lit(1))).alias("n_removed"),
-        F.min("doc_id").alias("min_kept"),
-        F.max("doc_id").alias("max_kept"),
+    # Corpus total carried IN the plan (1-row aggregate broadcast
+    # crossJoin) — an eager docs.count() here would run a full scan job
+    # every time the query is merely constructed.
+    total = docs.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        surviving.agg(
+            F.count(F.lit(1)).alias("n_surviving"),
+            F.min("doc_id").alias("min_kept"),
+            F.max("doc_id").alias("max_kept"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_surviving",
+            (F.col("__total") - F.col("n_surviving")).alias("n_removed"),
+            "min_kept",
+            "max_kept",
+        )
     )
 
 

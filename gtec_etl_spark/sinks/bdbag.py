@@ -23,7 +23,8 @@ import tarfile
 
 
 def _iter_payload(payload_dir: str):
-    for root, _dirs, files in os.walk(payload_dir):
+    for root, dirs, files in os.walk(payload_dir):
+        dirs.sort()  # fix traversal order — readdir order varies by filesystem
         for name in sorted(files):
             full = os.path.join(root, name)
             rel = os.path.relpath(full, payload_dir)

@@ -76,9 +76,13 @@ def build_program_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_order = [F.col("study"), F.col("subject_id"), F.col("sample_key"), F.col("line")]
     files = files.withColumn(
         "producer",
+        # Partition by (document, object): each program document must embed
+        # every producer it references in full exactly once — a global
+        # s_suppkey partition would leave cross-region producers as
+        # unresolvable refs in all but one document.
         J.full_or_ref(
             prod_struct,
-            J.first_occurrence(files, "s_suppkey", doc_order),
+            J.first_occurrence(files, ["regionkey", "s_suppkey"], doc_order),
             _parse_datatype_string(producer_schema),
         ),
     ).withColumn(

@@ -32,11 +32,20 @@ from pyspark.sql.types import StructType
 
 def content_id(entity_type: str, *natural_key: Column | str) -> Column:
     """Deterministic @id: sha256 over (type, natural key), truncated to 32
-    hex chars. Replaces the reference's uuid4 (SURVEY.md §7.4)."""
+    hex chars. Replaces the reference's uuid4 (SURVEY.md §7.4).
+
+    Null-propagating on purpose (concat, NOT concat_ws): a NULL key
+    component yields a NULL id instead of silently vanishing from the
+    hash input — concat_ws would give (NULL,'x') and ('x',NULL) the same
+    id, merging distinct entities. Matches the SQL-oracle form
+    type || chr(31) || key, where any NULL nulls the whole expression."""
     cols = [F.col(c) if isinstance(c, str) else c for c in natural_key]
+    parts: list[Column] = [F.lit(entity_type)]
+    for c in cols:
+        parts.extend([F.lit("\x1f"), c.cast("string")])
     return F.concat(
         F.lit(f"dats:{entity_type}/"),
-        F.substring(F.sha2(F.concat_ws("\x1f", F.lit(entity_type), *cols), 256), 1, 32),
+        F.substring(F.sha2(F.concat(*parts), 256), 1, 32),
     )
 
 
@@ -54,13 +63,21 @@ def as_ref(struct_col: Column, schema: StructType) -> Column:
     return F.struct(*fields)
 
 
-def first_occurrence(df: DataFrame, object_id: str, order: list[Column | str]) -> Column:
+def first_occurrence(
+    df: DataFrame, object_id: str | list[str], order: list[Column | str]
+) -> Column:
     """The deterministic "first writer" flag: true for the single row that
     embeds the full object, false for every later reference. `order` must be
-    a total order (include a tie-breaking unique key)."""
+    a total order (include a tie-breaking unique key).
+
+    When output shards into multiple self-contained documents, object_id
+    must INCLUDE the document key (e.g. [doc_key, object_key]) — a global
+    partition would embed the full object in one document and leave every
+    other document holding an unresolvable @id ref."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(object_id).orderBy(*order)
+    parts = [object_id] if isinstance(object_id, str) else list(object_id)
+    w = W.partitionBy(*parts).orderBy(*order)
     return F.row_number().over(w) == 1
 
 

@@ -13,8 +13,10 @@ beyond the horizon "may or may not" be aggregated (observed in 4.1: a
 beyond-horizon row can still create and immediately emit its expired
 window), so horizon-exceeding data needs an upstream filter if exclusion
 must be strict (tests/test_streaming.py documents this); the
-stateful per-user operator uses applyInPandasWithState with an explicit
-timeout so idle keys are evicted. On a real cluster the same code runs
+stateful per-user operator (applyInPandasWithState) takes an opt-in
+idle_timeout_ms that evicts idle keys on continuous streams — finite
+replays leave it off because registered processing-time timeouts stall
+Trigger.AvailableNow termination. On a real cluster the same code runs
 against kafka/file sources unchanged — only read_events_stream swaps.
 """
 
