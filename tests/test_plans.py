@@ -116,3 +116,23 @@ def test_lateral_decorrelates_to_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan  # not a per-group re-scan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_flagship_ref_queries_plan_properties(spark):
+    # Every reference-parity flagship: dimensions broadcast, predicates
+    # reach the parquet scan, nothing cartesian, nothing Python-side.
+    for name in [
+        "ref_q1_second_level_datasets",
+        "ref_q2_dataset_variables",
+        "ref_q3_study_group_members",
+        "ref_q4_subject_characteristics",
+        "ref_q5_subject_sample_chain",
+    ]:
+        plan = _formatted_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast joins"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+        assert "EvalPython" not in plan, f"{name}: Python leaked into plan"
+        pushed = [
+            l for l in plan.splitlines() if "PushedFilters" in l and "[]" not in l
+        ]
+        assert pushed, f"{name}: no filters pushed to any scan"
