@@ -29,6 +29,9 @@ HEADLINE = [
     "ref_q6_tabular_dump",
     "prof_event_value_stats",
     "ev_sliding_windows",
+    "dedup_minhash_lsh",
+    "text_corpus_clean",
+    "stream_stream_join",
 ]
 
 
