@@ -48,12 +48,48 @@ def specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def _driver_verified_names() -> set[str]:
+    """Names already green in some driver CORRECTNESS_r*.json at the repo
+    root. Used only to ORDER the registry (never to change its contents):
+    never-driver-sampled queries are listed first so a driver that samples a
+    prefix covers them before re-checking already-proven ones."""
+    import glob
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2]
+    seen: set[str] = set()
+    for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            seen.update(data.keys())
+    return seen
+
+
+def ordered_specs() -> dict[str, QuerySpec]:
+    """Registry specs with never-driver-verified queries first (registration
+    order preserved within each group)."""
+    all_specs = specs()
+    verified = _driver_verified_names()
+    fresh = {n: s for n, s in all_specs.items() if n not in verified}
+    proven = {n: s for n, s in all_specs.items() if n in verified}
+    return {**fresh, **proven}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in specs().items()}
+    return {name: spec.fn for name, spec in ordered_specs().items()}
 
 
 def oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in specs().items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in ordered_specs().items()
+        if spec.oracle is not None
+    }
 
 
 _LOADED = False

@@ -9,7 +9,8 @@ error storm; this records the same per-query check locally so a driver
 gap is distinguishable from a real regression. Output:
 CORRECTNESS_self.json (one entry per query, driver-format keys).
 
-Usage: python selfcheck.py [--sf-dir DIR] [-k SUBSTRING]
+Usage: python selfcheck.py [--sf-dir DIR] [-k SUBSTRING] [--only-unverified]
+       [--out FILE]
 """
 
 from __future__ import annotations
@@ -32,6 +33,12 @@ def main() -> int:
         default=os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"),
     )
     ap.add_argument("-k", default="", help="only queries containing this substring")
+    ap.add_argument(
+        "--only-unverified",
+        action="store_true",
+        help="restrict to queries never seen in any driver CORRECTNESS_r*.json",
+    )
+    ap.add_argument("--out", default="CORRECTNESS_self.json", help="output path")
     args = ap.parse_args()
 
     import duckdb
@@ -59,6 +66,9 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     names = [n for n in sorted(registry.specs()) if args.k in n]
+    if args.only_unverified:
+        verified = registry._driver_verified_names()
+        names = [n for n in names if n not in verified]
     n_pass = n_fail = 0
     for name in names:
         spec = registry.specs()[name]
@@ -103,9 +113,9 @@ def main() -> int:
         "n_fail": n_fail,
         "session": "vanilla (no session.py configs)",
     }
-    with open("CORRECTNESS_self.json", "w") as fh:
+    with open(args.out, "w") as fh:
         json.dump(results, fh, indent=1)
-    print(f"\n{n_pass} pass, {n_fail} fail of {len(names)} -> CORRECTNESS_self.json")
+    print(f"\n{n_pass} pass, {n_fail} fail of {len(names)} -> {args.out}")
     return 1 if n_fail else 0
 
 
