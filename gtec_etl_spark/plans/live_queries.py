@@ -6,13 +6,22 @@ through the driver's correctness gate.
   and returns the materialized result; its oracle is plain SQL because a
   finite replayed stream must agree exactly with the batch computation.
 - mm_* run the multimodal mapInPandas pipelines over the deterministic
-  in-memory media table (no SQL oracle — the FAKEIMG codec is not
-  expressible in SQL; driver records the rows-only check).
+  in-memory media table. The FAKEIMG codec is not expressible in SQL, but
+  it IS deterministic, so the oracles read golden-fixture parquet
+  precomputed by an independent pure-numpy implementation
+  (tools/make_multimodal_golden.py) — full hash-matched rows, not
+  rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+
 from gtec_etl_spark.plans.registry import query
+
+_MM_GOLDEN = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "multimodal")
+)
 
 
 @query(
@@ -144,12 +153,21 @@ def stream_stateful_user_totals(spark, sf_dir):
     )
 
 
-@query("mm_decode_features", oracle=None, tags=("multimodal",))
+@query(
+    "mm_decode_features",
+    oracle=f"""
+    SELECT media_id, width, height, n_pixels, mean_intensity, embedding_mass
+    FROM '{_MM_GOLDEN}/mm_decode_features.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
 def mm_decode_features(spark, sf_dir):
     """Multimodal pipeline: deterministic media table → decode (FAKEIMG
     stub codec) → byte-histogram embedding; joined summary per media row.
     Plumbing (Arrow batches, schemas, 1:1 and 1:N shapes) is the real
-    engine surface; the codec alone is stubbed."""
+    engine surface; the codec alone is stubbed. Oracle = golden fixture
+    recomputed independently in numpy (tools/make_multimodal_golden.py)."""
     from pyspark.sql import functions as F
 
     from gtec_etl_spark.operators import multimodal as M
@@ -170,13 +188,23 @@ def mm_decode_features(spark, sf_dir):
     )
 
 
-@query("mm_resize_frame_sample", oracle=None, tags=("multimodal",))
+@query(
+    "mm_resize_frame_sample",
+    oracle=f"""
+    SELECT media_id, n_frames, total_bytes, avg_frame_intensity
+    FROM '{_MM_GOLDEN}/mm_resize_frame_sample.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
 def mm_resize_frame_sample(spark, sf_dir):
     """Composed media pipeline: resize (decode → nearest-neighbor grid →
     re-encode, 1:1 mapInPandas) then frame-sampling (1:N row expansion —
     the video stand-in), summarized per media row. Exercises that media
     passes COMPOSE: the re-encoded container from one Arrow-batched pass
-    is the direct input of the next, with no driver round-trip."""
+    is the direct input of the next, with no driver round-trip. Oracle =
+    golden fixture recomputed independently in numpy
+    (tools/make_multimodal_golden.py)."""
     from pyspark.sql import functions as F
 
     from gtec_etl_spark.operators import multimodal as M

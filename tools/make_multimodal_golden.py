@@ -1,0 +1,124 @@
+"""Generate golden-fixture parquet for the multimodal queries.
+
+The FAKEIMG codec is fully deterministic (operators/multimodal.py:40-49), so
+the expected outputs of `mm_decode_features` and `mm_resize_frame_sample`
+are computable OUTSIDE Spark. This script recomputes them in pure
+numpy/stdlib — an independent implementation of the LCG pixel stream,
+byte-histogram embedding, nearest-neighbor resize, and frame sampling —
+and writes fixtures/multimodal/*.parquet. The registered DuckDB oracles
+read these files, turning both queries from rows-only checks into full
+hash-matched correctness rows.
+
+Rounding matches Spark's F.round(double, n): HALF_UP on the shortest
+decimal representation (java.math.BigDecimal.valueOf semantics).
+
+Usage: python tools/make_multimodal_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FAKEIMG_MAGIC = b"FAKEIMG"
+OUT_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "fixtures", "multimodal")
+)
+
+
+def spark_round(v: float, n: int) -> float:
+    """Spark F.round(double, n): BigDecimal.valueOf(v).setScale(n, HALF_UP)."""
+    return float(Decimal(repr(v)).quantize(Decimal(1).scaleb(-n), ROUND_HALF_UP))
+
+
+def lcg_pixels(width: int, height: int, seed: int) -> np.ndarray:
+    """Independent recomputation of fake_image's pixel stream."""
+    n = width * height
+    x = (seed * 2654435761) % (2**32)
+    pix = np.empty(n, dtype=np.uint8)
+    for i in range(n):
+        x = (1103515245 * x + 12345) % (2**31)
+        pix[i] = x % 256
+    return pix
+
+
+def container(width: int, height: int, pix: np.ndarray) -> bytes:
+    return FAKEIMG_MAGIC + struct.pack("<II", width, height) + pix.tobytes()
+
+
+def decode_features_golden(n: int = 16, width: int = 32, height: int = 24,
+                           bins: int = 8) -> pa.Table:
+    """Expected output of mm_decode_features: decode summary + histogram
+    embedding mass per media row (media_table(n=16, 32x24), bins=8)."""
+    rows = []
+    for mid in range(n):
+        pix = lcg_pixels(width, height, seed=mid)
+        blob = np.frombuffer(container(width, height, pix), dtype=np.uint8)
+        hist, _ = np.histogram(blob, bins=bins, range=(0, 256))
+        total = hist.sum() or 1
+        emb = hist / total
+        # Spark's F.aggregate folds left-to-right; replicate that order.
+        mass = 0.0
+        for v in emb:
+            mass += float(v)
+        rows.append(
+            {
+                "media_id": mid,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(pix.mean()), 4),
+                "embedding_mass": spark_round(mass, 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def resize_frame_sample_golden(n: int = 12, width: int = 64, height: int = 48,
+                               tw: int = 16, th: int = 12,
+                               every_n_bytes: int = 64) -> pa.Table:
+    """Expected output of mm_resize_frame_sample: resize 64x48 -> 16x12,
+    re-encode, sample frames every 64 bytes, summarize per media row."""
+    rows = []
+    for mid in range(n):
+        arr = lcg_pixels(width, height, seed=mid).reshape(height, width)
+        yi = (np.arange(th) * height // th).astype(int)
+        xi = (np.arange(tw) * width // tw).astype(int)
+        small = arr[np.ix_(yi, xi)]
+        blob = container(tw, th, small.ravel())
+        means = []
+        total_bytes = 0
+        for off in range(0, len(blob), every_n_bytes):
+            chunk = np.frombuffer(blob[off : off + every_n_bytes], dtype=np.uint8)
+            means.append(float(chunk.mean()))
+            total_bytes += len(chunk)
+        rows.append(
+            {
+                "media_id": mid,
+                "n_frames": len(means),
+                "total_bytes": total_bytes,
+                "avg_frame_intensity": spark_round(sum(means) / len(means), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    pq.write_table(
+        decode_features_golden(), os.path.join(OUT_DIR, "mm_decode_features.parquet")
+    )
+    pq.write_table(
+        resize_frame_sample_golden(),
+        os.path.join(OUT_DIR, "mm_resize_frame_sample.parquet"),
+    )
+    print(f"wrote golden fixtures to {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()
