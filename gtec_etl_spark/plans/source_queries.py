@@ -571,8 +571,9 @@ def src_datacite_works(spark, sf_dir):
     across executors) with the duplicate-title constraint surfaced as a
     per-title count (the reference fatals when any count > 1; empty
     titles arrays become NULL, try_element_at under ANSI). The HTTP fetch
-    itself stays the documented stub boundary
-    (sources/datacite.py:fetch_works) — no network in this container."""
+    boundary is an injectable transport (sources/datacite.py:
+    recorded_transport replays this same payload through the live
+    fetch→paginate→parse path; only the socket itself needs network)."""
     raw = spark.read.option("multiLine", "true").json(DATACITE_JSON)
     rec = raw.select(F.explode("data").alias("rec")).select(
         F.col("rec.attributes.doi").alias("doi"),

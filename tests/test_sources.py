@@ -241,10 +241,47 @@ def test_datacite_works_and_dup_titles(spark):
     dups = datacite.duplicate_titles(works).collect()
     assert len(dups) == 1 and dups[0]["title"] == "Study A"
     assert dups[0]["dois"] == ["10.1/a", "10.1/c"]
-    import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        datacite.fetch_works("https://api.datacite.org/works")
+
+def test_datacite_recorded_replay_full_pipeline(spark):
+    """S14 fetch boundary exercised end-to-end: the recorded works payload
+    replays through the SAME fetch→paginate→parse path as a live fetch
+    (transport injected), then the duplicate-title check runs on top."""
+    import os
+
+    from gtec_etl_spark.sources import datacite
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "..", "fixtures", "sources", "datacite_works.json"
+    )
+    transport = datacite.recorded_transport(fixture)
+    works = datacite.load_works(
+        spark, "https://api.datacite.org/dois?query=test", transport
+    )
+    rows = {r["doi"]: r for r in works.collect()}
+    assert len(rows) == 5
+    assert rows["10.1000/delta"]["title"] is None  # empty titles array
+    dups = datacite.duplicate_titles(works).collect()
+    assert len(dups) == 1
+    assert dups[0]["title"] == "Alpha RNA-Seq Expression"
+    assert dups[0]["dois"] == ["10.1000/alpha", "10.1000/gamma"]
+
+
+def test_datacite_paginated_replay(spark):
+    """links.next pagination followed across a multi-page recording; the
+    loop stops on the terminal page (no links) and on revisited urls."""
+    from gtec_etl_spark.sources import datacite
+
+    p1 = ('{"data": [{"attributes": {"doi": "10.2/x", "titles": '
+          '[{"title": "X"}], "version": "1"}}], '
+          '"links": {"next": "https://api/page2"}}')
+    p2 = ('{"data": [{"attributes": {"doi": "10.2/y", "titles": '
+          '[{"title": "Y"}], "version": "1"}}]}')
+    transport = datacite.recorded_transport(
+        {"https://api/page1": p1, "https://api/page2": p2}
+    )
+    works = datacite.load_works(spark, "https://api/page1", transport)
+    assert sorted(r["doi"] for r in works.collect()) == ["10.2/x", "10.2/y"]
 
 
 def test_study_catalog_text(spark, tmp_path):
