@@ -28,25 +28,30 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema of the driver's events table as stored on disk: ts is parquet
+# TIMESTAMP(NANOS), which a default session refuses to scan
+# (PARQUET_TYPE_ILLEGAL). An explicit user schema with `ts long` reads it
+# on ANY session without touching spark.sql.legacy.parquet.nanosAsLong —
+# no hidden session-global conf mutation (streaming read_events_stream
+# uses the same trick).
+EVENTS_FILE_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string,"
+    " value double, props string"
+)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # events.parquet is INT64 TIMESTAMP(NANOS); any session that hasn't set
-    # nanosAsLong throws PARQUET_TYPE_ILLEGAL at plan time. Set it
-    # defensively here (runtime-settable) so the catalog works under ANY
-    # SparkSession, not just our own session.py.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # With nanosAsLong the ts column scans as a long that we truncate
-        # to microseconds (same floor DuckDB applies reading ns).
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        df = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(path)
+        # Truncate nanos to microseconds (same floor DuckDB applies
+        # reading ns) and surface a real timestamp column.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(path)
 
 
 class _LazyTables(Mapping):

@@ -156,6 +156,15 @@ def asof_join(
     timestamp ties), grouped on a per-physical-row id so identical fact
     rows each survive. Ties break by (event time, value_cols) — total as
     long as value_cols include a unique id.
+
+    Caveat (same class as salted_join's rand() note): the row tag is
+    monotonically_increasing_id, which is nondeterministic across
+    RECOMPUTATIONS — if a lost-shuffle retry or speculative re-execution
+    replays a NONDETERMINISTIC upstream of `fact`, duplicate fact rows can
+    split or merge. Deterministic upstreams (file scans, pure transforms —
+    every use in this package) are unaffected; for a nondeterministic
+    upstream, persist/checkpoint `fact` first or pass a stable unique key
+    column as the tag.
     """
     tagged = fact.withColumn("__rowid", F.monotonically_increasing_id())
     ev = events.select(
@@ -296,6 +305,10 @@ def asof_nearest_join(
     Plan: equi-join on the key prunes candidates, the tolerance predicate
     bounds fan-out, one groupBy on the left row picks the winner — one
     shuffle on the key, no window materialization, AQE splits hot keys.
+
+    Caveat: the physical-row tag is monotonically_increasing_id — see
+    asof_join's note on retry stability over nondeterministic upstreams
+    (persist `left` first in that case).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")

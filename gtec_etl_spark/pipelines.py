@@ -108,9 +108,16 @@ def run_gtex_like_etl(
         expected = spark.createDataFrame(
             list(expected_group_sizes.items()), f"{group_key} string, expected long"
         )
+        # Expectations are EXHAUSTIVE (the reference's per-file count check):
+        # full_outer so all three failure modes surface — wrong size,
+        # expected-but-absent group (size NULL), and computed-but-unexpected
+        # group (expected NULL).
         bad = (
-            groups.join(expected, group_key)
-            .filter(F.col("size") != F.col("expected"))
+            groups.join(expected, group_key, "full_outer")
+            .filter(
+                F.coalesce(F.col("size"), F.lit(-1))
+                != F.coalesce(F.col("expected"), F.lit(-2))
+            )
         )
         if bad.take(1):
             raise ValueError(
@@ -260,11 +267,16 @@ def run_multi_study_etl(
         F.concat_ws(",", F.sort_array(F.collect_list("subject_id"))).alias("members"),
     )
     if expected_group_sizes is not None:
-        # Right join from the expectations so a group that is entirely
-        # ABSENT (actual size 0) fails too, not just a wrong-sized one.
+        # Expectations are EXHAUSTIVE: full_outer so an expected-but-absent
+        # group (size NULL), a computed-but-unexpected group (expected
+        # NULL), and a wrong-sized group all fail — the reference fatals on
+        # any count drift, extras included.
         bad = study_groups.join(
-            expected_group_sizes, ["study_id", "consent"], "right"
-        ).filter(F.coalesce(F.col("size"), F.lit(0)) != F.col("expected"))
+            expected_group_sizes, ["study_id", "consent"], "full_outer"
+        ).filter(
+            F.coalesce(F.col("size"), F.lit(-1))
+            != F.coalesce(F.col("expected"), F.lit(-2))
+        )
         if bad.take(1):
             raise ValueError(
                 f"consent-group size reconciliation failed: {bad.collect()}"

@@ -32,9 +32,9 @@ def get_spark(app_name: str = "gtec_etl_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # The driver's events table stores TIMESTAMP(NANOS) which the
-        # vectorized reader rejects; read as long and convert in catalog.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # No nanosAsLong legacy conf: the events table's TIMESTAMP(NANOS)
+        # column is read via an explicit user schema (catalog.EVENTS_FILE_SCHEMA),
+        # so TIMESTAMP semantics stay default for any other parquet.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -46,13 +46,9 @@ def state_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-# Schema of the driver's events table as scanned with
-# spark.sql.legacy.parquet.nanosAsLong=true (ts is TIMESTAMP(NANOS) in the
-# file; the stream converts it exactly like catalog.table does for batch).
-EVENTS_FILE_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string,"
-    " value double, props string"
-)
+# Single source of truth for the on-disk events schema lives in catalog.py;
+# batch and streaming reads share the same explicit-schema trick.
+from gtec_etl_spark.catalog import EVENTS_FILE_SCHEMA  # noqa: E402
 
 
 def read_events_stream(

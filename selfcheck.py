@@ -48,8 +48,8 @@ def main() -> int:
 
     # Deliberately bare: the same session shape the driver builds. The
     # engine must be correct here without session.py's conveniences
-    # (catalog.table sets nanosAsLong defensively; streaming queries pin
-    # their own state partitioning).
+    # (events reads use an explicit user schema, so no legacy conf is
+    # needed; streaming queries pin their own state partitioning).
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("selfcheck")

@@ -108,6 +108,20 @@ def test_interval_overlap_join_equals_theta_join(spark):
     assert got == theta == [(1, 11), (1, 12), (2, 12), (4, 13)]
 
 
+def test_interval_overlap_join_excludes_empty_intervals(spark):
+    # Half-open [x, x) covers nothing: an empty interval lying INSIDE a
+    # covering interval must not match (the raw strict predicate
+    # a_lo < b_hi AND b_lo < a_hi would wrongly treat it as a point), and
+    # the burst must not emit descending-sequence bucket rows for it.
+    a = spark.createDataFrame([(1, 5, 5), (2, 3, 4)], "a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame([(11, 0, 10), (12, 7, 7)], "b_id long, b_lo long, b_hi long")
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in J.interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 7).collect()
+    )
+    assert got == [(2, 11)]  # only the real interval pair survives
+
+
 def test_frequency_cap_preserves_low_freq_pairs(spark):
     from gtec_etl_spark.operators import dedup as D
 

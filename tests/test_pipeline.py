@@ -212,6 +212,31 @@ def test_multi_study_all_public(spark, multi_study_frames):
     assert res.subjects.count() == studies.count()
 
 
+def test_reconciliation_catches_unexpected_group(spark, fixture_files):
+    # Expectations are exhaustive: a COMPUTED group absent from the
+    # expectations (here consent "2") must fail, not pass silently.
+    subjects, samples, restrictedf = fixture_files
+    with pytest.raises(ValueError, match="reconciliation"):
+        pipelines.run_gtex_like_etl(
+            spark, subjects, samples, restrictedf, expected_group_sizes={"1": 2}
+        )
+
+
+def test_multi_study_reconciliation_catches_unexpected_group(
+    spark, multi_study_frames
+):
+    # Same exhaustiveness contract on the multi-study path: listing only
+    # (1, GRU) leaves the other computed groups unexpected -> fail.
+    studies, subjects, samples, files = multi_study_frames
+    expected = spark.createDataFrame(
+        [(1, "GRU", 2)], "study_id long, consent string, expected long"
+    )
+    with pytest.raises(ValueError, match="reconciliation"):
+        pipelines.run_multi_study_etl(
+            spark, studies, subjects, samples, files, expected_group_sizes=expected
+        )
+
+
 def test_multi_study_reconciliation_catches_absent_group(spark, multi_study_frames):
     # An expected group with NO matching computed group (actual size 0)
     # must fail, not silently drop out of the inner join.
