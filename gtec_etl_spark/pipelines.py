@@ -339,5 +339,5 @@ def export_release(result: EtlResult, out_dir: str, bag_path: str) -> dict:
         ["SUBJID", "SAMPID"],
         single_file=True,
     )
-    jsonld.write_documents(result.documents, f"{out_dir}/documents")
+    jsonld.write_documents(result.documents, f"{out_dir}/documents", single_file=True)
     return make_bag(out_dir, bag_path, {"Source-Organization": "gtec_etl_spark"})

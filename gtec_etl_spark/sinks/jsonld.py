@@ -103,8 +103,22 @@ def to_document(root_struct: Column) -> Column:
     return F.to_json(root_struct)
 
 
-def write_documents(docs: DataFrame, path: str, doc_col: str = "doc") -> None:
+def write_documents(
+    docs: DataFrame, path: str, doc_col: str = "doc", single_file: bool = False
+) -> None:
     """K1/K2 writer: one JSON-LD document per row, sharded across text
     files. The reference's single-file write is the 1-partition special
-    case; at scale documents shard by top-level entity."""
-    docs.select(doc_col).write.mode("overwrite").text(path)
+    case (single_file=True — use it for checksummed releases, where part
+    boundaries must not depend on the session's partition count); at scale
+    documents shard by top-level entity. Filenames are finalized to stable
+    names (release artifacts are checksummed by directory content,
+    sinks/bdbag.py)."""
+    from gtec_etl_spark.sinks.tabular import finalize_deterministic_dir
+
+    # Global sort on the document text: row order within and across part
+    # files is then engine-deterministic, not shuffle-arrival order.
+    out = docs.select(doc_col).orderBy(doc_col)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
+    finalize_deterministic_dir(path, "txt")

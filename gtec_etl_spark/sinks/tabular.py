@@ -10,7 +10,29 @@ single-file row order exactly.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame
+
+
+def finalize_deterministic_dir(path: str, ext: str) -> None:
+    """Make a Spark output directory byte-identical across runs: drop job
+    metadata (_SUCCESS, .crc sidecars) and rename part files — whose names
+    otherwise embed a per-job UUID — to stable sequential names in sorted
+    (= row-range) order. Release artifacts are checksummed whole-directory
+    (sinks/bdbag.py), so unstable NAMES break reproducibility even when
+    contents are deterministic. Local-fs implementation; on an object
+    store the same renames go through the FileSystem API as a driver-side
+    commit step."""
+    for p in glob.glob(os.path.join(path, "*")) + glob.glob(
+        os.path.join(path, ".*")
+    ):
+        base = os.path.basename(p)
+        if base == "_SUCCESS" or base.endswith(".crc"):
+            os.remove(p)
+    for i, p in enumerate(sorted(glob.glob(os.path.join(path, "part-*")))):
+        os.replace(p, os.path.join(path, f"part-{i:05d}.{ext}"))
 
 
 def write_tsv_dump(
@@ -22,7 +44,8 @@ def write_tsv_dump(
     """Write a deterministically-ordered TSV (header per part file).
 
     single_file=True coalesces to one partition — only for small exports
-    (the reference's behavior); leave False at scale.
+    (the reference's behavior); leave False at scale. Output filenames are
+    finalized to stable names so repeated runs are byte-identical.
     """
     out = df.orderBy(*order_cols)
     if single_file:
@@ -34,6 +57,7 @@ def write_tsv_dump(
         .option("nullValue", "")
         .csv(path)
     )
+    finalize_deterministic_dir(path, "tsv")
 
 
 def write_partitioned_json(df: DataFrame, path: str, partition_cols: list[str]) -> None:

@@ -77,6 +77,39 @@ def test_full_etl_lifecycle(spark, fixture_files, tmp_path):
     assert bag["n_files"] >= 2 and verify_bag(str(tmp_path / "release.tgz"))
 
 
+# Committed golden checksum of the full release artifact (K1 JSON-LD docs +
+# K3 TSV dump + K4 bag) built from the fixture inputs above. Byte-stable
+# across runs AND session partition counts (verified at local[7] and
+# local[32]); ANY nondeterminism introduced into the emit path — unstable
+# part filenames, shuffle-order row drift, archive metadata leaks — changes
+# this digest. Recompute intentionally only: the docstring/format of every
+# emitted artifact is part of the release contract (reference
+# README.md:36-52, remote-files.json).
+GOLDEN_RELEASE_SHA256 = (
+    "fe3aee6fe391de0af4123a7411a9fb5730fff5b00bd496070d3fcbd94eb5d329"
+)
+
+
+def test_release_matches_golden_checksum(spark, fixture_files, tmp_path):
+    subjects, samples, restrictedf = fixture_files
+    res = pipelines.run_gtex_like_etl(
+        spark, subjects, samples, restrictedf, expected_group_sizes={"1": 2, "2": 1}
+    )
+    out = pipelines.export_release(
+        res, str(tmp_path / "release"), str(tmp_path / "release.tgz")
+    )
+    assert out["bag_sha256"] == GOLDEN_RELEASE_SHA256
+    # Manifest names are stable too (no job-UUID part files, no _SUCCESS).
+    import tarfile
+
+    with tarfile.open(tmp_path / "release.tgz", "r:gz") as tar:
+        manifest = tar.extractfile("bag/manifest-sha256.txt").read().decode()
+    assert sorted(line.split("  ", 1)[1] for line in manifest.strip().splitlines()) == [
+        "data/documents/part-00000.txt",
+        "data/samples_dump/part-00000.tsv",
+    ]
+
+
 def test_etl_fails_fast_on_bad_source(spark, fixture_files, tmp_path):
     subjects, samples, _ = fixture_files
     bad = _w(

@@ -96,8 +96,8 @@ def test_tsv_dump_roundtrip(spark, tmp_path):
     out = str(tmp_path / "dump")
     write_tsv_dump(df, out, ["program", "study", "subject_name", "sample_id", "file_id"],
                    single_file=True)
-    files = glob.glob(out + "/part-*.csv")
-    assert len(files) == 1
+    files = glob.glob(out + "/part-*.tsv")
+    assert len(files) == 1  # stable finalized name, no job-UUID part files
     back = (
         spark.read.option("sep", "\t").option("header", True).csv(out)
     )
