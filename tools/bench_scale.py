@@ -1,0 +1,118 @@
+"""Scale-stress bench: time the most expensive queries at a scaled-up
+dataset (default /tmp/sparkdata_sf1, built by tools/make_scale_testdata.py)
+and compare against the committed sf0.1 timings (bench_out.json) to get a
+scaling CURVE per query, not a single point.
+
+The interesting read-out is the ratio column: data grows `factor`x, so a
+scale-safe plan should grow wall time ~linearly (ratio ~ factor, usually
+less on local[32] because small-sf runs are overhead-dominated); a
+super-linear ratio flags a plan that would not survive 100 TB.
+
+Writes BENCH_sf1.json. Usage:
+  python tools/bench_scale.py [--sf-dir /tmp/sparkdata_sf1] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# The ten most expensive sf0.1 queries plus the scale-story pairs we want
+# curves for (capped vs uncapped Jaccard; exact dedup; brute-force ANN) and
+# two flagship reference queries as a relational control group.
+QUERIES = [
+    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_clusters_cc",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "stream_stream_join",
+    "stream_dedup_watermark",
+    "stream_stateful_user_totals",
+    "text_corpus_clean",
+    "sim_topk_bruteforce",
+    "ev_sliding_windows",
+    "ref_q2_all_studies",
+    "ref_q6_tabular_dump",
+    "q01_pricing_summary",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/sparkdata_sf1")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--factor", type=float, default=10.0,
+                    help="data volume vs the sf0.1 baseline")
+    ap.add_argument("--out", default="BENCH_sf1.json")
+    args = ap.parse_args()
+
+    from gtec_etl_spark.plans import registry
+    from gtec_etl_spark.session import get_spark
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    try:
+        with open(os.path.join(repo, "bench_out.json")) as fh:
+            base = json.load(fh)["queries"]
+    except (OSError, ValueError):
+        base = {}
+
+    spark = get_spark("bench-scale")
+    specs = registry.specs()
+
+    # Warm JVM/codegen/footers (untimed).
+    specs["q01_pricing_summary"].fn(spark, args.sf_dir).count()
+
+    results: dict[str, dict] = {}
+    total = 0.0
+    for name in QUERIES:
+        best, rows = float("inf"), 0
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            rows = specs[name].fn(spark, args.sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        b = base.get(name)
+        results[name] = {
+            "sec": round(best, 3),
+            "rows": rows,
+            "sf0.1_sec": b,
+            "ratio": round(best / b, 2) if b else None,
+        }
+        total += best
+        print(
+            f"# {name}: {best:.3f}s ({rows} rows, "
+            f"{results[name]['ratio']}x vs sf0.1)",
+            file=sys.stderr,
+        )
+
+    payload = {
+        "metric": "scale_stress_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf_dir": args.sf_dir,
+        "data_factor_vs_sf0.1": args.factor,
+        "note": (
+            "ratio = sf1_sec / sf0.1_sec for 10x data; ~linear (<=10) means "
+            "the plan scales; small-sf baselines are overhead-dominated so "
+            "ratios well under 10 are expected for cheap queries"
+        ),
+        "queries": results,
+    }
+    out_path = os.path.join(repo, args.out)
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({"metric": "scale_stress_wall_sec", "value": round(total, 3),
+                      "n_queries": len(results), "file": args.out},
+                     separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
