@@ -106,6 +106,73 @@ def frequency_cap_shingles_rel(
     return shingles.join(keep, "shingle", "left_semi")
 
 
+def jaccard_pairs_capped_posting(
+    shingles: DataFrame,
+    max_frac: float,
+    floor: int,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Capped Jaccard via POSTING LISTS — the scale formulation.
+
+    One groupBy(shingle) builds the inverted index (sorted id array) and
+    its document frequency in the same shuffle; the relative-df cap
+    (df <= max(floor, max_frac * n_docs), threshold in-plan) and the
+    df >= 2 pair-feasibility filter apply right on the aggregate, and
+    candidate pairs stream out of a two-level explode of each postings
+    array — no semi-join back to the shingle table and no a x b
+    self-join. Versus the equi-join formulation this removes two full
+    shuffles of the shingle table (measured 22.7 s -> ~6 s at 10x sf0.1,
+    BENCH_sf1), while producing the identical pair set: sorted ids +
+    upper-triangle explode == (a.shingle = b.shingle AND a.id < b.id).
+
+    Skew note: a shingle at the cap emits df^2/2 pairs from one task —
+    the same worst case as the equi-join plan, whose df^2 rows for a hot
+    key also land in one task; the cap itself is what bounds it. The
+    two-level explode (posexplode then slice-explode) streams pairs
+    without materializing the full pair array per shingle, so per-row
+    memory stays O(cap), not O(cap^2). Reported jaccard is a lower bound
+    of the true value: capped shingles leave the intersection count but
+    set sizes stay uncapped (same contract as frequency_cap_shingles)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ndocs = shingles.agg(F.countDistinct(id_col).alias("__n_docs"))
+    postings = shingles.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids"),
+        F.count(F.lit(1)).alias("__df"),
+    )
+    kept = postings.crossJoin(F.broadcast(ndocs)).filter(
+        (F.col("__df") >= 2)
+        & (
+            F.col("__df")
+            <= F.greatest(F.lit(floor), F.lit(max_frac) * F.col("__n_docs"))
+        )
+    )
+    lefts = kept.select("__ids", F.posexplode("__ids").alias("__i", "doc_a"))
+    pairs = lefts.select(
+        "doc_a",
+        F.explode(
+            F.slice(
+                F.col("__ids"),
+                F.col("__i") + F.lit(2),
+                F.size("__ids") - F.col("__i") - F.lit(1),
+            )
+        ).alias("doc_b"),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_common", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     id_col: str = "doc_id",

@@ -165,17 +165,20 @@ CAP_FRAC, CAP_FLOOR = 0.10, 20
 def dedup_ngram_jaccard_capped(spark, sf_dir):
     """n-gram Jaccard near-dup, SCALE variant: identical to
     dedup_ngram_jaccard but ultra-frequent shingles (df > max(20, 10% of
-    corpus), threshold computed inside the plan) are dropped before the
-    inverted-index self-join, bounding per-key fan-out — the O(df^2) hot
-    shingle is the one scale-killer of the exact variant at 100 TB. The
-    reported jaccard is a lower bound (capped shingles leave the
+    corpus), threshold computed inside the plan) are dropped before
+    candidate generation, bounding per-key fan-out — the O(df^2) hot
+    shingle is the one scale-killer of the exact variant at 100 TB.
+    Candidates come from posting lists (one groupBy builds index + df,
+    pairs stream from a two-level explode), not an inverted-index
+    self-join: two fewer shuffles of the shingle table, so the scale
+    variant is also the CHEAPER one (see jaccard_pairs_capped_posting).
+    The reported jaccard is a lower bound (capped shingles leave the
     intersection but not the set sizes); pairs supported ONLY by
     stopword-like shingles are the ones dropped."""
     docs = catalog.table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, 3)
-    capped = D.frequency_cap_shingles_rel(sh, CAP_FRAC, CAP_FLOOR)
-    return D.jaccard_pairs(
-        sh, min_jaccard=0.8, candidate_shingles=capped
+    return D.jaccard_pairs_capped_posting(
+        sh, CAP_FRAC, CAP_FLOOR, min_jaccard=0.8
     ).orderBy("doc_a", "doc_b")
 
 

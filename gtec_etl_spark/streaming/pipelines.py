@@ -52,17 +52,23 @@ from gtec_etl_spark.catalog import EVENTS_FILE_SCHEMA  # noqa: E402
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over the events parquet. In production this is the
     one function that changes (kafka topic / cloud landing bucket); the
-    downstream pipelines are source-agnostic."""
+    downstream pipelines are source-agnostic. path_glob widens the replay
+    to a multi-file directory (tools/stream_steady_state.py feeds
+    time-sliced chunks through maxFilesPerTrigger=1 to measure per-batch
+    steady-state latency instead of one cold-start batch)."""
     # The explicit user schema ('ts long') reads TIMESTAMP(NANOS) without
     # any legacy conf (verified on a bare session) — no session mutation here.
     reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    raw = reader.option("pathGlobFilter", path_glob).parquet(sf_dir)
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 

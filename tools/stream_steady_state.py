@@ -1,0 +1,179 @@
+"""Measure STEADY-STATE per-trigger latency of the streaming jobs.
+
+The bench's stream_* numbers are one-batch Trigger.AvailableNow replays,
+so they bundle state-store setup + sink bootstrap + the whole input into a
+single figure; a reader could mistake that for per-batch cost. This tool
+replays the same topologies as a MULTI-batch stream — events time-sliced
+into N single-file chunks, maxFilesPerTrigger=1, so every trigger ingests
+~1/N of the data in event-time order exactly like a continuously arriving
+stream — and reports per-batch durations from StreamingQuery.recentProgress:
+batch 0 (cold start: state-store + codegen + sink setup) vs the median of
+the remaining batches (steady state).
+
+Writes STREAM_STEADY.json. Usage:
+  python tools/stream_steady_state.py [--sf-dir /root/testdata/sf0.1]
+      [--chunks 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import uuid
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def slice_events(spark, sf_dir: str, out_dir: str, chunks: int) -> None:
+    """Split events into `chunks` single-file parquets by event-time range,
+    mtime-ordered so the file source replays them in arrival order."""
+    from gtec_etl_spark.catalog import EVENTS_FILE_SCHEMA
+
+    ev = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo + 1
+    bucket = ((F.col("ts") - F.lit(lo)) * chunks / F.lit(span)).cast("int")
+    ev = ev.withColumn("__b", bucket)
+    for i in range(chunks):
+        tmp = os.path.join(out_dir, "__tmp")
+        ev.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = os.path.join(out_dir, f"ev{i:03d}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def progress_stats(q) -> dict:
+    """Cold (batch 0) vs steady-state (median of later batches) trigger
+    durations, from the query's own progress telemetry."""
+    prog = [
+        p
+        for p in (json.loads(s.json) for s in q.recentProgress)
+        if p["numInputRows"] > 0
+    ]
+    durs = [(p["batchId"], p["durationMs"]["triggerExecution"] / 1000.0) for p in prog]
+    durs.sort()
+    steady = [d for _, d in durs[1:]]
+    return {
+        "n_batches": len(durs),
+        "cold_start_sec": round(durs[0][1], 3) if durs else None,
+        "steady_median_sec": round(statistics.median(steady), 3) if steady else None,
+        "steady_max_sec": round(max(steady), 3) if steady else None,
+        "rows_per_batch": round(sum(p["numInputRows"] for p in prog) / len(prog)),
+    }
+
+
+def run_stream_stream_join(spark, replay_dir: str) -> dict:
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        clicks = (
+            P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "2 hours")
+        )
+        purchases = (
+            P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts"
+                " AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(f"ss_{uuid.uuid4().hex[:12]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_stream_join replay did not finish")
+        return progress_stats(q)
+
+
+def run_tumbling(spark, replay_dir: str) -> dict:
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        agg = P.tumbling_counts(ev)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"tw_{uuid.uuid4().hex[:12]}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("tumbling replay did not finish")
+        return progress_stats(q)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--chunks", type=int, default=8)
+    args = ap.parse_args()
+
+    from gtec_etl_spark.session import get_spark
+
+    spark = get_spark("stream-steady-state")
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    replay_dir = tempfile.mkdtemp(prefix="stream_replay_")
+    try:
+        slice_events(spark, args.sf_dir, replay_dir, args.chunks)
+        results = {
+            "stream_stream_join": run_stream_stream_join(spark, replay_dir),
+            "stream_tumbling_hourly": run_tumbling(spark, replay_dir),
+        }
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+    payload = {
+        "metric": "stream_steady_state",
+        "sf_dir": args.sf_dir,
+        "chunks": args.chunks,
+        "note": (
+            "per-trigger durations from StreamingQuery.recentProgress over a "
+            "time-sliced multi-batch replay (maxFilesPerTrigger=1); batch 0 "
+            "pays state-store/codegen/sink setup, steady_median is the "
+            "continuous-operation cost the one-shot bench number amortizes"
+        ),
+        "queries": results,
+    }
+    with open(os.path.join(repo, "STREAM_STEADY.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(payload, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
