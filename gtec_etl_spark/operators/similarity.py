@@ -26,6 +26,21 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
     return df.withColumn(out, F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance in double precision —
+    the same add order as the oracle's list_reduce, so bit-reproducible."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: DataFrame,

@@ -147,3 +147,156 @@ def sim_lsh_buckets(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
     )
+
+
+# Product-quantization geometry: 64 dims = 4 subspaces x 16 dims, 16
+# codewords per subspace (8-bit-per-subspace codes in production; 4 bits
+# here keep the oracle SQL readable). Codebooks are a deterministic
+# hash-ordered sample of the corpus — production trains them offline with
+# k-means on a sample; the engine's distributed job is ENCODE + SEARCH,
+# which is what this query exercises.
+PQ_M, PQ_SUBDIM, PQ_K = 4, 16, 16
+
+
+def _sqdist_sql(a: str, b: str, n: int) -> str:
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}),"
+        f" i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+from gtec_etl_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, embedding,
+             {hash60_sql("CAST(vec_id AS VARCHAR)")} AS hh
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    seeds AS (
+      SELECT embedding, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
+      FROM h ORDER BY hh, vec_id LIMIT {PQ_K}
+    ),
+    js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+    codebook AS (
+      SELECT r, j,
+             list_slice(embedding, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS c
+      FROM seeds CROSS JOIN js
+    ),
+    subs AS (
+      SELECT vec_id, j,
+             list_slice(embedding, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+      FROM embeddings CROSS JOIN js WHERE vec_id <> 0
+    ),
+    enc AS (
+      SELECT vec_id, s.j AS j, r,
+             row_number() OVER (
+               PARTITION BY vec_id, s.j
+               ORDER BY {_sqdist_sql('sub', 'c', PQ_SUBDIM)}, r
+             ) AS rn
+      FROM subs s JOIN codebook cb ON cb.j = s.j
+    ),
+    qsubs AS (
+      SELECT j, list_slice(embedding, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+      FROM embeddings CROSS JOIN js WHERE vec_id = 0
+    ),
+    lut AS (
+      SELECT q.j AS j, r,
+             CAST(floor({_sqdist_sql('sub', 'c', PQ_SUBDIM)} * 1000000) AS BIGINT) AS qd
+      FROM qsubs q JOIN codebook cb ON cb.j = q.j
+    )
+    SELECT e.vec_id, sum(l.qd) AS adc_dist_micro
+    FROM enc e JOIN lut l ON l.j = e.j AND l.r = e.r
+    WHERE e.rn = 1
+    GROUP BY e.vec_id
+    ORDER BY adc_dist_micro, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "scale"),
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance (ADC) search: every
+    vector is compressed to {PQ_M} 4-bit codes (nearest codeword per
+    subspace), the query builds a tiny {PQ_M}x{PQ_K} distance lookup
+    table, and approximate distance = sum of the code's LUT entries —
+    top-10 nearest by that score.
+
+    Scale design: this is THE memory-bounded ANN path — at 100 TB the
+    encoded corpus is ~2 bytes/vector instead of 256, so candidate scoring
+    never touches the float arrays. Encode joins the corpus against a
+    broadcast {PQ_M * PQ_K}-row codebook (per-partition, no shuffle);
+    search joins codes against a broadcast {PQ_M * PQ_K}-row LUT and
+    top-ks via TakeOrderedAndProject. The one scale caveat: codebooks
+    come from a hash-ordered deterministic sample (TakeOrdered, no global
+    sort) — production would k-means-train them offline, which changes
+    WHICH codewords exist but not this plan.
+
+    Parity: subspace distances are sequential 16-term folds (bitwise
+    identical to the oracle's list_reduce); LUT entries are quantized to
+    integer micros BEFORE the per-vector sum, so the final ADC score is an
+    order-free integer sum, immune to float association."""
+    from pyspark.sql import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0)
+    js = F.explode(F.array(*[F.lit(j) for j in range(PQ_M)])).alias("j")
+
+    seeds = (
+        base.select(
+            "vec_id", "embedding", hash60(F.col("vec_id").cast("string")).alias("hh")
+        )
+        .orderBy("hh", "vec_id")
+        .limit(PQ_K)
+    )
+    # Ranking 16 rows through one window partition is fine — the seed set
+    # is constant-size by construction.
+    seeds = seeds.withColumn(
+        "r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1
+    )
+    codebook = seeds.select("r", js, "embedding").select(
+        "r",
+        "j",
+        F.slice("embedding", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c"),
+    )
+
+    subs = base.select("vec_id", js, "embedding").select(
+        "vec_id",
+        "j",
+        F.slice("embedding", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+    )
+    enc = subs.join(F.broadcast(codebook), "j").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id", "j").orderBy(
+                S.sqdist(F.col("sub"), F.col("c")), F.col("r")
+            )
+        ),
+    )
+    codes = enc.filter(F.col("rn") == 1).select("vec_id", "j", "r")
+
+    qsubs = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(js, "embedding")
+        .select(
+            "j",
+            F.slice("embedding", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+        )
+    )
+    lut = qsubs.join(F.broadcast(codebook), "j").select(
+        "j",
+        "r",
+        F.floor(S.sqdist(F.col("sub"), F.col("c")) * 1000000)
+        .cast("long")
+        .alias("qd"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["j", "r"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_dist_micro"))
+        .orderBy("adc_dist_micro", "vec_id")
+        .limit(10)
+    )

@@ -590,3 +590,91 @@ def text_mixture_rebalance(spark, sf_dir):
         .agg(F.sum("keep").alias("n_sampled"))
         .orderBy("source")
     )
+
+
+# Benchmark-decontamination split: sources held out as the "eval set";
+# everything else is the training corpus whose n-grams must not leak in.
+EVAL_SOURCES = ("src0", "src1")
+CONTAM_N = 5
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, source, w,
+             unnest(generate_series(1, len(w) - {CONTAM_N - 1})) AS i
+      FROM words
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(w[i:i+{CONTAM_N - 1}], ' ') AS shingle
+      FROM idx
+    ),
+    train AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE source NOT IN ('{EVAL_SOURCES[0]}', '{EVAL_SOURCES[1]}')
+    ),
+    ev AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE source IN ('{EVAL_SOURCES[0]}', '{EVAL_SOURCES[1]}')
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+    hit AS (
+      SELECT e.doc_id, count(*) AS n_matched
+      FROM ev e JOIN train t USING (shingle) GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_shingles, h.n_matched,
+           CAST(h.n_matched * 10000 // t.n_shingles AS BIGINT)
+             AS contamination_bp
+    FROM tot t JOIN hit h ON h.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "scale"),
+)
+def text_contamination_check(spark, sf_dir):
+    """Benchmark decontamination — the train/eval n-gram overlap scan every
+    LLM data pipeline runs before training (GPT-3 appendix-C style): an
+    eval document is contaminated to the degree its word 5-grams appear
+    anywhere in the training corpus. Reports each eval doc with >= 1
+    leaked shingle and its contamination fraction in exact integer basis
+    points (integer division — engine-portable, no float rounding).
+
+    Scale shape: the train side collapses to DISTINCT shingles before the
+    join, so a stopword-run shingle shared by millions of training docs
+    is ONE row — the distinct is itself the skew guard, and the join
+    fan-out per eval shingle is exactly 1. One distinct shuffle over
+    train shingles + one equi-join + one per-doc count: all shuffles on
+    well-distributed shingle/doc hashes, no pair explosion anywhere (this
+    is set MEMBERSHIP, unlike the near-dup pair queries). At 100 TB the
+    train shingle set can also be persisted once and reused across eval
+    suites (it only changes when the training corpus does)."""
+    from gtec_etl_spark.operators import dedup as D
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    train_set = (
+        D.word_shingles(docs.filter(~is_eval), CONTAM_N)
+        .select("shingle")
+        .distinct()
+    )
+    ev = D.word_shingles(docs.filter(is_eval), CONTAM_N)
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ev.join(train_set, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        tot.join(hit, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_matched",
+            F.expr("n_matched * 10000 div n_shingles").alias("contamination_bp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -136,3 +136,24 @@ def test_flagship_ref_queries_plan_properties(spark):
             l for l in plan.splitlines() if "PushedFilters" in l and "[]" not in l
         ]
         assert pushed, f"{name}: no filters pushed to any scan"
+
+
+def test_contamination_check_semi_join_no_pairs(spark):
+    # Decontamination is set MEMBERSHIP, not pair generation: the train
+    # side must collapse to distinct shingles and reach the probe as a
+    # semi join — a refactor to an inner join + pair groupBy would
+    # reintroduce the O(df^2) blowup the near-dup queries guard against.
+    plan = _formatted_plan(spark, "text_contamination_check")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_broadcasts_codebook_and_lut(spark):
+    # PQ-ADC's scale shape: the corpus joins a broadcast codebook (encode)
+    # and a broadcast LUT (search); top-k is TakeOrderedAndProject. A
+    # shuffled join against either constant-size side, or a global sort,
+    # breaks the one-pass 100 TB plan.
+    plan = _formatted_plan(spark, "sim_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
