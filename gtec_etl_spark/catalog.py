@@ -28,16 +28,65 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Schema of the driver's events table as stored on disk: ts is parquet
-# TIMESTAMP(NANOS), which a default session refuses to scan
-# (PARQUET_TYPE_ILLEGAL). An explicit user schema with `ts long` reads it
-# on ANY session without touching spark.sql.legacy.parquet.nanosAsLong —
-# no hidden session-global conf mutation (streaming read_events_stream
-# uses the same trick).
-EVENTS_FILE_SCHEMA = (
+# The driver's events table has stored `ts` with different parquet logical
+# types across testdata generations: TIMESTAMP(NANOS) (which a default
+# session refuses to scan — PARQUET_TYPE_ILLEGAL) and TIMESTAMP(MICROS)
+# (natively readable). Assuming either unit globally silently corrupts
+# timestamps 1000× when the other shows up, so the reader is FOOTER-DRIVEN:
+# one driver-side pyarrow read_schema of a single footer picks the path per
+# directory, never a session-global conf. For NANOS files an explicit user
+# schema with `ts long` reads the raw int64 on ANY session (no
+# spark.sql.legacy.parquet.nanosAsLong mutation); `div 1000` then truncates
+# to micros — the same floor DuckDB applies reading ns.
+EVENTS_NANOS_FILE_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string,"
     " value double, props string"
 )
+# Logical schema once ts is a real timestamp — what every downstream plan
+# (batch and streaming) sees, and what a MICROS file stores natively.
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Parquet time unit of the `ts` column ('ns'/'us'/'ms'/'s'), read from
+    one footer driver-side. Cached per path: a 100 TB lake directory is
+    still a single footer read, and a mixed nanos/micros lake is handled
+    per-directory instead of by a global config that would silently corrupt
+    whichever unit the config doesn't match."""
+    if path not in _EVENTS_TS_UNIT_CACHE:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        probe = path
+        if os.path.isdir(path):
+            probe = os.path.join(path, "*.parquet")
+        if _glob.has_magic(probe):
+            files = sorted(_glob.glob(probe))
+            if files:
+                probe = files[0]
+        field = _pq.read_schema(probe).field("ts")
+        unit = getattr(field.type, "unit", None)
+        # A plain int64 ts (no logical type) is epoch-nanos in the r1-era
+        # layout; treat it like nanos so the long+div-1000 path applies.
+        _EVENTS_TS_UNIT_CACHE[path] = unit or "ns"
+    return _EVENTS_TS_UNIT_CACHE[path]
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if events_ts_unit(path) == "ns":
+        df = spark.read.schema(EVENTS_NANOS_FILE_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # micros (or coarser): natively scannable; pin the schema anyway so
+    # column order/types are identical on both paths.
+    return spark.read.schema(EVENTS_SCHEMA).parquet(path)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,12 +94,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        df = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(path)
-        # Truncate nanos to microseconds (same floor DuckDB applies
-        # reading ns) and surface a real timestamp column.
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return _read_events(spark, path)
     return spark.read.parquet(path)
 
 

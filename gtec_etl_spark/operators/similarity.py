@@ -41,6 +41,30 @@ def sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def quantize_micros(vec: Column) -> Column:
+    """Elementwise float→int64 quantization to integer micros:
+    floor(x * 1e6 + 0.5). Every step (float→double cast, double multiply,
+    add, floor) is an IEEE-754 operation with one correct answer, so any
+    engine produces the same int64 — the foundation for cross-engine-exact
+    integer distance arithmetic (PQ encode/ADC)."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def sqdist_int(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance over int64 vectors. Pure integer
+    arithmetic: order-free, association-free, engine-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: DataFrame,

@@ -166,6 +166,23 @@ def _sqdist_sql(a: str, b: str, n: int) -> str:
     )
 
 
+def _quantize_sql(vec: str) -> str:
+    # Mirror of operators.similarity.quantize_micros: floor(x*1e6 + 0.5)
+    # elementwise — IEEE-exact, so DuckDB and Spark produce identical int64.
+    return (
+        f"list_transform({vec},"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+    )
+
+
+def _sqdist_int_sql(a: str, b: str, n: int) -> str:
+    # Exact integer squared L2 over pre-quantized BIGINT lists.
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
 from gtec_etl_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
 
 
@@ -173,47 +190,46 @@ from gtec_etl_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
     "sim_pq_adc_topk",
     oracle=f"""
     WITH h AS (
-      SELECT vec_id, embedding,
+      SELECT vec_id, {_quantize_sql('embedding')} AS qe,
              {hash60_sql("CAST(vec_id AS VARCHAR)")} AS hh
       FROM embeddings WHERE vec_id <> 0
     ),
     seeds AS (
-      SELECT embedding, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
+      SELECT qe, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
       FROM h ORDER BY hh, vec_id LIMIT {PQ_K}
     ),
     js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
     codebook AS (
       SELECT r, j,
-             list_slice(embedding, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS c
+             list_slice(qe, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS c
       FROM seeds CROSS JOIN js
     ),
     subs AS (
       SELECT vec_id, j,
-             list_slice(embedding, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+             list_slice({_quantize_sql('embedding')}, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
       FROM embeddings CROSS JOIN js WHERE vec_id <> 0
     ),
     enc AS (
       SELECT vec_id, s.j AS j, r,
              row_number() OVER (
                PARTITION BY vec_id, s.j
-               ORDER BY {_sqdist_sql('sub', 'c', PQ_SUBDIM)}, r
+               ORDER BY {_sqdist_int_sql('sub', 'c', PQ_SUBDIM)}, r
              ) AS rn
       FROM subs s JOIN codebook cb ON cb.j = s.j
     ),
     qsubs AS (
-      SELECT j, list_slice(embedding, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+      SELECT j, list_slice({_quantize_sql('embedding')}, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
       FROM embeddings CROSS JOIN js WHERE vec_id = 0
     ),
     lut AS (
-      SELECT q.j AS j, r,
-             CAST(floor({_sqdist_sql('sub', 'c', PQ_SUBDIM)} * 1000000) AS BIGINT) AS qd
+      SELECT q.j AS j, r, {_sqdist_int_sql('sub', 'c', PQ_SUBDIM)} AS qd
       FROM qsubs q JOIN codebook cb ON cb.j = q.j
     )
-    SELECT e.vec_id, sum(l.qd) AS adc_dist_micro
+    SELECT e.vec_id, sum(l.qd) AS adc_dist_q
     FROM enc e JOIN lut l ON l.j = e.j AND l.r = e.r
     WHERE e.rn = 1
     GROUP BY e.vec_id
-    ORDER BY adc_dist_micro, e.vec_id
+    ORDER BY adc_dist_q, e.vec_id
     LIMIT 10
     """,
     tags=("similarity", "scale"),
@@ -232,22 +248,25 @@ def sim_pq_adc_topk(spark, sf_dir):
     search joins codes against a broadcast {PQ_M * PQ_K}-row LUT and
     top-ks via TakeOrderedAndProject. The one scale caveat: codebooks
     come from a hash-ordered deterministic sample (TakeOrdered, no global
-    sort) — production would k-means-train them offline, which changes
-    WHICH codewords exist but not this plan.
+    sort) — sim_pq_trained_codebook adds the k-means-trained variant;
+    the search plan is identical either way.
 
-    Parity: subspace distances are sequential 16-term folds (bitwise
-    identical to the oracle's list_reduce); LUT entries are quantized to
-    integer micros BEFORE the per-vector sum, so the final ADC score is an
-    order-free integer sum, immune to float association."""
+    Parity: embedding elements are quantized to integer micros
+    (floor(x*1e6 + 0.5), IEEE-exact on any engine) BEFORE any distance, so
+    encode ranking, LUT entries, and the final ADC sum are pure int64 —
+    no float fold anywhere, hence no 1-ulp cross-engine reordering (the
+    round-3/4 hash-red root cause)."""
     from pyspark.sql import Window
 
-    emb = catalog.table(spark, sf_dir, "embeddings")
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
     base = emb.filter(F.col("vec_id") != 0)
     js = F.explode(F.array(*[F.lit(j) for j in range(PQ_M)])).alias("j")
 
     seeds = (
         base.select(
-            "vec_id", "embedding", hash60(F.col("vec_id").cast("string")).alias("hh")
+            "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
         )
         .orderBy("hh", "vec_id")
         .limit(PQ_K)
@@ -257,22 +276,22 @@ def sim_pq_adc_topk(spark, sf_dir):
     seeds = seeds.withColumn(
         "r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1
     )
-    codebook = seeds.select("r", js, "embedding").select(
+    codebook = seeds.select("r", js, "qe").select(
         "r",
         "j",
-        F.slice("embedding", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c"),
+        F.slice("qe", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c"),
     )
 
-    subs = base.select("vec_id", js, "embedding").select(
+    subs = base.select("vec_id", js, "qe").select(
         "vec_id",
         "j",
-        F.slice("embedding", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+        F.slice("qe", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
     )
     enc = subs.join(F.broadcast(codebook), "j").withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("vec_id", "j").orderBy(
-                S.sqdist(F.col("sub"), F.col("c")), F.col("r")
+                S.sqdist_int(F.col("sub"), F.col("c")), F.col("r")
             )
         ),
     )
@@ -280,23 +299,19 @@ def sim_pq_adc_topk(spark, sf_dir):
 
     qsubs = (
         emb.filter(F.col("vec_id") == 0)
-        .select(js, "embedding")
+        .select(js, "qe")
         .select(
             "j",
-            F.slice("embedding", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+            F.slice("qe", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
         )
     )
     lut = qsubs.join(F.broadcast(codebook), "j").select(
-        "j",
-        "r",
-        F.floor(S.sqdist(F.col("sub"), F.col("c")) * 1000000)
-        .cast("long")
-        .alias("qd"),
+        "j", "r", S.sqdist_int(F.col("sub"), F.col("c")).alias("qd")
     )
     return (
         codes.join(F.broadcast(lut), ["j", "r"])
         .groupBy("vec_id")
-        .agg(F.sum("qd").alias("adc_dist_micro"))
-        .orderBy("adc_dist_micro", "vec_id")
+        .agg(F.sum("qd").alias("adc_dist_q"))
+        .orderBy("adc_dist_q", "vec_id")
         .limit(10)
     )

@@ -32,9 +32,13 @@ def get_spark(app_name: str = "gtec_etl_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # No nanosAsLong legacy conf: the events table's TIMESTAMP(NANOS)
-        # column is read via an explicit user schema (catalog.EVENTS_FILE_SCHEMA),
-        # so TIMESTAMP semantics stay default for any other parquet.
+        # No nanosAsLong legacy conf: the events table's ts unit is detected
+        # per-directory from the parquet footer (catalog.events_ts_unit), so
+        # TIMESTAMP semantics stay default for any other parquet.
+        # Everything the engine WRITES is TIMESTAMP(MICROS): INT96 is
+        # deprecated, and micros round-trips through the footer-driven
+        # reader and DuckDB identically.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

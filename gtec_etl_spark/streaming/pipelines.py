@@ -46,9 +46,15 @@ def state_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-# Single source of truth for the on-disk events schema lives in catalog.py;
-# batch and streaming reads share the same explicit-schema trick.
-from gtec_etl_spark.catalog import EVENTS_FILE_SCHEMA  # noqa: E402
+# Single source of truth for the on-disk events schemas lives in catalog.py;
+# batch and streaming reads share the same footer-driven unit detection.
+import os  # noqa: E402
+
+from gtec_etl_spark.catalog import (  # noqa: E402
+    EVENTS_NANOS_FILE_SCHEMA,
+    EVENTS_SCHEMA,
+    events_ts_unit,
+)
 
 
 def read_events_stream(
@@ -62,14 +68,22 @@ def read_events_stream(
     downstream pipelines are source-agnostic. path_glob widens the replay
     to a multi-file directory (tools/stream_steady_state.py feeds
     time-sliced chunks through maxFilesPerTrigger=1 to measure per-batch
-    steady-state latency instead of one cold-start batch)."""
-    # The explicit user schema ('ts long') reads TIMESTAMP(NANOS) without
-    # any legacy conf (verified on a bare session) — no session mutation here.
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    steady-state latency instead of one cold-start batch).
+
+    The ts unit (nanos vs micros) is detected from one parquet footer
+    driver-side, same as catalog.table — a global unit assumption corrupts
+    timestamps 1000× the day the lake's writer changes layout."""
+    nanos = events_ts_unit(os.path.join(sf_dir, path_glob)) == "ns"
+    schema = EVENTS_NANOS_FILE_SCHEMA if nanos else EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.option("pathGlobFilter", path_glob).parquet(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        # Explicit `ts long` schema reads TIMESTAMP(NANOS) on a bare
+        # session (no legacy conf); truncate to micros like DuckDB does.
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -16,7 +16,7 @@ index — no driver-side loops), preserving the workload's shape:
 - embeddings: replicas get a small deterministic per-dimension offset —
   new points, same cluster geometry.
 - events: new disjoint event/user ids per replica (10x state keys for
-  streaming ops); ts stays nanos-encoded INT64 like the driver's parquet.
+  streaming ops); ts is re-written as TIMESTAMP(MICROS).
 - region/nation: fixed dimensions, copied as-is.
 
 Usage: python tools/make_scale_testdata.py [--out /tmp/sparkdata_sf1]
@@ -52,7 +52,7 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
 
-    from gtec_etl_spark.catalog import EVENTS_FILE_SCHEMA
+    from gtec_etl_spark.catalog import table as catalog_table
     from gtec_etl_spark.session import get_spark
 
     spark = get_spark("make-scale-testdata")
@@ -60,11 +60,8 @@ def main() -> None:
     replicas = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__r")
 
     def read(name: str):
-        if name == "events":
-            return spark.read.schema(EVENTS_FILE_SCHEMA).parquet(
-                f"{args.src}/events.parquet"
-            )
-        return spark.read.parquet(f"{args.src}/{name}.parquet")
+        # catalog.table handles the events ts-unit (footer-driven).
+        return catalog_table(spark, args.src, name)
 
     # One key-space stride per ORIGINAL key domain, shared across tables.
     strides = {}
@@ -147,7 +144,8 @@ def main() -> None:
     )
     write(e.drop("__r"), "embeddings")
 
-    # events: disjoint ids and users per replica; ts stays INT64 nanos.
+    # events: disjoint ids and users per replica; ts is a real timestamp
+    # and is written back as TIMESTAMP(MICROS) (session outputTimestampType).
     evs = ev.select("*", replicas).select(
         (F.col("event_id") + F.col("__r") * F.lit(strides["event_id"])).alias(
             "event_id"

@@ -35,12 +35,16 @@ from pyspark.sql import functions as F  # noqa: E402
 def slice_events(spark, sf_dir: str, out_dir: str, chunks: int) -> None:
     """Split events into `chunks` single-file parquets by event-time range,
     mtime-ordered so the file source replays them in arrival order."""
-    from gtec_etl_spark.catalog import EVENTS_FILE_SCHEMA
+    from gtec_etl_spark.catalog import table as catalog_table
 
-    ev = spark.read.schema(EVENTS_FILE_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    ev = catalog_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
     span = hi - lo + 1
-    bucket = ((F.col("ts") - F.lit(lo)) * chunks / F.lit(span)).cast("int")
+    bucket = (
+        (F.unix_micros("ts") - F.lit(lo)) * chunks / F.lit(span)
+    ).cast("int")
     ev = ev.withColumn("__b", bucket)
     for i in range(chunks):
         tmp = os.path.join(out_dir, "__tmp")
