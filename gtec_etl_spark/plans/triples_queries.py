@@ -105,3 +105,136 @@ def q34_bgp_over_triples(spark, sf_dir):
         .select("customer_name", "nation_name")
         .orderBy("customer_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# S16 closure: foreign JSON-LD -> triples ingest (the reference's
+# rdflib_util.read_json_ld_graph, sparql/v0.7/rdflib_util.py:54-63).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gtec_etl_spark.sources.jsonld_triples import (  # noqa: E402
+    read_jsonld,
+    triples_from_json_strings,
+)
+
+_K1_MEMBER = StructType(
+    [
+        StructField("@id", StringType()),
+        StructField("@type", StringType()),
+        StructField("name", StringType()),
+    ]
+)
+K1_DOC_SCHEMA = StructType(
+    [
+        StructField("@id", StringType()),
+        StructField("@type", StringType()),
+        StructField("name", StringType()),
+        StructField("size", LongType()),
+        StructField("members", ArrayType(_K1_MEMBER)),
+    ]
+)
+
+
+@query(
+    "src_jsonld_roundtrip",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment AS grp, c_name,
+             'dats:Material/' || substr(sha256('Material' || chr(31) || c_name), 1, 32) AS mid
+      FROM customer WHERE c_custkey < 50
+    ),
+    g AS (
+      SELECT grp,
+             'dats:StudyGroup/' || substr(sha256('StudyGroup' || chr(31) || grp), 1, 32) AS gid,
+             count(*) AS n
+      FROM m GROUP BY grp
+    ),
+    tr AS (
+      SELECT gid AS s, '@type' AS p, 'StudyGroup' AS o FROM g
+      UNION ALL SELECT gid, 'name', grp FROM g
+      UNION ALL SELECT gid, 'size', CAST(n AS VARCHAR) FROM g
+      UNION ALL SELECT g.gid, 'members', m.mid FROM m JOIN g USING (grp)
+      UNION ALL SELECT mid, '@type', 'Material' FROM m
+      UNION ALL SELECT mid, 'name', c_name FROM m
+    )
+    SELECT DISTINCT s, p, o FROM tr ORDER BY s, p, o
+    """,
+    tags=("sources", "triples", "jsonld"),
+)
+def src_jsonld_roundtrip(spark, sf_dir):
+    """S16 round-trip: the K1 emitter's own JSON-LD StudyGroup documents
+    are parsed BACK (from_json with a pinned schema) and flattened into
+    the (s, p, o) graph the reference would get from
+    rdflib.Graph().parse(format='json-ld') — emit -> reload -> triples,
+    entirely inside the engine. The oracle rebuilds the same graph
+    relationally from the customer table, so the parser's subject/edge/
+    literal semantics (including null-dropping for @id-only refs) are all
+    pinned cross-engine."""
+    from gtec_etl_spark.plans.sink_queries import k1_jsonld_study_groups
+
+    docs = k1_jsonld_study_groups(spark, sf_dir)
+    return triples_from_json_strings(docs, "doc", K1_DOC_SCHEMA).orderBy(
+        "s", "p", "o"
+    )
+
+
+_FIXTURE_TRIPLES = [
+    ("dats:Org/broad", "@type", "Organization"),
+    ("dats:Org/broad", "name", "Broad Institute"),
+    ("dats:Study/s1", "@type", "Study"),
+    ("dats:Study/s1", "producedBy", "dats:Org/broad"),
+    ("dats:Study/s1", "studyGroups", "dats:StudyGroup/g1"),
+    ("dats:Study/s1", "studyGroups", "dats:StudyGroup/g2"),
+    ("dats:Study/s1", "title", "GTEx RNA-Seq Study"),
+    ("dats:Study/s1", "types", "RNA-Seq"),
+    ("dats:Study/s1", "types", "WGS"),
+    ("dats:Study/s2", "@type", "Study"),
+    ("dats:Study/s2", "description", "whole genomes"),
+    ("dats:Study/s2", "producedBy", "dats:Org/nhlbi"),
+    ("dats:Study/s2", "title", "TOPMed WGS"),
+    ("dats:StudyGroup/g1", "@type", "StudyGroup"),
+    ("dats:StudyGroup/g1", "members", "dats:Material/m1"),
+    ("dats:StudyGroup/g1", "members", "dats:Material/m2"),
+    ("dats:StudyGroup/g1", "name", "all subjects"),
+    ("dats:StudyGroup/g1", "size", "2"),
+]
+
+_FIXTURE_PATH = __import__("os").path.abspath(
+    __import__("os").path.join(
+        __import__("os").path.dirname(__file__),
+        "..", "..", "fixtures", "jsonld", "dats_studies.jsonld",
+    )
+)
+
+_FIXTURE_VALUES = ",\n      ".join(
+    "('{}', '{}', '{}')".format(*t) for t in _FIXTURE_TRIPLES
+)
+
+
+@query(
+    "src_jsonld_foreign_fixture",
+    oracle=f"""
+    SELECT s, p, o FROM (VALUES
+      {_FIXTURE_VALUES}
+    ) AS t(s, p, o) ORDER BY s, p, o
+    """,
+    tags=("sources", "triples", "jsonld"),
+)
+def src_jsonld_foreign_fixture(spark, sf_dir):
+    """S16 foreign-document path: a reference-shaped DATS JSON-LD fixture
+    the engine did NOT emit (nested producedBy org, study groups with
+    member refs, heterogeneous fields across documents) loaded via
+    spark.read.json schema merge and flattened to triples. @id-only
+    references (StudyGroup/g2, Org/nhlbi) contribute edges but no
+    literals — rdflib parse semantics. The oracle is the hand-derived
+    triple set, so this pins the parser against a ground truth the
+    emitter had no hand in."""
+    return read_jsonld(spark, _FIXTURE_PATH).orderBy("s", "p", "o")
