@@ -142,6 +142,7 @@ def asof_join(
     fact_time: str,
     event_time: str,
     value_cols: list[str],
+    row_tag: str | None = None,
 ) -> DataFrame:
     """As-of join (latest event at-or-before the fact timestamp).
 
@@ -157,16 +158,20 @@ def asof_join(
     rows each survive. Ties break by (event time, value_cols) — total as
     long as value_cols include a unique id.
 
-    Caveat (same class as salted_join's rand() note): the row tag is
-    monotonically_increasing_id, which is nondeterministic across
+    Caveat (same class as salted_join's rand() note): the DEFAULT row tag
+    is monotonically_increasing_id, which is nondeterministic across
     RECOMPUTATIONS — if a lost-shuffle retry or speculative re-execution
     replays a NONDETERMINISTIC upstream of `fact`, duplicate fact rows can
     split or merge. Deterministic upstreams (file scans, pure transforms —
-    every use in this package) are unaffected; for a nondeterministic
-    upstream, persist/checkpoint `fact` first or pass a stable unique key
-    column as the tag.
+    every use in this package) are unaffected. For a nondeterministic
+    upstream, pass `row_tag`: the name of an existing stable
+    unique-per-row column (a primary key) — grouping then keys on real
+    data, immune to recomputation — or persist/checkpoint `fact` first.
     """
-    tagged = fact.withColumn("__rowid", F.monotonically_increasing_id())
+    if row_tag is not None:
+        tagged = fact.withColumn("__rowid", F.col(row_tag))
+    else:
+        tagged = fact.withColumn("__rowid", F.monotonically_increasing_id())
     ev = events.select(
         F.col(event_key).alias("__k"),
         F.col(event_time).alias("__t"),

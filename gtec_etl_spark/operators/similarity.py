@@ -88,6 +88,60 @@ def brute_force_topk(
     )
 
 
+def pq_kmeans_codebook(
+    subs: DataFrame, init: DataFrame, iters: int = 4
+) -> DataFrame:
+    """Distributed Lloyd's iterations training a product-quantization
+    codebook per subspace, in quantized-integer space.
+
+    `subs`: (vec_id, j, sub array<long>) training sub-vectors (quantized
+    micros, see quantize_micros) — typically a bounded deterministic
+    sample of the corpus. `init`: (j, r, c array<long>) initial codebook
+    (e.g. the hash-seeded sample sim_pq_adc_topk uses). Returns (j, r, c)
+    with the same shape.
+
+    Each iteration: assign every sub-vector to its nearest codeword
+    (broadcast codebook join + integer-exact argmin, ties to the lowest
+    r), then recompute each codeword as the elementwise mean of its
+    members, re-quantized to int64 (floor(avg + 0.5)) so every iteration
+    stays in exact-integer space — runs are bit-reproducible. Codewords
+    that attract no members keep their previous value (the left-join
+    coalesce), the standard empty-cluster fallback.
+
+    Scale: per iteration, one broadcast join over the sample + two
+    bounded shuffles (argmin groupBy on vec_id×j; centroid groupBy on
+    j×r×dim ≤ M·K·subdim rows). The sample is cached once; the codebook
+    is checkpoint-free because M·K rows re-broadcast cheaply. Production
+    trains on a ~1e5-row sample regardless of corpus size — training cost
+    is O(sample), never O(corpus); only ENCODE scans the full data."""
+    subs = subs.persist()
+    cb = init
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(cb), "j")
+            .withColumn("__d", sqdist_int(F.col("sub"), F.col("c")))
+            .groupBy("vec_id", "j")
+            .agg(
+                F.min_by(
+                    F.struct("r", "sub"), F.struct("__d", "r")
+                ).alias("__a")
+            )
+            .select("j", F.col("__a.r").alias("r"), F.col("__a.sub").alias("sub"))
+        )
+        new = (
+            assigned.select("j", "r", F.posexplode("sub").alias("d", "x"))
+            .groupBy("j", "r", "d")
+            .agg(F.floor(F.avg("x") + F.lit(0.5)).cast("long").alias("cx"))
+            .groupBy("j", "r")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("pairs"))
+            .select("j", "r", F.expr("transform(pairs, p -> p.cx)").alias("c2"))
+        )
+        cb = cb.join(new, ["j", "r"], "left").select(
+            "j", "r", F.coalesce("c2", "c").alias("c")
+        )
+    return cb
+
+
 def hyperplane_weight(j: int, d: int) -> int:
     """Deterministic integer pseudo-random hyperplane weights, exactly
     representable in doubles and reproducible in SQL."""

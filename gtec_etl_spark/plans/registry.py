@@ -49,10 +49,14 @@ def specs() -> dict[str, QuerySpec]:
 
 
 def _driver_verified_names() -> set[str]:
-    """Names already green in some driver CORRECTNESS_r*.json at the repo
+    """Names already GREEN in some driver CORRECTNESS_r*.json at the repo
     root. Used only to ORDER the registry (never to change its contents):
-    never-driver-sampled queries are listed first so a driver that samples a
-    prefix covers them before re-checking already-proven ones."""
+    never-driver-green queries are listed first so a driver that samples a
+    prefix covers them before re-checking already-proven ones. A sampled
+    query that errored or hash-mismatched does NOT count as verified —
+    it needs a retry slot just as much as a never-sampled one (the r4
+    lesson: q15/q18 sat behind proven queries for three rounds because
+    any sampling, even a red row, demoted them)."""
     import glob
     import json
     import pathlib
@@ -65,8 +69,14 @@ def _driver_verified_names() -> set[str]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            seen.update(data.keys())
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err") is not None:
+                continue
+            hm = row.get("hash_match")
+            if hm is True or (hm is None and row.get("rows_match") is not False):
+                seen.add(name)
     return seen
 
 

@@ -315,3 +315,103 @@ def sim_pq_adc_topk(spark, sf_dir):
         .orderBy("adc_dist_q", "vec_id")
         .limit(10)
     )
+
+
+def _pq_slice(df, vec_col: str, with_id: bool = True):
+    """Explode a quantized embedding into (vec_id?, j, sub) subspace rows."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(PQ_M)])).alias("j")
+    cols = (["vec_id", js, vec_col] if with_id else [js, vec_col])
+    out = df.select(*cols)
+    sub = F.slice(vec_col, F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub")
+    return out.select(*(["vec_id", "j", sub] if with_id else ["j", sub]))
+
+
+def _pq_seed_codebook(base):
+    """Hash-ordered deterministic PQ_K seed codebook over quantized
+    embeddings — the same construction sim_pq_adc_topk pins to its
+    oracle."""
+    from pyspark.sql import Window
+
+    seeds = (
+        base.select(
+            "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
+        )
+        .orderBy("hh", "vec_id")
+        .limit(PQ_K)
+        .withColumn("r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(PQ_M)])).alias("j")
+    return seeds.select("r", js, "qe").select(
+        "r", "j", F.slice("qe", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c")
+    )
+
+
+def pq_adc_search(base, query_row, codebook, k: int = 10):
+    """Encode `base` against `codebook`, build the query LUT, return the
+    ADC top-k — the search half of PQ, shared by the seeded and trained
+    codebook queries. All distances are integer-exact (sqdist_int over
+    quantized vectors)."""
+    from pyspark.sql import Window
+
+    subs = _pq_slice(base, "qe")
+    enc = subs.join(F.broadcast(codebook), "j").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id", "j").orderBy(
+                S.sqdist_int(F.col("sub"), F.col("c")), F.col("r")
+            )
+        ),
+    )
+    codes = enc.filter(F.col("rn") == 1).select("vec_id", "j", "r")
+    qsubs = _pq_slice(query_row, "qe", with_id=False)
+    lut = qsubs.join(F.broadcast(codebook), "j").select(
+        "j", "r", S.sqdist_int(F.col("sub"), F.col("c")).alias("qd")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["j", "r"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_dist_q"))
+        .orderBy("adc_dist_q", "vec_id")
+        .limit(k)
+    )
+
+
+PQ_TRAIN_SAMPLE, PQ_TRAIN_ITERS = 1024, 4
+
+
+@query("sim_pq_trained_codebook", tags=("similarity", "scale"))
+def sim_pq_trained_codebook(spark, sf_dir):
+    """PQ ADC top-10 with a k-means-TRAINED codebook — the production
+    answer to sim_pq_adc_topk's documented caveat (hash-sampled seeds).
+    Distributed Lloyd's iterations (operators.similarity.
+    pq_kmeans_codebook) refine the same deterministic seeds over a
+    hash-ordered {PQ_TRAIN_SAMPLE}-vector sample, per subspace, entirely
+    in quantized-integer space, so the trained codebook — and therefore
+    this query — is bit-reproducible run to run.
+
+    No SQL oracle: iterative training is the brief's documented
+    non-SQL-expressible case (the driver records a rows-only check).
+    tests/test_operators.py pins the ML contract instead: training must
+    not increase quantization distortion vs the seeds, and ADC top-10
+    recall vs exact integer-L2 search must clear a floor.
+
+    Scale: training cost is O(sample × iters), independent of corpus
+    size; encode+search is the same broadcast-join plan as
+    sim_pq_adc_topk."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    init = _pq_seed_codebook(base)
+    sample = (
+        base.select(
+            "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
+        )
+        .orderBy("hh", "vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+    )
+    trained = S.pq_kmeans_codebook(
+        _pq_slice(sample, "qe"), init, iters=PQ_TRAIN_ITERS
+    )
+    qrow = emb.filter(F.col("vec_id") == 0)
+    return pq_adc_search(base, qrow, trained, k=10)

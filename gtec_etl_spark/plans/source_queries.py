@@ -548,6 +548,7 @@ def src_validated_violations(spark, sf_dir):
 
 
 DATACITE_JSON = os.path.join(FIXTURES, "sources", "datacite_works.json")
+DATACITE_GLOB = os.path.join(FIXTURES, "sources", "datacite_works*.json")
 
 
 @query(
@@ -559,22 +560,25 @@ DATACITE_JSON = os.path.join(FIXTURES, "sources", "datacite_works.json")
            count(*) OVER (PARTITION BY rec.attributes.titles[1].title)
              AS n_title_dups
     FROM (SELECT unnest(data) AS rec
-          FROM read_json('{DATACITE_JSON}'))
+          FROM read_json('{DATACITE_GLOB}', union_by_name=true))
     ORDER BY doi
     """,
     tags=("sources", "datacite"),
 )
 def src_datacite_works(spark, sf_dir):
     """S14 DataCite works source at the driver level
-    (ccmm/gtex/rnaseq_datasets.py:160-202): the works-API payload parsed
-    DISTRIBUTED (spark.read.json + explode — one page per file shards
-    across executors) with the duplicate-title constraint surfaced as a
-    per-title count (the reference fatals when any count > 1; empty
-    titles arrays become NULL, try_element_at under ANSI). The HTTP fetch
-    boundary is an injectable transport (sources/datacite.py:
-    recorded_transport replays this same payload through the live
-    fetch→paginate→parse path; only the socket itself needs network)."""
-    raw = spark.read.option("multiLine", "true").json(DATACITE_JSON)
+    (ccmm/gtex/rnaseq_datasets.py:160-202): a TWO-page works-API recording
+    (page 1 carries links.next to page 2) parsed DISTRIBUTED
+    (spark.read.json over the page glob + explode — one page per file
+    shards across executors) with the duplicate-title constraint surfaced
+    as a per-title count (the reference fatals when any count > 1; the
+    'Epsilon Methylation Panel' dup SPANS the two pages, so the counts
+    are only right when both pages are read; empty titles arrays become
+    NULL, try_element_at under ANSI). The HTTP fetch boundary is an
+    injectable transport (sources/datacite.py: recorded_transport replays
+    these same pages through the live fetch→paginate→parse path; only the
+    socket itself needs network)."""
+    raw = spark.read.option("multiLine", "true").json(DATACITE_GLOB)
     rec = raw.select(F.explode("data").alias("rec")).select(
         F.col("rec.attributes.doi").alias("doi"),
         F.try_element_at(F.col("rec.attributes.titles"), F.lit(1))["title"].alias(

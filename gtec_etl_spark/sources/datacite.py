@@ -105,3 +105,26 @@ def duplicate_titles(works: DataFrame) -> DataFrame:
 def title_to_doi(works: DataFrame) -> DataFrame:
     """The title→DOI lookup dimension (broadcast-join it downstream)."""
     return works.select("title", "doi")
+
+
+def version_anomalies(
+    works: DataFrame, expected: str, exempt_prefixes: tuple[str, ...] = ()
+) -> DataFrame:
+    """The reference's fatal-on-unexpected-version check
+    (rnaseq_datasets.py:177-180: everything must be the expected version
+    except titles under documented exempt prefixes) as a violations
+    DataFrame — empty means the batch passes; non-empty rows carry the
+    (doi, title, version) the reference would have fataled on."""
+    bad = F.col("version") != F.lit(expected)
+    for p in exempt_prefixes:
+        bad = bad & ~F.coalesce(
+            F.col("title").startswith(p), F.lit(False)
+        )
+    return works.filter(bad).select("doi", "title", "version")
+
+
+def missing_titles(works: DataFrame, wanted: DataFrame) -> DataFrame:
+    """The reference's couldn't-find-dataset fatal
+    (rnaseq_datasets.py:196-199): wanted titles with no works entry, as an
+    anti-join violations DataFrame (`wanted` has a `title` column)."""
+    return wanted.join(works.select("title"), "title", "left_anti")

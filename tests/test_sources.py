@@ -243,28 +243,95 @@ def test_datacite_works_and_dup_titles(spark):
     assert dups[0]["dois"] == ["10.1/a", "10.1/c"]
 
 
-def test_datacite_recorded_replay_full_pipeline(spark):
-    """S14 fetch boundary exercised end-to-end: the recorded works payload
-    replays through the SAME fetch→paginate→parse path as a live fetch
-    (transport injected), then the duplicate-title check runs on top."""
+def _datacite_fixture_transport():
     import os
 
     from gtec_etl_spark.sources import datacite
 
-    fixture = os.path.join(
-        os.path.dirname(__file__), "..", "fixtures", "sources", "datacite_works.json"
+    base = os.path.join(os.path.dirname(__file__), "..", "fixtures", "sources")
+
+    def page(name):
+        with open(os.path.join(base, name), encoding="utf-8") as fh:
+            return fh.read()
+
+    return datacite.recorded_transport(
+        {
+            "https://api.datacite.org/dois?query=test": page("datacite_works.json"),
+            "https://api.datacite.org/dois?query=test&page=2": page(
+                "datacite_works_page2.json"
+            ),
+        }
     )
-    transport = datacite.recorded_transport(fixture)
+
+
+def test_datacite_recorded_replay_full_pipeline(spark):
+    """S14 fetch boundary exercised end-to-end: the recorded two-page works
+    recording replays through the SAME fetch→paginate→parse path as a live
+    fetch (transport injected, links.next followed from page 1 to page 2),
+    then the duplicate-title check runs on top — including the dup whose
+    two entries live on DIFFERENT pages."""
+    from gtec_etl_spark.sources import datacite
+
     works = datacite.load_works(
-        spark, "https://api.datacite.org/dois?query=test", transport
+        spark, "https://api.datacite.org/dois?query=test",
+        _datacite_fixture_transport(),
     )
     rows = {r["doi"]: r for r in works.collect()}
-    assert len(rows) == 5
+    assert len(rows) == 7
     assert rows["10.1000/delta"]["title"] is None  # empty titles array
-    dups = datacite.duplicate_titles(works).collect()
-    assert len(dups) == 1
-    assert dups[0]["title"] == "Alpha RNA-Seq Expression"
-    assert dups[0]["dois"] == ["10.1000/alpha", "10.1000/gamma"]
+    dups = {d["title"]: d for d in datacite.duplicate_titles(works).collect()}
+    assert set(dups) == {"Alpha RNA-Seq Expression", "Epsilon Methylation Panel"}
+    assert dups["Alpha RNA-Seq Expression"]["dois"] == [
+        "10.1000/alpha", "10.1000/gamma",
+    ]
+    # The cross-page duplicate: epsilon on page 1, zeta on page 2.
+    assert dups["Epsilon Methylation Panel"]["dois"] == [
+        "10.1000/epsilon", "10.1000/zeta",
+    ]
+
+
+def test_datacite_dead_link_raises(spark):
+    """A links.next pointing nowhere surfaces as the transport's KeyError
+    (the recorded analog of a dead URL) instead of silently truncating."""
+    import pytest
+
+    from gtec_etl_spark.sources import datacite
+
+    p1 = ('{"data": [{"attributes": {"doi": "10.3/a", "titles": '
+          '[{"title": "A"}], "version": "1"}}], '
+          '"links": {"next": "https://api/GONE"}}')
+    transport = datacite.recorded_transport({"https://api/p1": p1})
+    with pytest.raises(KeyError):
+        datacite.load_works(spark, "https://api/p1", transport)
+
+
+def test_datacite_version_anomalies_and_missing_titles(spark):
+    """The reference's two remaining fatal paths
+    (rnaseq_datasets.py:177-199) as violations DataFrames: unexpected
+    versions (with the documented exempt title prefixes) and wanted
+    titles with no works entry."""
+    from gtec_etl_spark.sources import datacite
+
+    works = datacite.load_works(
+        spark, "https://api.datacite.org/dois?query=test",
+        _datacite_fixture_transport(),
+    )
+    bad = datacite.version_anomalies(
+        works, "1", exempt_prefixes=("Beta ", "Eta ")
+    ).collect()
+    # delta is version 3 with a NULL title (no exemption can match).
+    assert [r["doi"] for r in bad] == ["10.1000/delta"]
+    # Without exemptions, beta (v2) and eta (v2) join the violations.
+    bad_all = {
+        r["doi"] for r in datacite.version_anomalies(works, "1").collect()
+    }
+    assert bad_all == {"10.1000/beta", "10.1000/delta", "10.1000/eta"}
+
+    wanted = spark.createDataFrame(
+        [("Alpha RNA-Seq Expression",), ("Nonexistent Atlas",)], "title string"
+    )
+    missing = datacite.missing_titles(works, wanted).collect()
+    assert [r["title"] for r in missing] == ["Nonexistent Atlas"]
 
 
 def test_datacite_paginated_replay(spark):

@@ -39,9 +39,21 @@ QUERIES = [
     "text_corpus_clean",
     "sim_topk_bruteforce",
     "ev_sliding_windows",
-    "ref_q2_all_studies",
-    "ref_q6_tabular_dump",
     "q01_pricing_summary",
+    # Flagship reference ETL queries + the window pack — the relational
+    # backbone must show the same ~linear curve as the dedup/text ops.
+    "ref_q1_second_level_datasets",
+    "ref_q2_dataset_variables",
+    "ref_q2_all_studies",
+    "ref_q3_study_group_members",
+    "ref_q4_subject_characteristics",
+    "ref_q5_subject_sample_chain",
+    "ref_q6_full_dump",
+    "ref_q6_tabular_dump",
+    "topmed_multi_study_summary",
+    "q29_order_gaps_lead_lag",
+    "q30_rank_dense_ntile",
+    "q31_range_frame_rolling",
 ]
 
 
