@@ -113,6 +113,77 @@ def sim_ivf_probe(spark, sf_dir):
     return S.brute_force_topk(cluster, qv, 10)
 
 
+IVF_NPROBE = 3
+
+
+@query(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS d,
+             embedding AS e
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(cv ORDER BY d) AS centroid FROM (
+        SELECT label, d, round(avg(CAST(e[d] AS DOUBLE)), 4) AS cv
+        FROM dims GROUP BY label, d
+      ) GROUP BY label
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    best AS (
+      SELECT label FROM cent CROSS JOIN q
+      ORDER BY {_dot_sql('centroid', 'qv')} /
+               (sqrt({_dot_sql('centroid', 'centroid')}) * sqrt({_dot_sql('qv', 'qv')})) DESC,
+               label
+      LIMIT {IVF_NPROBE}
+    ),
+    e AS (
+      SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+      FROM embeddings WHERE label IN (SELECT label FROM best) AND vec_id <> 0
+    )
+    SELECT vec_id,
+           round({_dot_sql('embedding', 'qv')} / (norm * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+    FROM e CROSS JOIN q
+    ORDER BY {_dot_sql('embedding', 'qv')} / (norm * sqrt({_dot_sql('qv', 'qv')})) DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def sim_ivf_multiprobe(spark, sf_dir):
+    """IVF with multi-probe ({IVF_NPROBE} nearest centroids instead of 1) —
+    the standard recall/latency knob: a query near a cluster boundary
+    misses neighbors that landed in the adjacent cell, and probing P cells
+    recovers them for P× scan cost (still a tiny fraction of the corpus).
+    Same plan shape as sim_ivf_probe: broadcast centroid ranking, semi-join
+    partition pruning, per-partition exact top-k — only LIMIT 1 becomes
+    LIMIT {IVF_NPROBE}."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("d", "x"))
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("pairs"))
+        .select("label", F.expr("transform(pairs, p -> p.cv)").alias("centroid"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    qn = S.with_norm(qv.select(F.col("q").alias("qv")), "qv", "qnorm")
+    cent_cos = S.dot(F.col("centroid"), F.col("qv")) / (
+        F.sqrt(S.dot(F.col("centroid"), F.col("centroid"))) * F.col("qnorm")
+    )
+    best = (
+        cent.crossJoin(F.broadcast(qn))
+        .orderBy(cent_cos.desc(), F.col("label"))
+        .limit(IVF_NPROBE)
+        .select("label")
+    )
+    cluster = emb.join(F.broadcast(best), "label", "left_semi").filter(
+        F.col("vec_id") != 0
+    )
+    return S.brute_force_topk(cluster, qv, 10)
+
+
 def _bucket_sql(vec: str, n_planes: int, dim: int) -> str:
     terms = []
     for j in range(n_planes):

@@ -62,6 +62,26 @@ def test_asof_join_operator(spark):
     } == {(r["k"], r["payload"]) for r in out.collect()}
 
 
+def test_ivf_multiprobe_recall_not_below_single_probe(spark, sf_dir):
+    """Multi-probe scans a superset of single-probe's candidates, so its
+    overlap with the exact brute-force top-10 must be >= single-probe's —
+    the monotone-recall property that justifies the nprobe knob."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.operators import similarity as S
+    from gtec_etl_spark.plans.similarity_queries import (
+        sim_ivf_multiprobe,
+        sim_ivf_probe,
+        sim_topk_bruteforce,
+    )
+
+    exact = {r.vec_id for r in sim_topk_bruteforce(spark, sf_dir).collect()}
+    single = {r.vec_id for r in sim_ivf_probe(spark, sf_dir).collect()}
+    multi = {r.vec_id for r in sim_ivf_multiprobe(spark, sf_dir).collect()}
+    assert len(multi & exact) >= len(single & exact)
+
+
 def test_pq_kmeans_training_improves_distortion_and_recall(spark, sf_dir):
     """The trained-PQ contract (sim_pq_trained_codebook has no SQL oracle
     — iterative — so this test IS its correctness gate): (1) Lloyd's
