@@ -41,6 +41,55 @@ def ev_tumbling_hourly(spark, sf_dir):
 
 
 @query(
+    "ev_multi_resolution_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('month', ts) AS m, date_trunc('day', ts) AS d,
+             date_trunc('hour', ts) AS h, "value"
+      FROM events
+    )
+    SELECT CAST(grouping(m) * 4 + grouping(d) * 2 + grouping(h) AS BIGINT)
+             AS grain,
+           coalesce(h, d, m) AS bucket_start,
+           count(*) AS n_events, round(sum("value"), 4) AS total_value
+    FROM e
+    GROUP BY ROLLUP (m, d, h)
+    ORDER BY grain, bucket_start NULLS FIRST
+    """,
+    tags=("streaming", "rollup"),
+)
+def ev_multi_resolution_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution time rollup: hourly, daily,
+    monthly and grand-total aggregates of the events stream computed in
+    ONE pass — GROUP BY ROLLUP over (month, day, hour) truncations, with
+    grouping() markers tagging the grain (0=hour, 1=day, 3=month,
+    7=total). The continuous-aggregate pattern timeseries stores
+    materialize per level; here Spark's Expand + partial aggregation
+    produces every level off a single scan and one shuffle, so the cost
+    does not multiply with the number of resolutions. In streaming the
+    hourly level is the watermarked windowed agg (tumbling_counts) and
+    the coarser grains roll up FROM it downstream."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT date_trunc('month', ts) AS m, date_trunc('day', ts) AS d,
+                 date_trunc('hour', ts) AS h, value
+          FROM {events}
+        )
+        SELECT CAST(grouping(m) * 4 + grouping(d) * 2 + grouping(h) AS BIGINT)
+                 AS grain,
+               coalesce(h, d, m) AS bucket_start,
+               count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM e
+        GROUP BY ROLLUP (m, d, h)
+        ORDER BY grain, bucket_start NULLS FIRST
+        """,
+        events=ev,
+    )
+
+
+@query(
     "ev_sliding_windows",
     oracle="""
     SELECT window_start, count(*) AS n_events, round(sum("value"), 4) AS total_value

@@ -678,3 +678,82 @@ def text_contamination_check(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# PII patterns chosen for identical RE2 (DuckDB) / Java (Spark) semantics:
+# no backreferences, no lookaround, explicit character classes.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-867-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+               '[EMAIL]', 'g'), '{PII_PHONE_RE}', '[PHONE]', 'g'))
+             AS redacted_md5
+    FROM seeded
+    WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
+    ORDER BY doc_id LIMIT 500
+    """,
+    tags=("text", "pii"),
+)
+def text_pii_redact(spark, sf_dir):
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before a corpus ships. Emails and phone numbers are
+    counted (regexp_extract_all) and replaced with typed placeholders
+    (regexp_replace), all JVM-side regex — at 100 TB this is a pure map
+    over the text column, no shuffle until the output sort. Because the
+    synthetic corpus contains no organic PII, a deterministic seeding
+    step injects a fake email+phone into every 5th document first, so
+    detection counts and the redacted-text md5 are both exercised
+    non-trivially and pinned cross-engine (patterns restricted to the
+    RE2∩Java-regex common subset)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        seeded.filter((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 0))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), F.lit(0)))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE_RE), F.lit(0)))
+            .cast("long")
+            .alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )

@@ -157,3 +157,15 @@ def test_pq_adc_broadcasts_codebook_and_lut(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multi_resolution_rollup_single_scan_expand(spark):
+    # ROLLUP must compile to ONE parquet scan feeding an Expand (each row
+    # replicated per grouping set) + one hash aggregate pair — not a union
+    # of per-resolution scans. N resolutions for one scan's cost is the
+    # whole point of the operator.
+    plan = _formatted_plan(spark, "ev_multi_resolution_rollup")
+    # formatted output shows each node twice (tree + detail section);
+    # count the tree lines only.
+    assert plan.count("+- Scan parquet") == 1
+    assert "Expand" in plan
