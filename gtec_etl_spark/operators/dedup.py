@@ -291,12 +291,11 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_banded(
     signatures: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """LSH banding: concat each band's rows into a signature string, union
-    the per-band self-joins, dedupe pairs. Returns (doc_a, doc_b,
-    n_bands_matched)."""
+    """(doc_id, band, sig) rows: each band's minhash rows concatenated into
+    one signature string — the join key of every LSH candidate strategy."""
     rows = num_hashes // bands
     banded = None
     for b in range(bands):
@@ -306,12 +305,50 @@ def lsh_candidate_pairs(
             F.col(id_col), F.lit(b).alias("band"), sig.alias("sig")
         )
         banded = part if banded is None else banded.unionByName(part)
+    return banded
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: concat each band's rows into a signature string, union
+    the per-band self-joins, dedupe pairs. Returns (doc_a, doc_b,
+    n_bands_matched)."""
+    banded = lsh_banded(signatures, num_hashes, bands, id_col)
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b2 = banded.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
         a.join(b2, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def lsh_pairs_against_index(
+    batch_sigs: DataFrame,
+    index_sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: candidate pairs between a NEW batch and an
+    already-indexed corpus — the production ingest mode. The index side's
+    banded signatures are a persisted artifact built once (and at 100 TB
+    bucketed/partitioned by (band, sig)); each incoming batch computes
+    only its own signatures and equi-joins the index buckets, so per-batch
+    cost is O(batch + matching buckets), never O(corpus). Batch-internal
+    pairs are NOT emitted (run lsh_candidate_pairs on the batch for
+    those). Returns (new_doc, index_doc, n_bands_matched)."""
+    nb = lsh_banded(batch_sigs, num_hashes, bands, id_col).select(
+        F.col(id_col).alias("new_doc"), "band", "sig"
+    )
+    ib = lsh_banded(index_sigs, num_hashes, bands, id_col).select(
+        F.col(id_col).alias("index_doc"), "band", "sig"
+    )
+    return (
+        nb.join(ib, ["band", "sig"])
+        .groupBy("new_doc", "index_doc")
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
     )
 

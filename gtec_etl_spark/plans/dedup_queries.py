@@ -257,6 +257,42 @@ def _cc_oracle(num_hashes: int, bands: int) -> str:
     """
 
 
+_INCREMENTAL_ORACLE = f"""
+    WITH {_minhash_ctes(16, 4)},
+    inc AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS index_doc,
+             count(*) AS n_bands_matched
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+      GROUP BY 1, 2
+    )
+    SELECT new_doc, index_doc, n_bands_matched FROM inc
+    ORDER BY new_doc, index_doc
+    """
+
+
+@query("dedup_incremental_batch", oracle=_INCREMENTAL_ORACLE, tags=("dedup", "scale"))
+def dedup_incremental_batch(spark, sf_dir):
+    """INCREMENTAL near-dedup — the production ingest mode: a new crawl
+    batch (here docs with doc_id % 10 = 7) is checked against the
+    already-indexed corpus (everything else), emitting (new_doc,
+    index_doc) MinHash-LSH candidates. The corpus side's banded
+    signatures are a build-once artifact (persist + bucket by (band,
+    sig) at scale), so each ingest costs O(batch + matched buckets) —
+    never re-shuffling the 100 TB index. Same 16-perm 4-band geometry and
+    the same signature pipeline as dedup_minhash_lsh; batch-internal
+    pairs are intentionally excluded (they're the batch's own
+    lsh_candidate_pairs run)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    batch = sigs.filter(F.col("doc_id") % 10 == 7)
+    index = sigs.filter(F.col("doc_id") % 10 != 7)
+    return D.lsh_pairs_against_index(batch, index, 16, 4).orderBy(
+        "new_doc", "index_doc"
+    )
+
+
 @query("dedup_clusters_cc", oracle=_cc_oracle(16, 4), tags=("dedup", "scale"))
 def dedup_clusters_cc(spark, sf_dir):
     """Dedup CLUSTERING: connected components over the MinHash-LSH pair

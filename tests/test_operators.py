@@ -323,3 +323,43 @@ def test_asof_nearest_join_keeps_duplicate_left_rows(spark):
         value_cols=["rid"], tolerance_us=60_000_000,
     ).collect()
     assert [r["rid"] for r in rows] == [100, 100]
+
+
+def test_lsh_incremental_pairs_partition_of_full_pairs(spark):
+    """Batch-vs-index candidates + batch-internal + index-internal
+    candidates must exactly partition the full corpus pair set — nothing
+    lost, nothing double-counted, no batch-internal leakage."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import dedup as D
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # dup of 1
+        (7, "alpha beta gamma delta epsilon eta"),       # near-dup, "batch"
+        (17, "alpha beta gamma delta epsilon eta"),      # dup of 7, "batch"
+        (4, "totally different words here entirely now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(D.word_shingles(docs, 3), 16)
+    batch = sigs.filter(F.col("doc_id") % 10 == 7)
+    index = sigs.filter(F.col("doc_id") % 10 != 7)
+
+    full = {
+        (r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(sigs, 16, 4).collect()
+    }
+    cross = {
+        tuple(sorted((r.new_doc, r.index_doc)))
+        for r in D.lsh_pairs_against_index(batch, index, 16, 4).collect()
+    }
+    batch_only = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(batch, 16, 4).collect()
+    }
+    index_only = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(index, 16, 4).collect()
+    }
+    assert cross | batch_only | index_only == full
+    assert cross.isdisjoint(batch_only) and cross.isdisjoint(index_only)
+    assert (7, 17) in batch_only and (7, 17) not in cross
