@@ -112,3 +112,32 @@ def test_mixture_rebalance_rates_are_valid(spark):
     for r in rows:
         assert 0 < r["keep_bp"] <= 10000
         assert 0 <= r["n_sampled"] <= r["n_docs"]
+
+
+@SLOW
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_micros_matches_python_ieee(spark, xs):
+    """quantize_micros (floor(x*1e6 + 0.5) elementwise) is IEEE-exact: the
+    JVM expression must produce the int64s Python's float arithmetic
+    produces for any float32 input — the property the PQ oracle parity
+    stands on."""
+    import math
+
+    from gtec_etl_spark.operators.similarity import quantize_micros
+
+    df = spark.createDataFrame([(xs,)], "v array<float>")
+    got = df.select(quantize_micros(F.col("v")).alias("q")).first()["q"]
+    want = [math.floor(float(x) * 1000000.0 + 0.5) for x in xs]
+    assert got == want

@@ -33,9 +33,6 @@ QUERIES = [
     "dedup_clusters_cc",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "stream_stream_join",
-    "stream_dedup_watermark",
-    "stream_stateful_user_totals",
     "text_corpus_clean",
     "sim_topk_bruteforce",
     "ev_sliding_windows",
@@ -54,12 +51,27 @@ QUERIES = [
     "q29_order_gaps_lead_lag",
     "q30_rank_dense_ntile",
     "q31_range_frame_rolling",
+    # Round-5 additions whose scale claims need curves, not assertions.
+    "dedup_incremental_batch",
+    "ev_multi_resolution_rollup",
+    "sim_pq_trained_codebook",
+    "text_pii_redact",
+    # Streaming LAST: their sf1 state stores stay cached in the executor
+    # JVM after the query stops (HDFSBackedStateStoreProvider unloads
+    # lazily), and the residue measurably degrades whatever batch query
+    # runs next in the same session (observed 5.6s -> 30.9s on
+    # text_corpus_clean). Ordering them last keeps every batch
+    # measurement clean without needing a session per query.
+    "stream_stream_join",
+    "stream_dedup_watermark",
+    "stream_stateful_user_totals",
 ]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sparkdata_sf1")
+    ap.add_argument("--base-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--factor", type=float, default=10.0,
                     help="data volume vs the sf0.1 baseline")
@@ -70,11 +82,6 @@ def main() -> None:
     from gtec_etl_spark.session import get_spark
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    try:
-        with open(os.path.join(repo, "bench_out.json")) as fh:
-            base = json.load(fh)["queries"]
-    except (OSError, ValueError):
-        base = {}
 
     spark = get_spark("bench-scale")
     specs = registry.specs()
@@ -82,19 +89,29 @@ def main() -> None:
     # Warm JVM/codegen/footers (untimed).
     specs["q01_pricing_summary"].fn(spark, args.sf_dir).count()
 
-    results: dict[str, dict] = {}
-    total = 0.0
-    for name in QUERIES:
+    def best_of(name: str, sf_dir: str) -> tuple[float, int]:
         best, rows = float("inf"), 0
         for _ in range(args.runs):
             t0 = time.perf_counter()
-            rows = specs[name].fn(spark, args.sf_dir).count()
+            rows = specs[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        b = base.get(name)
+        return best, rows
+
+    results: dict[str, dict] = {}
+    total = 0.0
+    for name in QUERIES:
+        # SAME-SESSION baseline, measured back-to-back with the scaled
+        # run: a long bench session slows as JVM heap / GC / state-store
+        # residue accumulates, so a baseline recorded in a different
+        # session (bench_out.json) makes ratios drift up to 4x. Timing
+        # both scales within seconds of each other cancels the drift —
+        # the ratio is the signal, the absolute seconds are not.
+        b, _ = best_of(name, args.base_dir)
+        best, rows = best_of(name, args.sf_dir)
         results[name] = {
             "sec": round(best, 3),
             "rows": rows,
-            "sf0.1_sec": b,
+            "sf0.1_sec": round(b, 3),
             "ratio": round(best / b, 2) if b else None,
         }
         total += best
@@ -111,9 +128,11 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "data_factor_vs_sf0.1": args.factor,
         "note": (
-            "ratio = sf1_sec / sf0.1_sec for 10x data; ~linear (<=10) means "
-            "the plan scales; small-sf baselines are overhead-dominated so "
-            "ratios well under 10 are expected for cheap queries"
+            "ratio = sf1_sec / sf0.1_sec for 10x data, both sides timed "
+            "back-to-back in the same session (min-of-N); ~linear (<=10) "
+            "means the plan scales; small-sf baselines are "
+            "overhead-dominated so ratios well under 10 are expected for "
+            "cheap queries"
         ),
         "queries": results,
     }
