@@ -192,3 +192,67 @@ def test_stateful_running_user_totals(spark):
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     assert _sorted_rows(got, "user_id") == _sorted_rows(want, "user_id")
+
+
+def test_file_sink_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Durable pipeline contract: a parquet sink + checkpoint survives a
+    stop/restart without reprocessing — the restarted query picks up ONLY
+    files that arrived while it was down, and the sink holds every input
+    row exactly once. This is the fault-tolerance half of §2.10 that the
+    memory-sink replay tests can't see (their state dies with the query)."""
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "arrivals"
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    src.mkdir()
+    schema = (
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def land(batch, rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", SF.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(str(src / batch))
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("recursiveFileLookup", True)
+            .parquet(str(src))
+        )
+        out = stream.filter(SF.col("value") > 0).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    land("b1", [(i, "2024-01-10 12:00:00", 1, "a", 1.0, "{}") for i in range(5)])
+    run_until_drained()
+    first = spark.read.parquet(sink).count()
+    assert first == 5
+
+    # Downtime arrival, then RESTART from the same checkpoint.
+    land("b2", [(i, "2024-01-10 13:00:00", 2, "b", 2.0, "{}") for i in range(10, 13)])
+    run_until_drained()
+
+    rows = spark.read.parquet(sink).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    # Exactly once: batch-1 rows not duplicated by the restart, batch-2
+    # rows all present.
+    assert ids == [0, 1, 2, 3, 4, 10, 11, 12], ids
