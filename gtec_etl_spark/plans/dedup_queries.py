@@ -293,6 +293,65 @@ def dedup_incremental_batch(spark, sf_dir):
     )
 
 
+_INCREMENTAL_APPLY_ORACLE = f"""
+    WITH {_minhash_ctes(16, 4)},
+    matched AS (
+      SELECT DISTINCT a.doc_id AS new_doc
+      FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    ),
+    batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7)
+    SELECT count(*) AS n_batch,
+           CAST(count(*) - (SELECT count(*) FROM matched) AS BIGINT)
+             AS n_admitted,
+           (SELECT count(*) FROM matched) AS n_rejected,
+           (SELECT min(doc_id) FROM batch
+            WHERE doc_id NOT IN (SELECT new_doc FROM matched))
+             AS min_admitted_doc
+    FROM batch
+    """
+
+
+@query(
+    "dedup_incremental_apply",
+    oracle=_INCREMENTAL_APPLY_ORACLE,
+    tags=("dedup", "apply", "scale"),
+)
+def dedup_incremental_apply(spark, sf_dir):
+    """The incremental-ingest APPLICATION: admit only the new-batch docs
+    with no MinHash-LSH candidate in the indexed corpus (anti-join on
+    dedup_incremental_batch's match set) — the admission filter a crawl
+    pipeline runs before appending to the training corpus. Per-batch
+    cost is the batch's signatures + one equi-join against the persisted
+    index bands + one anti-join, summarized to admission counters (the
+    reference's found/not-found counter idiom, A7)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    batch_sigs = sigs.filter(F.col("doc_id") % 10 == 7)
+    index_sigs = sigs.filter(F.col("doc_id") % 10 != 7)
+    matched = (
+        D.lsh_pairs_against_index(batch_sigs, index_sigs, 16, 4)
+        .select("new_doc")
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    admitted = batch.join(
+        matched, batch["doc_id"] == matched["new_doc"], "left_anti"
+    )
+    totals = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    rejected = matched.agg(F.count(F.lit(1)).alias("n_rejected"))
+    return (
+        admitted.agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.min("doc_id").alias("min_admitted_doc"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(rejected))
+        .select("n_batch", "n_admitted", "n_rejected", "min_admitted_doc")
+    )
+
+
 @query("dedup_clusters_cc", oracle=_cc_oracle(16, 4), tags=("dedup", "scale"))
 def dedup_clusters_cc(spark, sf_dir):
     """Dedup CLUSTERING: connected components over the MinHash-LSH pair

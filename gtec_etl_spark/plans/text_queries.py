@@ -757,3 +757,104 @@ def text_pii_redact(spark, sf_dir):
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+@query(
+    "text_e2e_clean_pack",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             len(string_split(lower(text), ' ')) AS n_words,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+             {_HITS_SQL}
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+      FROM feats
+      WHERE {_PRED_FROM_HITS} = 'en' AND {_Q_FROM_HITS} >= {QMIN}
+    ),
+    canon AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp),
+    surv AS (
+      SELECT k.doc_id, k.text FROM kept k
+      JOIN canon c ON c.fp = k.fp AND c.keep_id = k.doc_id
+    ),
+    toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             {hash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM surv
+    ),
+    placed AS (
+      SELECT doc_id, n_tok, h % {PACK_BUCKETS} AS bucket,
+             sum(n_tok) OVER (
+               PARTITION BY h % {PACK_BUCKETS} ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tok
+      FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST((cum_tok - n_tok) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM placed ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_e2e_clean_pack(spark, sf_dir):
+    """The full training-data path as ONE lazy plan: langid -> quality
+    gate -> exact dedup (text_corpus_clean's filter chain) feeding
+    sequence packing (text_pack_sequences' bucketed running sum) over the
+    SURVIVORS only. What a real corpus build runs end to end; because it
+    is one Catalyst plan, the scan/score/filter stages fuse into a single
+    codegen pass and the whole flow costs three shuffles (fingerprint
+    groupBy, canonical semi-filter, packer window) regardless of how many
+    logical steps the pipeline has."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    from gtec_etl_spark.operators.dedup import normalized_text
+
+    words = F.split(F.lower(F.col("text")), " ")
+    feats = docs.select(
+        "doc_id",
+        "text",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        *[F.expr(_hits_spark(lg)).alias(f"hit_{lg}") for lg in STOPWORDS],
+    )
+    q_expr = F.expr(
+        "CAST((400 * hit_en + 300 * n_distinct"
+        " + 3 * least(n_words, 100) * n_words) * 10 div n_words AS BIGINT)"
+    )
+    kept = (
+        feats.withColumn("predicted_lang", F.expr(_PRED_FROM_HITS))
+        .withColumn("q", q_expr)
+        .filter((F.col("predicted_lang") == "en") & (F.col("q") >= QMIN))
+        .select("doc_id", "text", F.md5(normalized_text(F.col("text"))).alias("fp"))
+    )
+    canon = (
+        kept.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .withColumnRenamed("fp", "canon_fp")
+    )
+    surv = kept.join(
+        canon,
+        (kept["fp"] == canon["canon_fp"]) & (kept["doc_id"] == canon["keep_id"]),
+    ).select(kept["doc_id"], kept["text"])
+    toks = surv.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return placed.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr(f"CAST((cum_tok - n_tok) div {PACK_BUDGET} AS BIGINT)").alias("seq_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    ).orderBy("doc_id")
