@@ -858,3 +858,94 @@ def text_e2e_clean_pack(spark, sf_dir):
         F.expr(f"CAST((cum_tok - n_tok) div {PACK_BUDGET} AS BIGINT)").alias("seq_id"),
         F.col("n_tok").cast("long").alias("n_tok"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_data_card",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source, text,
+             len(string_split(lower(text), ' ')) AS n_words,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+             {_HITS_SQL}
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, n_words, fp,
+             CASE WHEN {_PRED_FROM_HITS} = 'en' THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN {_Q_FROM_HITS} >= {QMIN} THEN 1 ELSE 0 END AS passes_q
+      FROM feats
+    ),
+    dupes AS (
+      SELECT source, CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+      FROM scored GROUP BY source
+    )
+    SELECT s.source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(is_en) * 10000 // count(*) AS BIGINT) AS pct_en_bp,
+           CAST(sum(passes_q) * 10000 // count(*) AS BIGINT) AS pct_quality_bp,
+           max(d.n_exact_dups) AS n_exact_dups
+    FROM scored s JOIN dupes d ON d.source = s.source
+    GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("text", "pipeline"),
+)
+def text_data_card(spark, sf_dir):
+    """The per-source corpus DATA CARD — the summary artifact a training
+    team publishes with a dataset: document and whitespace-token counts,
+    language mix and quality-gate pass rates (integer basis points for
+    cross-engine determinism), and the exact-duplicate count, per source.
+    One scan computes every per-doc feature map-side; two aggregations on
+    `source` (a low-cardinality key) produce the card, so the cost at
+    100 TB is the scan plus two small shuffles."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    from gtec_etl_spark.operators.dedup import normalized_text
+
+    words = F.split(F.lower(F.col("text")), " ")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+        *[F.expr(_hits_spark(lg)).alias(f"hit_{lg}") for lg in STOPWORDS],
+    )
+    q_expr = F.expr(
+        "CAST((400 * hit_en + 300 * n_distinct"
+        " + 3 * least(n_words, 100) * n_words) * 10 div n_words AS BIGINT)"
+    )
+    scored = feats.select(
+        "source",
+        "n_words",
+        "fp",
+        F.when(F.expr(_PRED_FROM_HITS) == "en", 1).otherwise(0).alias("is_en"),
+        F.when(q_expr >= QMIN, 1).otherwise(0).alias("passes_q"),
+    )
+    dupes = scored.groupBy("source").agg(
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_ws_tokens"),
+            F.expr("CAST(sum(is_en) * 10000 div count(*) AS BIGINT)").alias(
+                "pct_en_bp"
+            ),
+            F.expr("CAST(sum(passes_q) * 10000 div count(*) AS BIGINT)").alias(
+                "pct_quality_bp"
+            ),
+        )
+        .join(F.broadcast(dupes), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_ws_tokens",
+            "pct_en_bp",
+            "pct_quality_bp",
+            "n_exact_dups",
+        )
+        .orderBy("source")
+    )
