@@ -145,6 +145,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--out", default="STREAM_STEADY.json")
     args = ap.parse_args()
 
     from gtec_etl_spark.session import get_spark
@@ -173,7 +174,7 @@ def main() -> None:
         ),
         "queries": results,
     }
-    with open(os.path.join(repo, "STREAM_STEADY.json"), "w") as fh:
+    with open(os.path.join(repo, args.out), "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     print(json.dumps(payload, separators=(",", ":")))
