@@ -68,8 +68,21 @@ def events_ts_unit(path: str) -> str:
             probe = os.path.join(path, "*.parquet")
         if _glob.has_magic(probe):
             files = sorted(_glob.glob(probe))
-            if files:
-                probe = files[0]
+            if not files:
+                # Without this, pq.read_schema would receive the literal
+                # '*.parquet' magic string and raise a confusing
+                # FileNotFoundError (e.g. an empty streaming landing dir, or
+                # a dataset with only nested part directories).
+                raise FileNotFoundError(
+                    f"no parquet files found under {path!r} — cannot probe"
+                    " the events ts unit (empty directory, or data nested in"
+                    " subdirectories the top-level glob does not reach)"
+                )
+            probe = files[0]
+        # Single-footer assumption: one file's unit stands for the whole
+        # directory. The driver writes each sf dir with one generator pass,
+        # so units are uniform per directory; a genuinely mixed-unit
+        # directory would need a per-file probe (documented limitation).
         field = _pq.read_schema(probe).field("ts")
         unit = getattr(field.type, "unit", None)
         # A plain int64 ts (no logical type) is epoch-nanos in the r1-era

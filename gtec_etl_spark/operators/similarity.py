@@ -115,6 +115,23 @@ def pq_kmeans_codebook(
     trains on a ~1e5-row sample regardless of corpus size — training cost
     is O(sample), never O(corpus); only ENCODE scans the full data."""
     subs = subs.persist()
+    try:
+        cb = _pq_kmeans_iterate(subs, init, iters)
+        # Materialize the codebook (bounded: M*K rows by construction)
+        # BEFORE releasing the cache — the trained plan references `subs`
+        # once per iteration, so a lazy return would recompute the sample
+        # iters× after unpersist. A collected 64-row codebook re-enters the
+        # plan as a broadcast-sized local relation, which is exactly how
+        # the search side consumes it.
+        return subs.sparkSession.createDataFrame(cb.collect(), cb.schema)
+    finally:
+        # Caller-provided DataFrame: leaving it cached would leak blocks
+        # across repeated calls in a long session (the same session-residue
+        # class tools/bench_scale.py works around).
+        subs.unpersist()
+
+
+def _pq_kmeans_iterate(subs: DataFrame, init: DataFrame, iters: int) -> DataFrame:
     cb = init
     for _ in range(iters):
         assigned = (

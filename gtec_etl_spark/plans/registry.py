@@ -74,8 +74,13 @@ def _driver_verified_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict) or row.get("err") is not None:
                 continue
-            hm = row.get("hash_match")
-            if hm is True or (hm is None and row.get("rows_match") is not False):
+            # Require an explicit POSITIVE signal (hash_match True, or for
+            # oracle-less queries rows_match True). A timing-only or
+            # partially-written record (both fields absent/None) must NOT
+            # count as verified — that would demote a never-actually-checked
+            # query in sampling order, the exact r4 failure mode this
+            # ordering guards against.
+            if row.get("hash_match") is True or row.get("rows_match") is True:
                 seen.add(name)
     return seen
 

@@ -39,12 +39,21 @@ from pyspark.sql.types import ArrayType, StructType
 SKIP_FIELDS = ("@id", "@context")
 
 
-def _subject(node: Column, schema: StructType) -> Column:
-    if "@id" in schema.fieldNames():
-        return node.getField("@id")
+def _bnode(node: Column) -> Column:
     # Blank node: deterministic content-hash label (rdflib invents
     # per-parse labels; a distributed engine needs reproducible ones).
     return F.concat(F.lit("_:"), F.substring(F.sha2(F.to_json(node), 256), 1, 16))
+
+
+def _subject(node: Column, schema: StructType) -> Column:
+    if "@id" in schema.fieldNames():
+        # Coalesce with a bnode label: after spark.read.json schema merge
+        # over a heterogeneous corpus, a document whose nested object omits
+        # @id while SIBLINGS at the same path have it gets @id=NULL — rdflib
+        # assigns that node a bnode, so the engine must too (a bare
+        # getField would drop the parent edge and emit s=NULL literals).
+        return F.coalesce(node.getField("@id"), _bnode(node))
+    return _bnode(node)
 
 
 def _emit_child(
@@ -60,7 +69,7 @@ def _emit_child(
     out.append(
         present.select(
             s.alias("s"), F.lit(pname).alias("p"), cs.alias("o")
-        ).filter(F.col("o").isNotNull())
+        ).filter(F.col("o").isNotNull() & F.col("s").isNotNull())
     )
     cdf = present.select(cs.alias("__s"), child.alias("__node"))
     _emit(
@@ -94,7 +103,7 @@ def _emit(df, s, get, schema: StructType, out: list[DataFrame]) -> None:
                         "s",
                         F.lit(f.name).alias("p"),
                         F.col("__e").cast("string").alias("o"),
-                    ).filter(F.col("o").isNotNull())
+                    ).filter(F.col("o").isNotNull() & F.col("s").isNotNull())
                 )
         else:
             out.append(
@@ -102,7 +111,7 @@ def _emit(df, s, get, schema: StructType, out: list[DataFrame]) -> None:
                     s.alias("s"),
                     F.lit(f.name).alias("p"),
                     v.cast("string").alias("o"),
-                ).filter(F.col("o").isNotNull())
+                ).filter(F.col("o").isNotNull() & F.col("s").isNotNull())
             )
 
 

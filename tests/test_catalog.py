@@ -51,18 +51,38 @@ def test_events_stream_schema_matches_batch(spark, sf_dir):
     assert stream.schema == batch.schema
 
 
+def test_empty_directory_raises_clear_error(tmp_path):
+    """An empty landing directory must fail with an explicit message, not a
+    confusing FileNotFoundError on the literal '*.parquet' glob string
+    (r5 advice)."""
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError, match="no parquet files found"):
+        catalog.events_ts_unit(str(d))
+
+
 @pytest.mark.parametrize("unit", ["us", "ns"])
 def test_both_units_read_identically(spark, tmp_path, unit):
     """Write the same logical rows as micros and as int64-nanos; the
-    footer-driven reader must produce identical timestamps for both."""
+    footer-driven reader must produce identical timestamps for both.
+
+    All arithmetic and comparison happen in epoch-micros space via UTC
+    (calendar.timegm) — naive datetime.timestamp() on the write side and
+    collect()'s datetime conversion on the read side both go through the
+    HOST's local timezone, which made the original test pass only on
+    TZ=UTC machines (r5 advice)."""
+    import calendar
+
     ts = [
         datetime.datetime(2024, 1, 1, 12, 0, 0),
         datetime.datetime(2024, 1, 15, 3, 30, 59, 123456),
     ]
+    micros = [
+        calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond for t in ts
+    ]
     if unit == "us":
         arr = pa.array(ts, type=pa.timestamp("us"))
     else:
-        micros = [int(t.timestamp() * 1_000_000) for t in ts]
         arr = pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))
     t = pa.table(
         {
@@ -77,10 +97,13 @@ def test_both_units_read_identically(spark, tmp_path, unit):
     d = tmp_path / unit
     d.mkdir()
     pq.write_table(t, d / "events.parquet")
+    from pyspark.sql import functions as F
+
     got = [
-        r["ts"]
+        r["tsm"]
         for r in catalog.table(spark, str(d), "events")
+        .select("event_id", F.unix_micros("ts").alias("tsm"))
         .orderBy("event_id")
         .collect()
     ]
-    assert got == ts
+    assert got == micros

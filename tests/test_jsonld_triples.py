@@ -77,6 +77,32 @@ def test_blank_node_ids_deterministic(spark):
     assert (expected_bnode, "unit", "count") in triples
 
 
+def test_mixed_identified_and_anonymous_siblings(spark):
+    """Schema-merge hazard (r5 advice): when one document's nested object
+    has @id and a sibling document's object at the SAME path omits it, the
+    merged schema contains @id so the anonymous node reads as @id=NULL. It
+    must still get a deterministic bnode subject and keep its parent edge
+    and literals — rdflib assigns a bnode; dropping the node would lose
+    triples silently."""
+    rows = [
+        json.dumps({"@id": "e:a", "dim": {"@id": "e:d", "unit": "mm"}}),
+        json.dumps({"@id": "e:b", "dim": {"unit": "count"}}),
+    ]
+    df = spark.read.json(spark.sparkContext.parallelize(rows))
+    assert "@id" in df.schema["dim"].dataType.fieldNames()  # merged schema
+    triples = {(r.s, r.p, r.o) for r in jsonld_to_triples(df).collect()}
+    assert ("e:a", "dim", "e:d") in triples
+    assert ("e:d", "unit", "mm") in triples
+    # The anonymous sibling: bnode subject, edge kept, literal kept, and
+    # NO null-subject or null-object rows anywhere.
+    bnodes = {s for (s, p, o) in triples if p == "unit" and o == "count"}
+    assert len(bnodes) == 1
+    bnode = bnodes.pop()
+    assert bnode.startswith("_:")
+    assert ("e:b", "dim", bnode) in triples
+    assert all(s is not None and o is not None for (s, _, o) in triples)
+
+
 def test_triples_flatten_has_no_python_udfs(spark, sf_dir):
     plan = (
         src_jsonld_roundtrip(spark, sf_dir)
