@@ -256,17 +256,17 @@ def _sqdist_int_sql(a: str, b: str, n: int) -> str:
 
 from gtec_etl_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
 
-
-@query(
-    "sim_pq_adc_topk",
-    oracle=f"""
+# Shared CTE prefix for the PQ pipeline stages — the headline ADC query and
+# every sim_pq_debug_* stage query embed this SAME text, so a driver-side
+# red row on one stage localizes the first diverging stage by construction.
+_PQ_CTES = f"""
     WITH h AS (
       SELECT vec_id, {_quantize_sql('embedding')} AS qe,
              {hash60_sql("CAST(vec_id AS VARCHAR)")} AS hh
       FROM embeddings WHERE vec_id <> 0
     ),
     seeds AS (
-      SELECT qe, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
+      SELECT vec_id, hh, qe, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
       FROM h ORDER BY hh, vec_id LIMIT {PQ_K}
     ),
     js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
@@ -296,7 +296,14 @@ from gtec_etl_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
       SELECT q.j AS j, r, {_sqdist_int_sql('sub', 'c', PQ_SUBDIM)} AS qd
       FROM qsubs q JOIN codebook cb ON cb.j = q.j
     )
-    SELECT e.vec_id, sum(l.qd) AS adc_dist_q
+"""
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=_PQ_CTES
+    + """
+    SELECT e.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist_q
     FROM enc e JOIN lut l ON l.j = e.j AND l.r = e.r
     WHERE e.rn = 1
     GROUP BY e.vec_id
@@ -326,7 +333,17 @@ def sim_pq_adc_topk(spark, sf_dir):
     (floor(x*1e6 + 0.5), IEEE-exact on any engine) BEFORE any distance, so
     encode ranking, LUT entries, and the final ADC sum are pure int64 —
     no float fold anywhere, hence no 1-ulp cross-engine reordering (the
-    round-3/4 hash-red root cause)."""
+    round-3/4 hash-red root cause).
+
+    Round-6 fix for the r3-r5 driver-only hash-red: DuckDB promotes
+    sum(BIGINT) to HUGEINT (int128) — the ONLY hugeint column in the whole
+    registry (audit: tests/test_plans.py::test_no_oracle_emits_hugeint).
+    A fetchall() client gets exact Python ints (why every local check was
+    green), but a pandas/arrow fetch path renders int128 as float64 or
+    decimal, whose canonical string diverges from Spark's int64 — hash-red
+    with rows+schema green, exactly the driver's symptom. The oracle now
+    CASTs the sum to BIGINT so every client sees int64. The
+    sim_pq_debug_* stage queries below bisect any residual divergence."""
     from pyspark.sql import Window
 
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
@@ -385,6 +402,162 @@ def sim_pq_adc_topk(spark, sf_dir):
         .agg(F.sum("qd").alias("adc_dist_q"))
         .orderBy("adc_dist_q", "vec_id")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ stage-level debug queries (round-6 bisection harness).
+#
+# sim_pq_adc_topk was driver-hash-red in r3/r4/r5 while locally
+# oracle-exact under the driver's own protocol — a cross-BUILD divergence,
+# not a plan bug. Each query below exposes ONE stage of the pipeline with
+# a tiny pure-int64 output and an oracle sharing _PQ_CTES verbatim, so one
+# driver sample localizes the first diverging stage:
+#   quantize -> seeds -> codebook -> codes (encode) -> lut -> final ADC agg.
+# Every aggregate is CAST to BIGINT — DuckDB promotes integer sums to
+# HUGEINT, which a pandas/arrow fetch path renders as float64/decimal and
+# which was itself the prime suspect for the headline query's divergence.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_pq_debug_quantize",
+    oracle=f"""
+    WITH h AS (SELECT {_quantize_sql('embedding')} AS qe FROM embeddings),
+    ds AS (SELECT unnest(generate_series(1, {PQ_M * PQ_SUBDIM})) AS i)
+    SELECT i - 1 AS d, CAST(sum(qe[i]) AS BIGINT) AS sum_q,
+           min(qe[i]) AS min_q, max(qe[i]) AS max_q, count(*) AS n_vals
+    FROM h CROSS JOIN ds GROUP BY i ORDER BY d
+    """,
+    tags=("similarity", "debug"),
+)
+def sim_pq_debug_quantize(spark, sf_dir):
+    """PQ stage 0: per-dimension checksum (sum/min/max/count) of the
+    quantized-micros values over the WHOLE corpus — 64 pure-int rows that
+    catch any cross-build divergence in parquet float decoding or the
+    floor(x*1e6+0.5) quantization, for every element of every vector."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    return (
+        emb.select(F.posexplode("qe").alias("d", "qx"))
+        .groupBy("d")
+        .agg(
+            F.sum("qx").alias("sum_q"),
+            F.min("qx").alias("min_q"),
+            F.max("qx").alias("max_q"),
+            F.count(F.lit(1)).alias("n_vals"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "sim_pq_debug_seeds",
+    oracle=_PQ_CTES
+    + """
+    SELECT r, vec_id, hh FROM seeds ORDER BY r
+    """,
+    tags=("similarity", "debug"),
+)
+def sim_pq_debug_seeds(spark, sf_dir):
+    """PQ stage 1: the 16 hash-ordered seed vectors (r, vec_id, hh). Red
+    here (with quantize green) isolates hash60 or ORDER BY/LIMIT seed
+    selection as the diverging stage."""
+    from pyspark.sql import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    seeds = (
+        base.select(
+            "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
+        )
+        .orderBy("hh", "vec_id")
+        .limit(PQ_K)
+        .withColumn("r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
+    )
+    return seeds.select("r", "vec_id", "hh").orderBy("r")
+
+
+@query(
+    "sim_pq_debug_codebook",
+    oracle=_PQ_CTES
+    + f"""
+    SELECT r, j, i - 1 AS d, c[i] AS cx
+    FROM codebook CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i)
+    ORDER BY r, j, d
+    """,
+    tags=("similarity", "debug"),
+)
+def sim_pq_debug_codebook(spark, sf_dir):
+    """PQ stage 2: every codeword element (r, j, d, cx) of the seeded
+    codebook — {PQ_K}x{PQ_M}x{PQ_SUBDIM} pure-int rows. Red here (with
+    seeds green) isolates the subspace slicing."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    cb = _pq_seed_codebook(emb.filter(F.col("vec_id") != 0))
+    return cb.select("r", "j", F.posexplode("c").alias("d", "cx")).orderBy(
+        "r", "j", "d"
+    )
+
+
+@query(
+    "sim_pq_debug_codes",
+    oracle=_PQ_CTES
+    + """
+    SELECT vec_id, j, r FROM enc WHERE rn = 1 ORDER BY vec_id, j
+    """,
+    tags=("similarity", "debug"),
+)
+def sim_pq_debug_codes(spark, sf_dir):
+    """PQ stage 3: the encode result — every vector's nearest-codeword
+    assignment (vec_id, j, r). Red here (with codebook green) isolates the
+    integer argmin / tie-break window."""
+    from pyspark.sql import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    codebook = _pq_seed_codebook(base)
+    enc = _pq_slice(base, "qe").join(F.broadcast(codebook), "j").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id", "j").orderBy(
+                S.sqdist_int(F.col("sub"), F.col("c")), F.col("r")
+            )
+        ),
+    )
+    return enc.filter(F.col("rn") == 1).select("vec_id", "j", "r").orderBy(
+        "vec_id", "j"
+    )
+
+
+@query(
+    "sim_pq_debug_lut",
+    oracle=_PQ_CTES
+    + """
+    SELECT j, r, qd FROM lut ORDER BY j, r
+    """,
+    tags=("similarity", "debug"),
+)
+def sim_pq_debug_lut(spark, sf_dir):
+    """PQ stage 4: the query-side distance lookup table (j, r, qd) — 64
+    pure-int rows. Red here (with codebook green) isolates the query
+    sub-vector slicing or integer distance; all stages green with the
+    headline ADC query red would isolate the final join+sum+top-k."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    codebook = _pq_seed_codebook(emb.filter(F.col("vec_id") != 0))
+    qsubs = _pq_slice(emb.filter(F.col("vec_id") == 0), "qe", with_id=False)
+    return (
+        qsubs.join(F.broadcast(codebook), "j")
+        .select("j", "r", S.sqdist_int(F.col("sub"), F.col("c")).alias("qd"))
+        .orderBy("j", "r")
     )
 
 

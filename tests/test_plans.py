@@ -169,3 +169,35 @@ def test_multi_resolution_rollup_single_scan_expand(spark):
     # count the tree lines only.
     assert plan.count("+- Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_no_oracle_emits_hugeint(spark):
+    # DuckDB promotes integer sums to HUGEINT (int128). A fetchall()
+    # client gets exact Python ints, but a pandas/arrow fetch path renders
+    # int128 as float64/decimal whose canonical string diverges from
+    # Spark's int64 — hash-red with rows+schema green on any comparator
+    # that isn't fetchall-based. sim_pq_adc_topk was driver-red for three
+    # rounds with exactly that symptom as the only hugeint-emitting oracle
+    # in the registry. Every integer aggregate in an oracle must be CAST
+    # to BIGINT; this pins the whole registry.
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+        " documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders = {}
+    for name, spec in registry.specs().items():
+        if spec.oracle is None:
+            continue
+        res = con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+        bad = {
+            c: str(t)
+            for c, t in zip(res.columns, res.types)
+            if "HUGEINT" in str(t)
+        }
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles with int128 output columns: {offenders}"
