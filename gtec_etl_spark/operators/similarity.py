@@ -148,7 +148,20 @@ def _pq_kmeans_iterate(subs: DataFrame, init: DataFrame, iters: int) -> DataFram
         new = (
             assigned.select("j", "r", F.posexplode("sub").alias("d", "x"))
             .groupBy("j", "r", "d")
-            .agg(F.floor(F.avg("x") + F.lit(0.5)).cast("long").alias("cx"))
+            # Explicit exact-int sum then ONE double division, instead of
+            # avg(): both engines then perform the identical IEEE ops
+            # (long sum is exact; sum and count are < 2^53 so the cast is
+            # exact; one correctly-rounded divide), making the re-quantized
+            # centroid bit-identical cross-engine by construction.
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cx")
+            )
             .groupBy("j", "r")
             .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("pairs"))
             .select("j", "r", F.expr("transform(pairs, p -> p.cx)").alias("c2"))

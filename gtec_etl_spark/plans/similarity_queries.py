@@ -623,7 +623,116 @@ def pq_adc_search(base, query_row, codebook, k: int = 10):
 PQ_TRAIN_SAMPLE, PQ_TRAIN_ITERS = 1024, 4
 
 
-@query("sim_pq_trained_codebook", tags=("similarity", "scale"))
+def _lloyds_unrolled_sql(iters: int) -> str:
+    """DuckDB oracle for the k-means-trained PQ search: Lloyd's iterations
+    UNROLLED as chained CTE stages (the iteration count is a compile-time
+    constant, so no recursion is needed). Mirrors
+    operators.similarity.pq_kmeans_codebook stage for stage:
+
+      a{{i}}: assign each training sub-vector to its nearest codeword
+             (integer-exact sqdist, ties to the lowest r);
+      n{{i}}: recompute each codeword as the re-quantized elementwise mean
+             floor(sum/count + 0.5) — exact long sum, one double divide,
+             the same IEEE ops Spark performs;
+      cb{{i}}: left-join coalesce keeps codewords that attracted no members.
+
+    Every quantity is int64 end to end (and every aggregate CAST away from
+    DuckDB's HUGEINT), so exact hash parity with the Spark plan is a
+    construction property, not luck."""
+    sq = _sqdist_int_sql("sub", "c", PQ_SUBDIM)
+    parts = [
+        f"""
+    WITH h AS (
+      SELECT vec_id, {_quantize_sql('embedding')} AS qe,
+             {hash60_sql("CAST(vec_id AS VARCHAR)")} AS hh
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    seeds AS (
+      SELECT vec_id, hh, qe, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
+      FROM h ORDER BY hh, vec_id LIMIT {PQ_K}
+    ),
+    js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+    ds AS (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i),
+    cb0 AS (
+      SELECT r, j,
+             list_slice(qe, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS c
+      FROM seeds CROSS JOIN js
+    ),
+    samp AS (
+      SELECT vec_id, qe FROM h ORDER BY hh, vec_id LIMIT {PQ_TRAIN_SAMPLE}
+    ),
+    tsub AS (
+      SELECT vec_id, j,
+             list_slice(qe, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+      FROM samp CROSS JOIN js
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cb{i - 1}"
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT j, r, sub FROM (
+        SELECT s.j AS j, cb.r AS r, s.sub AS sub,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j ORDER BY {sq}, cb.r
+               ) AS rn
+        FROM tsub s JOIN {prev} cb ON cb.j = s.j
+      ) WHERE rn = 1
+    ),
+    n{i} AS (
+      SELECT j, r, list(cx ORDER BY d) AS c2 FROM (
+        SELECT j, r, i AS d,
+               CAST(floor(
+                 CAST(CAST(sum(sub[i]) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) + 0.5
+               ) AS BIGINT) AS cx
+        FROM a{i} CROSS JOIN ds GROUP BY j, r, i
+      ) GROUP BY j, r
+    ),
+    cb{i} AS (
+      SELECT cb.j, cb.r, coalesce(n.c2, cb.c) AS c
+      FROM {prev} cb LEFT JOIN n{i} n ON n.j = cb.j AND n.r = cb.r
+    )"""
+        )
+    parts.append(
+        f""",
+    subs AS (
+      SELECT vec_id, j,
+             list_slice({_quantize_sql('embedding')}, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+      FROM embeddings CROSS JOIN js WHERE vec_id <> 0
+    ),
+    enc AS (
+      SELECT vec_id, s.j AS j, r,
+             row_number() OVER (
+               PARTITION BY vec_id, s.j ORDER BY {sq}, r
+             ) AS rn
+      FROM subs s JOIN cb{iters} cb ON cb.j = s.j
+    ),
+    qsubs AS (
+      SELECT j, list_slice({_quantize_sql('embedding')}, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+      FROM embeddings CROSS JOIN js WHERE vec_id = 0
+    ),
+    lut AS (
+      SELECT q.j AS j, r, {sq} AS qd
+      FROM qsubs q JOIN cb{iters} cb ON cb.j = q.j
+    )
+    SELECT e.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist_q
+    FROM enc e JOIN lut l ON l.j = e.j AND l.r = e.r
+    WHERE e.rn = 1
+    GROUP BY e.vec_id
+    ORDER BY adc_dist_q, e.vec_id
+    LIMIT 10
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "sim_pq_trained_codebook",
+    oracle=_lloyds_unrolled_sql(PQ_TRAIN_ITERS),
+    tags=("similarity", "scale"),
+)
 def sim_pq_trained_codebook(spark, sf_dir):
     """PQ ADC top-10 with a k-means-TRAINED codebook — the production
     answer to sim_pq_adc_topk's documented caveat (hash-sampled seeds).
@@ -633,11 +742,15 @@ def sim_pq_trained_codebook(spark, sf_dir):
     in quantized-integer space, so the trained codebook — and therefore
     this query — is bit-reproducible run to run.
 
-    No SQL oracle: iterative training is the brief's documented
-    non-SQL-expressible case (the driver records a rows-only check).
-    tests/test_operators.py pins the ML contract instead: training must
-    not increase quantization distortion vs the seeds, and ADC top-10
-    recall vs exact integer-L2 search must clear a floor.
+    Oracled since round 6: the iteration count is a constant, so Lloyd's
+    unrolls into {PQ_TRAIN_ITERS} chained CTE stages in DuckDB
+    (_lloyds_unrolled_sql) with int64-exact arithmetic at every step —
+    assignment argmin, re-quantized centroid mean floor(sum/count+0.5),
+    empty-cluster coalesce — giving full hash parity instead of the prior
+    rows-only check. tests/test_operators.py additionally pins the ML
+    contract: training must not increase quantization distortion vs the
+    seeds, and ADC top-10 recall vs exact integer-L2 search must clear a
+    floor.
 
     Scale: training cost is O(sample × iters), independent of corpus
     size; encode+search is the same broadcast-join plan as
