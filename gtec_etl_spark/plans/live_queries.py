@@ -224,6 +224,44 @@ def mm_resize_frame_sample(spark, sf_dir):
 
 
 @query(
+    "mm_decode_ppm",
+    oracle=f"""
+    SELECT media_id, fmt, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_ppm.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_ppm(spark, sf_dir):
+    """REAL public image format through the media pipeline: deterministic
+    netpbm files (binary/ASCII x RGB/gray, including a maxval-rescale
+    case) decoded by the dependency-free pure-Python decoder
+    (operators/multimodal.py:_decode_netpbm) — the round-6 closure of the
+    codec stub: NotImplementedError is now reachable only for genuinely
+    compressed formats (PNG/JPEG need PIL). Oracle = golden fixture
+    recomputed independently from the LCG value stream WITHOUT the parser
+    (tools/make_multimodal_golden.py:decode_ppm_golden)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.netpbm_media_table(spark, n=12, width=31, height=17)
+    fmts = F.array(*[F.lit(f) for f, _ in M.NETPBM_CYCLE])
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            F.element_at(fmts, (F.col("media_id") % 4 + 1).cast("int")).alias("fmt"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,

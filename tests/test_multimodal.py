@@ -58,3 +58,43 @@ def test_stub_boundary_raises_on_real_formats(spark):
     )
     with pytest.raises(PythonException, match="NotImplementedError|FAKEIMG"):
         M.decode_image(media).collect()
+
+
+def test_netpbm_binary_and_ascii_decode_identically():
+    """P5 (binary) and P2 (ASCII) carrying the same values must decode to
+    identical pixels; same for P6/P3 through the luma path."""
+    vals = M.netpbm_values(5, 3, seed=7, nch=1, maxval=255)
+    p5 = b"P5\n5 3\n255\n" + bytes(vals)
+    p2 = ("P2\n5 3\n255\n" + " ".join(map(str, vals))).encode()
+    assert M._decode_netpbm(p5) == M._decode_netpbm(p2) == (5, 3, bytes(vals))
+
+
+def test_netpbm_luma_and_rescale_exact():
+    # One RGB pixel (200, 100, 50) at maxval=200: rescale each channel by
+    # (v*255 + 100) // 200 -> (255, 128, 64), then BT.601 truncating luma.
+    p3 = b"P3\n# comment mid-header\n1 1\n200\n200 100 50"
+    w, h, pix = M._decode_netpbm(p3)
+    expected = (299 * 255 + 587 * 128 + 114 * 64) // 1000
+    assert (w, h, pix) == (1, 1, bytes([expected]))
+
+
+def test_netpbm_header_comments_and_errors():
+    with pytest.raises(ValueError, match="truncated netpbm raster"):
+        M._decode_netpbm(b"P5\n4 4\n255\n\x00\x01")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        M._decode_netpbm(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+    # comments may appear between any header tokens
+    p2 = b"P2 # fmt\n2 # w\n1 # h\n255 # maxval\n9 200"
+    assert M._decode_netpbm(p2) == (2, 1, bytes([9, 200]))
+
+
+def test_netpbm_through_spark_pipeline(spark):
+    media = M.netpbm_media_table(spark, n=8, width=9, height=4)
+    rows = M.decode_image(media).orderBy("media_id").collect()
+    assert [r["width"] for r in rows] == [9] * 8
+    assert [r["n_pixels"] for r in rows] == [36] * 8
+    # deterministic: a second run produces identical means
+    again = M.decode_image(media).orderBy("media_id").collect()
+    assert [r["mean_intensity"] for r in rows] == [
+        r["mean_intensity"] for r in again
+    ]

@@ -108,6 +108,40 @@ def resize_frame_sample_golden(n: int = 12, width: int = 64, height: int = 48,
     return pa.Table.from_pylist(rows)
 
 
+def decode_ppm_golden(n: int = 12, width: int = 31, height: int = 17) -> pa.Table:
+    """Expected output of mm_decode_ppm. Independent recomputation: the
+    LCG value stream is regenerated directly (mod maxval+1) and the decode
+    result — 0-255 rescale, BT.601 integer luma, mean intensity — is
+    computed from the VALUES, never going through the engine's netpbm
+    parser (which is exactly what the query is testing)."""
+    cycle = (("P6", 255), ("P5", 255), ("P3", 100), ("P2", 99))
+    rows = []
+    for mid in range(n):
+        fmt, maxval = cycle[mid % 4]
+        nch = 3 if fmt in ("P6", "P3") else 1
+        x = (mid * 2654435761) % (2**32)
+        vals = np.empty(width * height * nch, dtype=np.int64)
+        for i in range(len(vals)):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % (maxval + 1)
+        if maxval != 255:
+            vals = (vals * 255 + maxval // 2) // maxval
+        if nch == 3:
+            rgb = vals.reshape(-1, 3)
+            vals = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        rows.append(
+            {
+                "media_id": mid,
+                "fmt": fmt,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(vals.mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -116,6 +150,9 @@ def main() -> None:
     pq.write_table(
         resize_frame_sample_golden(),
         os.path.join(OUT_DIR, "mm_resize_frame_sample.parquet"),
+    )
+    pq.write_table(
+        decode_ppm_golden(), os.path.join(OUT_DIR, "mm_decode_ppm.parquet")
     )
     print(f"wrote golden fixtures to {OUT_DIR}")
 
