@@ -238,3 +238,53 @@ def src_jsonld_foreign_fixture(spark, sf_dir):
     triple set, so this pins the parser against a ground truth the
     emitter had no hand in."""
     return read_jsonld(spark, _FIXTURE_PATH).orderBy("s", "p", "o")
+
+
+_NESTED_FIXTURE_PATH = __import__("os").path.abspath(
+    __import__("os").path.join(
+        __import__("os").path.dirname(__file__),
+        "..", "..", "fixtures", "jsonld", "nested_lists.jsonld",
+    )
+)
+
+_NESTED_TRIPLES = [
+    ("e:m", "@type", "Matrix"),
+    ("e:m", "cube[0][0]", "5"),
+    ("e:m", "cube[0][0]", "6"),
+    ("e:m", "grid[0]", "1"),
+    ("e:m", "grid[0]", "2"),
+    ("e:m", "grid[1]", "3"),
+    ("e:m", "grid[1]", "4"),
+    ("e:m", "tags", "x"),
+    ("e:m", "tags", "y"),
+    ("e:p", "name", "routes"),
+    ("e:p", "paths[0]", "e:a"),
+    ("e:p", "paths[0]", "e:b"),
+    ("e:p", "paths[1]", "e:c"),
+]
+
+_NESTED_VALUES = ",\n      ".join(
+    "('{}', '{}', '{}')".format(*t) for t in _NESTED_TRIPLES
+)
+
+
+@query(
+    "src_jsonld_nested_list",
+    oracle=f"""
+    SELECT s, p, o FROM (VALUES
+      {_NESTED_VALUES}
+    ) AS t(s, p, o) ORDER BY s, p, o
+    """,
+    tags=("sources", "triples", "jsonld"),
+)
+def src_jsonld_nested_list(spark, sf_dir):
+    """S16 nested-@list path (round-6 closure of the arrays-of-arrays
+    NotImplementedError): a foreign fixture with list-of-lists of scalars
+    (2 and 3 levels deep) and a list-of-lists of node REFERENCES flattens
+    with list position encoded in indexed predicates (grid[0], cube[0][0],
+    paths[1]) — the standard RDF position-as-predicate reification.
+    Plain single-level arrays in the same documents keep the unordered
+    multi-value predicate (tags). The reference accepts such documents
+    through rdflib (sparql/v0.7/rdflib_util.py:54-63); the oracle is the
+    hand-derived triple set."""
+    return read_jsonld(spark, _NESTED_FIXTURE_PATH).orderBy("s", "p", "o")

@@ -19,7 +19,9 @@ emitter produces):
   first-occurrence-full-then-ref dedup, sinks/jsonld.py) yield ONLY the
   edge — their other fields are null and null literals are dropped, so a
   full+ref pair round-trips to the same graph as two fulls;
-- arrays fan out one triple per element (explode);
+- arrays fan out one triple per element (explode); an element that is
+  itself an array (JSON-LD @list nesting) flattens with list position
+  encoded in an indexed predicate (`grid[0]`, `paths[1][2]`, any depth);
 - an object with no `@id` field is a blank node: `_:` + sha256 of its JSON
   serialization — deterministic, unlike rdflib's per-parse bnode labels;
 - the result is DISTINCT (s, p, o): an RDF graph is a set of triples.
@@ -59,16 +61,18 @@ def _subject(node: Column, schema: StructType) -> Column:
 def _emit_child(
     df: DataFrame,
     s: Column,
-    pname: str,
+    pred: Column | str,
     child: Column,
     cschema: StructType,
     out: list[DataFrame],
 ) -> None:
+    if isinstance(pred, str):
+        pred = F.lit(pred)
     present = df.filter(child.isNotNull())
     cs = _subject(child, cschema)
     out.append(
         present.select(
-            s.alias("s"), F.lit(pname).alias("p"), cs.alias("o")
+            s.alias("s"), pred.alias("p"), cs.alias("o")
         ).filter(F.col("o").isNotNull() & F.col("s").isNotNull())
     )
     cdf = present.select(cs.alias("__s"), child.alias("__node"))
@@ -81,6 +85,45 @@ def _emit_child(
     )
 
 
+def _emit_array(
+    df: DataFrame,
+    s: Column,
+    pred: Column,
+    arr: Column,
+    et,
+    out: list[DataFrame],
+) -> None:
+    """Fan an array value out to triples. A top-level array is the usual
+    JSON-LD unordered multi-value (predicate unchanged, one triple per
+    element). An element that is ITSELF an array (only expressible in
+    JSON-LD via @list nesting) flattens with list position encoded in an
+    indexed predicate — `grid[0]`, `paths[1][2]` — the standard
+    RDF-list-to-triples reification (position-as-predicate), recursing to
+    any depth. The reference accepts such documents through rdflib
+    (sparql/v0.7/rdflib_util.py:54-63); this replaces round-5's
+    NotImplementedError boundary."""
+    if isinstance(et, ArrayType):
+        ex = df.select(
+            s.alias("s"), pred.alias("__pp"), F.posexplode(arr).alias("__i", "__e")
+        )
+        npred = F.concat(
+            F.col("__pp"), F.lit("["), F.col("__i").cast("string"), F.lit("]")
+        )
+        _emit_array(ex, F.col("s"), npred, F.col("__e"), et.elementType, out)
+    elif isinstance(et, StructType):
+        ex = df.select(s.alias("s"), pred.alias("__pp"), F.explode(arr).alias("__e"))
+        _emit_child(ex, F.col("s"), F.col("__pp"), F.col("__e"), et, out)
+    else:
+        ex = df.select(s.alias("s"), pred.alias("__pp"), F.explode(arr).alias("__e"))
+        out.append(
+            ex.select(
+                "s",
+                F.col("__pp").alias("p"),
+                F.col("__e").cast("string").alias("o"),
+            ).filter(F.col("o").isNotNull() & F.col("s").isNotNull())
+        )
+
+
 def _emit(df, s, get, schema: StructType, out: list[DataFrame]) -> None:
     for f in schema.fields:
         if f.name in SKIP_FIELDS:
@@ -89,22 +132,7 @@ def _emit(df, s, get, schema: StructType, out: list[DataFrame]) -> None:
         if isinstance(f.dataType, StructType):
             _emit_child(df, s, f.name, v, f.dataType, out)
         elif isinstance(f.dataType, ArrayType):
-            et = f.dataType.elementType
-            ex = df.select(s.alias("s"), F.explode(v).alias("__e"))
-            if isinstance(et, StructType):
-                _emit_child(ex, F.col("s"), f.name, F.col("__e"), et, out)
-            elif isinstance(et, ArrayType):
-                raise NotImplementedError(
-                    "nested arrays-of-arrays are not JSON-LD list semantics"
-                )
-            else:
-                out.append(
-                    ex.select(
-                        "s",
-                        F.lit(f.name).alias("p"),
-                        F.col("__e").cast("string").alias("o"),
-                    ).filter(F.col("o").isNotNull() & F.col("s").isNotNull())
-                )
+            _emit_array(df, s, F.lit(f.name), v, f.dataType.elementType, out)
         else:
             out.append(
                 df.select(

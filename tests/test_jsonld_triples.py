@@ -103,6 +103,24 @@ def test_mixed_identified_and_anonymous_siblings(spark):
     assert all(s is not None and o is not None for (s, _, o) in triples)
 
 
+def test_nested_list_predicates_encode_position(spark):
+    """@list-of-lists flattening: position becomes an indexed predicate,
+    recursively; a document WITHOUT the nested field (null after schema
+    merge) contributes nothing for it."""
+    rows = [
+        json.dumps({"@id": "e:1", "grid": [[10, 20], [30]]}),
+        json.dumps({"@id": "e:2", "other": "flat"}),
+    ]
+    df = spark.read.json(spark.sparkContext.parallelize(rows))
+    got = {(r.s, r.p, r.o) for r in jsonld_to_triples(df).collect()}
+    assert got == {
+        ("e:1", "grid[0]", "10"),
+        ("e:1", "grid[0]", "20"),
+        ("e:1", "grid[1]", "30"),
+        ("e:2", "other", "flat"),
+    }
+
+
 def test_triples_flatten_has_no_python_udfs(spark, sf_dir):
     plan = (
         src_jsonld_roundtrip(spark, sf_dir)
