@@ -74,13 +74,19 @@ def _driver_verified_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict) or row.get("err") is not None:
                 continue
-            # Require an explicit POSITIVE signal (hash_match True, or for
-            # oracle-less queries rows_match True). A timing-only or
-            # partially-written record (both fields absent/None) must NOT
-            # count as verified — that would demote a never-actually-checked
-            # query in sampling order, the exact r4 failure mode this
-            # ordering guards against.
-            if row.get("hash_match") is True or row.get("rows_match") is True:
+            # Require an explicit POSITIVE signal: hash_match True, or —
+            # only when NO hash comparison was recorded (oracle-less
+            # queries) — rows_match True. A hash-RED row must not count as
+            # verified even though its row counts matched (sim_pq_adc_topk
+            # sat rows-green/hash-red for three rounds; counting it would
+            # push it past the driver's sample prefix exactly when it most
+            # needs a retry slot). A timing-only or partially-written
+            # record (all fields absent/None) must not count either — that
+            # would demote a never-actually-checked query, the r4 failure
+            # mode this ordering guards against.
+            if row.get("hash_match") is True or (
+                row.get("hash_match") is None and row.get("rows_match") is True
+            ):
                 seen.add(name)
     return seen
 

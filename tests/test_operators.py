@@ -62,6 +62,43 @@ def test_asof_join_operator(spark):
     } == {(r["k"], r["payload"]) for r in out.collect()}
 
 
+def test_asof_join_row_tag_deterministic_under_shuffle(spark):
+    """Property: with a stable row_tag, the asof result is a fixed multiset
+    regardless of how the fact side is partitioned or ordered — including
+    duplicate fact rows, which must each survive exactly once (the failure
+    mode the monotonically_increasing_id caveat in the docstring warns
+    about: a recomputed nondeterministic upstream can split/merge dup
+    rows when the tag is physical)."""
+    from collections import Counter
+
+    facts = spark.createDataFrame(
+        [(i, f"pk{i}", 100 + (i % 7) * 10) for i in range(40)]
+        # two exact-duplicate PAYLOAD rows per key 0..4, distinct pk tags
+        + [(i % 5, f"dup{i}", 120) for i in range(10)],
+        "k long, pk string, t long",
+    )
+    events = spark.createDataFrame(
+        [(k, et, f"v{k}_{et}") for k in range(7) for et in (95, 105, 115, 125)],
+        "k long, et long, payload string",
+    )
+
+    def run(fact_df):
+        out = J.asof_join(
+            fact_df, events, "k", "k", "t", "et", ["payload"], row_tag="pk"
+        )
+        return Counter((r["pk"], r["payload"]) for r in out.collect())
+
+    base = run(facts)
+    assert sum(base.values()) == 50          # every fact row survives once
+    assert max(base.values()) == 1           # pk is unique -> no merges
+    for layout in (
+        facts.repartition(13),
+        facts.repartition(3, "t"),
+        facts.orderBy(F.desc("t")).coalesce(1),
+    ):
+        assert run(layout) == base
+
+
 def test_ivf_multiprobe_recall_not_below_single_probe(spark, sf_dir):
     """Multi-probe scans a superset of single-probe's candidates, so its
     overlap with the exact brute-force top-10 must be >= single-probe's —
@@ -83,8 +120,8 @@ def test_ivf_multiprobe_recall_not_below_single_probe(spark, sf_dir):
 
 
 def test_pq_kmeans_training_improves_distortion_and_recall(spark, sf_dir):
-    """The trained-PQ contract (sim_pq_trained_codebook has no SQL oracle
-    — iterative — so this test IS its correctness gate): (1) Lloyd's
+    """The trained-PQ BEHAVIORAL contract (complementing the exact
+    unrolled-Lloyd's SQL oracle on sim_pq_trained_codebook): (1) Lloyd's
     iterations must not worsen total quantization distortion vs the
     seeded codebook on the training sample; (2) trained-ADC top-10 must
     overlap exact integer-L2 top-10 at a floor; (3) training is
