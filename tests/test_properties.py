@@ -114,6 +114,79 @@ def test_mixture_rebalance_rates_are_valid(spark):
         assert 0 <= r["n_sampled"] <= r["n_docs"]
 
 
+_iv = st.tuples(st.integers(-20, 20), st.integers(-20, 20)).map(
+    lambda t: (min(t), max(t))
+)
+
+
+@SLOW
+@given(
+    st.lists(_iv, min_size=0, max_size=12),
+    st.lists(_iv, min_size=0, max_size=12),
+    st.integers(1, 9),
+)
+def test_interval_overlap_join_equals_bruteforce(spark, a_ivs, b_ivs, width):
+    """The bucketized interval join equals the naive O(n*m) theta join for
+    arbitrary half-open intervals — negative coordinates, empty intervals
+    ([x,x) matches nothing), and any bucket width. Each overlapping pair
+    must appear EXACTLY once (the first-shared-bucket dedup rule)."""
+    from gtec_etl_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(a_ivs)], "a_id long, a_lo long, a_hi long"
+    )
+    b = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(b_ivs)], "b_id long, b_lo long, b_hi long"
+    )
+    got = Counter(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", width).collect()
+    )
+    want = Counter(
+        (i, j)
+        for i, (alo, ahi) in enumerate(a_ivs)
+        for j, (blo, bhi) in enumerate(b_ivs)
+        # half-open overlap; an EMPTY interval ([x,x)) covers nothing and
+        # matches nothing (the operator's documented contract — the raw
+        # overlap predicate alone would wrongly treat it as a point).
+        if alo < ahi and blo < bhi and alo < bhi and blo < ahi
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=15),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=15),
+)
+def test_asof_join_equals_bruteforce(spark, fact_rows, event_rows):
+    """asof_join equals the per-row Python reference (latest event
+    at-or-before, ties by (event time, payload) max) for arbitrary data —
+    duplicate fact rows and tied event timestamps included. Facts carry a
+    synthetic unique pk used only as the stable row tag."""
+    from gtec_etl_spark.operators.joins import asof_join
+
+    facts = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(fact_rows)], "pk long, k long, t long"
+    )
+    events = spark.createDataFrame(
+        [(k, t, f"p{k}_{t}_{i % 2}") for i, (k, t) in enumerate(event_rows)],
+        "k long, et long, payload string",
+    )
+    got = {
+        r["pk"]: (r["payload"], r["asof_time"])
+        for r in asof_join(
+            facts, events, "k", "k", "t", "et", ["payload"], row_tag="pk"
+        ).collect()
+    }
+    ev_rows = [(k, t, f"p{k}_{t}_{i % 2}") for i, (k, t) in enumerate(event_rows)]
+    want = {}
+    for pk, (k, t) in enumerate(fact_rows):
+        cands = [(et, p) for (ek, et, p) in ev_rows if ek == k and et <= t]
+        want[pk] = max(cands)[::-1] if cands else (None, None)
+    assert got == want
+
+
 @SLOW
 @given(
     st.lists(
