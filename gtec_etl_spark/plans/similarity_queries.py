@@ -772,3 +772,163 @@ def sim_pq_trained_codebook(spark, sf_dir):
     )
     qrow = emb.filter(F.col("vec_id") == 0)
     return pq_adc_search(base, qrow, trained, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Semantic diversity sampling (cluster-balanced selection)
+# ---------------------------------------------------------------------------
+
+DS_K, DS_ITERS, DS_SAMPLE, DS_KEEP = 8, 3, 512, 10
+_DS_DIM = PQ_M * PQ_SUBDIM
+
+
+def _diversity_sql() -> str:
+    """DuckDB oracle for sim_diversity_sample: full-vector k-means trained
+    by DS_ITERS unrolled Lloyd's CTE stages (the single-subspace analogue
+    of _lloyds_unrolled_sql), then nearest-centroid assignment over the
+    whole corpus and a per-cluster top-DS_KEEP by (dist, vec_id). The
+    oracle's per-cluster pick is ONE row_number window — the naive plan —
+    which is exactly what the Spark side's two-level salted top-n must
+    reproduce bit for bit."""
+    sq_s = _sqdist_int_sql("s.qe", "cb.c", _DS_DIM)
+    sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
+    parts = [
+        f"""
+    WITH h AS (
+      SELECT vec_id, {_quantize_sql('embedding')} AS qe,
+             {hash60_sql("CAST(vec_id AS VARCHAR)")} AS hh
+      FROM embeddings
+    ),
+    ds AS (SELECT unnest(generate_series(1, {_DS_DIM})) AS i),
+    seeds AS (
+      SELECT vec_id, hh, qe, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
+      FROM h ORDER BY hh, vec_id LIMIT {DS_K}
+    ),
+    cb0 AS (SELECT r, qe AS c FROM seeds),
+    samp AS (SELECT vec_id, qe FROM h ORDER BY hh, vec_id LIMIT {DS_SAMPLE})"""
+    ]
+    for i in range(1, DS_ITERS + 1):
+        prev = f"cb{i - 1}"
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT r, qe FROM (
+        SELECT s.vec_id, cb.r AS r, s.qe AS qe,
+               row_number() OVER (
+                 PARTITION BY s.vec_id ORDER BY {sq_s}, cb.r
+               ) AS rn
+        FROM samp s CROSS JOIN {prev} cb
+      ) WHERE rn = 1
+    ),
+    n{i} AS (
+      SELECT r, list(cx ORDER BY d) AS c2 FROM (
+        SELECT r, i AS d,
+               CAST(floor(
+                 CAST(CAST(sum(qe[i]) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) + 0.5
+               ) AS BIGINT) AS cx
+        FROM a{i} CROSS JOIN ds GROUP BY r, i
+      ) GROUP BY r
+    ),
+    cb{i} AS (
+      SELECT cb.r, coalesce(n.c2, cb.c) AS c
+      FROM {prev} cb LEFT JOIN n{i} n ON n.r = cb.r
+    )"""
+        )
+    parts.append(
+        f""",
+    assign AS (
+      SELECT vec_id, r AS cluster, d AS dist FROM (
+        SELECT vec_id, r, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, r) AS rn
+        FROM (
+          SELECT h.vec_id AS vec_id, cb.r AS r, {sq_h} AS d
+          FROM h CROSS JOIN cb{DS_ITERS} cb
+        )
+      ) WHERE rn = 1
+    )
+    SELECT cluster, vec_id, dist FROM (
+      SELECT cluster, vec_id, dist,
+             row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rn
+      FROM assign
+    ) WHERE rn <= {DS_KEEP}
+    ORDER BY cluster, vec_id"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "sim_diversity_sample",
+    oracle=_diversity_sql(),
+    tags=("similarity", "sampling", "scale"),
+)
+def sim_diversity_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling over the embedding corpus — the
+    SemDeDup-family selection pass an LLM data pipeline runs to keep a
+    semantically spread subset instead of whatever dedup left behind:
+    k-means the embeddings into {DS_K} clusters (full-vector Lloyd's over
+    a hash-ordered {DS_SAMPLE}-vector training sample, quantized-integer
+    arithmetic, bit-reproducible — operators.similarity.
+    pq_kmeans_codebook with one subspace spanning all {_DS_DIM} dims),
+    assign every vector to its nearest centroid, and keep the {DS_KEEP}
+    most-central vectors per cluster (ties by vec_id).
+
+    Scale design: training is O(sample x iters), corpus-independent;
+    assignment is one crossJoin against the broadcast {DS_K}-row centroid
+    table (no shuffle); the per-cluster pick uses
+    operators.aggregates.topn_per_key_salted — a single window
+    partitioned by {DS_K} clusters would sort 1/{DS_K}th of a 100 TB
+    corpus on one task, so a deterministic hash salt first takes a local
+    top-{DS_KEEP} per (cluster, salt) across 32 tasks per cluster, then a
+    global window picks the final {DS_KEEP} from the <=320 survivors —
+    identical output, straggler-free. The oracle computes the same pick
+    with the naive single window, so the equivalence of the two plans is
+    hash-checked, not asserted.
+
+    No reference counterpart (the reference has no embedding operators) —
+    LLM-pipeline extension per the brief, same family as sim_* and
+    dedup_embedding_cosine."""
+    from pyspark.sql import Window
+
+    from gtec_etl_spark.operators import aggregates as A
+
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    hashed = emb.select(
+        "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
+    )
+    seeds = (
+        hashed.orderBy("hh", "vec_id")
+        .limit(DS_K)
+        .withColumn("r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
+    )
+    init = seeds.select(F.lit(0).alias("j"), "r", F.col("qe").alias("c"))
+    samp = hashed.orderBy("hh", "vec_id").limit(DS_SAMPLE)
+    subs = samp.select("vec_id", F.lit(0).alias("j"), F.col("qe").alias("sub"))
+    cb = S.pq_kmeans_codebook(subs, init, iters=DS_ITERS).select("r", "c")
+
+    assigned = (
+        emb.select("vec_id", "qe")
+        .crossJoin(F.broadcast(cb))
+        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("r"), F.col("__d")), F.struct(F.col("__d"), F.col("r"))
+            ).alias("__a")
+        )
+        .select(
+            "vec_id",
+            F.col("__a.r").alias("cluster"),
+            F.col("__a.__d").alias("dist"),
+        )
+    )
+    kept = A.topn_per_key_salted(
+        assigned,
+        "cluster",
+        [F.col("dist"), F.col("vec_id")],
+        DS_KEEP,
+        salt_on="vec_id",
+    )
+    return kept.select("cluster", "vec_id", "dist").orderBy("cluster", "vec_id")

@@ -56,6 +56,12 @@ QUERIES = [
     "ev_multi_resolution_rollup",
     "sim_pq_trained_codebook",
     "text_pii_redact",
+    # Round-6: the headline PQ ADC search path (broadcast codebook/LUT,
+    # ~2 B/vector claim) — encode cost should track corpus ~linearly.
+    "sim_pq_adc_topk",
+    # Round-6: diversity sampling — training is corpus-independent, so
+    # the curve isolates assignment (broadcast) + salted top-n cost.
+    "sim_diversity_sample",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
