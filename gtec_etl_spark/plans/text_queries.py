@@ -1059,8 +1059,24 @@ def _dsir_doc_scores(spark, sf_dir):
         F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("lang") != "en", F.col("n")).otherwise(0)).alias("cr"),
     )
-    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
-    wgt = stats.crossJoin(F.broadcast(tot)).select(
+    # Corpus totals as an unbounded window over stats, NOT a separate
+    # aggregation branch: tot = stats.agg(...) re-plans the whole stats
+    # lineage (scan+explode+two shuffles) a second time — Catalyst's
+    # exchange reuse did not fire across the branches (verified on the
+    # executed adaptive plan: zero ReusedExchange, 3 corpus scans). The
+    # single-partition window is bounded by construction ({DSIR_B} rows
+    # post-aggregation), the same constant-size precedent as the PQ seed
+    # ranking.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    wgt = stats.select(
+        "bucket",
+        "ct",
+        "cr",
+        F.sum("ct").over(w_all).alias("nt"),
+        F.sum("cr").over(w_all).alias("nr"),
+    ).select(
         "bucket",
         F.expr(
             f"((ct + 1) * (nr + {DSIR_B}) * {DSIR_SCALE})"
