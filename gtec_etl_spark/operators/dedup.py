@@ -135,7 +135,11 @@ def jaccard_pairs_capped_posting(
     of the true value: capped shingles leave the intersection count but
     set sizes stay uncapped (same contract as frequency_cap_shingles)."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    ndocs = shingles.agg(F.countDistinct(id_col).alias("__n_docs"))
+    # countDistinct(id) == row count of the per-doc aggregate; deriving it
+    # from `sizes` (whose doc_id exchange the denominator joins reuse)
+    # instead of a fresh shingles.agg() branch spares one full pass over
+    # the shingle explode — the most expensive subplan here.
+    ndocs = sizes.agg(F.count(F.lit(1)).alias("__n_docs"))
     postings = shingles.groupBy("shingle").agg(
         F.sort_array(F.collect_list(id_col)).alias("__ids"),
         F.count(F.lit(1)).alias("__df"),

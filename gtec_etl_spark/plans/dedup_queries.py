@@ -323,8 +323,13 @@ def dedup_incremental_apply(spark, sf_dir):
     dedup_incremental_batch's match set) — the admission filter a crawl
     pipeline runs before appending to the training corpus. Per-batch
     cost is the batch's signatures + one equi-join against the persisted
-    index bands + one anti-join, summarized to admission counters (the
-    reference's found/not-found counter idiom, A7)."""
+    index bands + one flagged join, summarized to admission counters (the
+    reference's found/not-found counter idiom, A7) in a SINGLE
+    aggregation: a separate count branch per counter would re-plan the
+    whole LSH lineage once per branch (Catalyst does not reuse exchanges
+    across the branches — the measured DSIR lesson, PERF.md round 6), so
+    the batch left-joins the match set with a flag and every counter is a
+    conditional aggregate of the one pass."""
     docs = catalog.table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, 3)
     sigs = D.minhash_signatures(sh, 16)
@@ -336,20 +341,24 @@ def dedup_incremental_apply(spark, sf_dir):
         .distinct()
     )
     batch = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id")
-    admitted = batch.join(
-        matched, batch["doc_id"] == matched["new_doc"], "left_anti"
+    # matched's new_doc values all come from the batch (they are batch-side
+    # doc_ids of LSH pairs), so a flagged left join partitions the batch
+    # exactly into admitted (flag null) and rejected (flag set).
+    flagged = batch.join(
+        matched.select(F.col("new_doc").alias("doc_id"), F.lit(1).alias("__m")),
+        "doc_id",
+        "left",
     )
-    totals = batch.agg(F.count(F.lit(1)).alias("n_batch"))
-    rejected = matched.agg(F.count(F.lit(1)).alias("n_rejected"))
-    return (
-        admitted.agg(
-            F.count(F.lit(1)).alias("n_admitted"),
-            F.min("doc_id").alias("min_admitted_doc"),
-        )
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(rejected))
-        .select("n_batch", "n_admitted", "n_rejected", "min_admitted_doc")
-    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0)).alias("n_admitted"),
+        F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0)).alias(
+            "n_rejected"
+        ),
+        F.min(F.when(F.col("__m").isNull(), F.col("doc_id"))).alias(
+            "min_admitted_doc"
+        ),
+    ).select("n_batch", "n_admitted", "n_rejected", "min_admitted_doc")
 
 
 @query("dedup_clusters_cc", oracle=_cc_oracle(16, 4), tags=("dedup", "scale"))

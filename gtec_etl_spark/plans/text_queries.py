@@ -567,20 +567,26 @@ def text_mixture_rebalance(spark, sf_dir):
     engines, like text_train_test_split. Plan: one groupBy for source
     sizes, broadcast of the tiny rate dim back onto the corpus — a single
     wide shuffle-free pass over the docs at 100 TB."""
+    from pyspark.sql import Window
+
     docs = catalog.table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    min_isqrt = per_source.agg(
-        F.min(F.floor(F.sqrt(F.col("n_docs"))).cast("long")).alias("m")
-    )
-    rates = (
-        per_source.crossJoin(F.broadcast(min_isqrt))
-        .select(
-            "source",
-            "n_docs",
-            F.expr(
-                "CAST(10000 * m div CAST(floor(sqrt(n_docs)) AS BIGINT) AS BIGINT)"
-            ).alias("keep_bp"),
-        )
+    # The normalizing minimum as an unbounded window over the tiny
+    # per-source aggregate (bounded: one row per source), not a separate
+    # .agg() branch — the branch would re-plan per_source's corpus scan a
+    # second time (no cross-branch exchange reuse; the DSIR lesson).
+    rates = per_source.select(
+        "source",
+        "n_docs",
+        F.min(F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+        .over(Window.partitionBy())
+        .alias("m"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(10000 * m div CAST(floor(sqrt(n_docs)) AS BIGINT) AS BIGINT)"
+        ).alias("keep_bp"),
     )
     sampled = docs.join(F.broadcast(rates), "source").select(
         "source",
