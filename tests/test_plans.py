@@ -201,3 +201,38 @@ def test_no_oracle_emits_hugeint(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"oracles with int128 output columns: {offenders}"
+
+
+def _plan_tree(plan: str) -> str:
+    """The tree section of explain('formatted') — node names appear once
+    per node there, while the details section repeats every node."""
+    return plan.split("\n\n")[0]
+
+
+def test_incremental_apply_single_lsh_pass(spark):
+    """dedup_incremental_apply's counters must come from ONE flagged join
+    over ONE LSH banding pass — a second band-join subtree means a counter
+    branch regressed to re-planning the match-set lineage (the round-6
+    fix: 2.0s -> 1.2s at sf0.1)."""
+    tree = _plan_tree(_formatted_plan(spark, "dedup_incremental_apply"))
+    n_joins = tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin")
+    assert n_joins <= 2, f"expected band join + flag join only, got {n_joins}"
+
+
+def test_dsir_one_aggregation_tree_per_branch(spark):
+    """text_dsir_weights: corpus totals must ride a window over the bucket
+    stats, not a third aggregation branch — exactly two corpus scans
+    (filtered per-doc branch + unfiltered stats branch), not three."""
+    tree = _plan_tree(_formatted_plan(spark, "text_dsir_weights"))
+    scans = [l for l in tree.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 2, f"expected 2 corpus scans, got {len(scans)}"
+
+
+def test_diversity_sample_broadcasts_centroids_and_salts(spark):
+    """sim_diversity_sample: the nearest-centroid assignment must join a
+    broadcast constant-size codebook (no shuffle on the corpus side before
+    the per-vector argmin), and the per-cluster pick must be the two-level
+    salted top-n (two window sorts), never a single global window."""
+    plan = _formatted_plan(spark, "sim_diversity_sample")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Window") >= 2
