@@ -443,3 +443,66 @@ def simhash_near_pairs(
         .select("p.doc_a", "p.doc_b", "hamming")
     )
     return within.unionByName(cross)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication detection (the Lee et al. 2022
+    "Deduplicating Training Data" k-gram family): find every maximal token
+    span of a document whose k-token windows ALL occur verbatim in at
+    least one OTHER document. Returns (id, span_start, span_end) in token
+    positions, half-open, spans merged (overlapping/adjacent windows
+    coalesce into one maximal span).
+
+    Plan: positioned k-token windows (posexplode, one map-side pass) →
+    hash → the window-hash groupBy marks hashes seen in >= 2 distinct
+    docs → semi-join marks each doc's duplicated windows → gaps-and-
+    islands merge per doc (running max of span end over a doc-keyed
+    window). Scale properties: nothing is pairwise — a phrase shared by a
+    million documents costs one aggregate row and a million marker rows,
+    never O(n^2) pairs, so no df cap is needed (the property the
+    pair-emitting Jaccard family lacks); every shuffle keys on the
+    uniform window hash or doc id. k is the only knob: production text
+    dedup uses ~50-token windows; tests use small k to exercise the
+    corpus."""
+    from pyspark.sql import Window as W
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    win_arr = F.when(
+        F.size("w") < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {k - 1}),"
+            f" i -> array_join(slice(w, i, {k}), ' '))"
+        )
+    )
+    wins = (
+        docs.select(F.col(id_col), words.alias("w"))
+        .select(F.col(id_col), F.posexplode(win_arr).alias("p", "win"))
+        .select(F.col(id_col), "p", hash60(F.col("win")).alias("wh"))
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    hit = wins.join(dup, "wh", "left_semi")
+    w_doc = W.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + k).over(
+        w_doc.rowsBetween(W.unboundedPreceding, -1)
+    )
+    grouped = hit.withColumn(
+        "g",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0)
+        ).over(w_doc),
+    )
+    return grouped.groupBy(id_col, "g").agg(
+        F.min("p").alias("span_start"),
+        (F.max("p") + k).alias("span_end"),
+    ).drop("g")

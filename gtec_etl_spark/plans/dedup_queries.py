@@ -509,3 +509,103 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.select(
         "vec_a", "vec_b", F.round("cosine_exact", 4).alias("cosine")
     ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication spans (Lee et al. 2022 k-gram family)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i - 1 AS p,
+             {hash60_sql(f"array_to_string(list_slice(w, i, i + {SUBSTR_K - 1}), ' ')")} AS wh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SUBSTR_K - 1})) AS i
+            FROM words WHERE len(w) >= {SUBSTR_K})
+    ),
+    dup AS (
+      SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hit AS (SELECT doc_id, p FROM wins WHERE wh IN (SELECT wh FROM dup)),
+    isl AS (
+      SELECT doc_id, p,
+             CASE WHEN max(p + {SUBSTR_K}) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR p > max(p + {SUBSTR_K}) OVER (
+                    PARTITION BY doc_id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS new_span
+      FROM hit
+    ),
+    grp AS (
+      SELECT doc_id, p,
+             sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING
+             ) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, g, min(p) AS s, max(p) + {SUBSTR_K} AS e
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(e - s) AS BIGINT) AS n_dup_tokens,
+           CAST(len(any_value(w.w)) AS BIGINT) AS n_words,
+           CAST(CAST(sum(e - s) AS BIGINT) * 10000
+                // len(any_value(w.w)) AS BIGINT) AS dup_frac_bp
+    FROM spans s JOIN words w ON w.doc_id = s.doc_id
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("dedup", "scale"),
+)
+def dedup_substring_spans(spark, sf_dir):
+    """EXACT substring-duplication report — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") k-gram
+    family, the one dedup mode the approximate family (minhash/simhash/
+    Jaccard) cannot express: for every document, the maximal token spans
+    whose {SUBSTR_K}-token windows each occur verbatim in at least one
+    other document, merged via gaps-and-islands and summarized as span
+    count / duplicated-token count / duplicated fraction (exact integer
+    basis points). Production runs use ~50-token windows; {SUBSTR_K}
+    exercises the synthetic corpus.
+
+    Scale design (operators/dedup.py:duplicated_spans): nothing pairwise —
+    a phrase shared by a million docs costs one aggregate row plus marker
+    rows, never O(n^2) pairs, so unlike the Jaccard family no df cap is
+    needed; shuffles key on the uniform window hash and doc_id, and the
+    island merge is one doc-keyed window pass. The whole report is a
+    Catalyst plan: window explode -> hash -> dup-mark groupBy -> semi-join
+    -> running-max island merge -> per-doc aggregate."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, SUBSTR_K)
+    n_words = docs.select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_words")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("n_dup_tokens"),
+    )
+    return (
+        per_doc.join(n_words, "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "n_dup_tokens",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.expr("CAST(n_dup_tokens * 10000 div n_words AS BIGINT)").alias(
+                "dup_frac_bp"
+            ),
+        )
+        .orderBy("doc_id")
+    )

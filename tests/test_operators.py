@@ -400,3 +400,45 @@ def test_lsh_incremental_pairs_partition_of_full_pairs(spark):
     assert cross | batch_only | index_only == full
     assert cross.isdisjoint(batch_only) and cross.isdisjoint(index_only)
     assert (7, 17) in batch_only and (7, 17) not in cross
+
+
+def test_duplicated_spans_detects_and_merges(spark):
+    """duplicated_spans (Lee-et-al k-gram substring dedup): a phrase shared
+    verbatim across docs is reported as ONE merged maximal span per doc;
+    unshared text produces nothing; spans are disjoint and >= k tokens."""
+    from gtec_etl_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} unrelated tail words here now"),
+            (3, "completely different text with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, 4).collect()
+    }
+    # doc 1: shared phrase starts after 2 tokens -> [2, 12); doc 2: [0, 10)
+    assert spans[1] == (2, 12)
+    assert spans[2] == (0, 10)
+    assert 3 not in spans
+
+
+def test_duplicated_spans_disjoint_and_min_length(spark, sf_dir):
+    from gtec_etl_spark.operators.dedup import duplicated_spans
+    from gtec_etl_spark import catalog
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    rows = duplicated_spans(docs, 8).collect()
+    assert rows, "test corpus has cross-doc 8-gram dups"
+    by_doc: dict = {}
+    for r in rows:
+        assert r["span_end"] - r["span_start"] >= 8
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, f"doc {doc}: spans overlap/adjacent -> not maximal"
