@@ -506,3 +506,85 @@ def duplicated_spans(
         F.min("p").alias("span_start"),
         (F.max("p") + k).alias("span_end"),
     ).drop("g")
+
+
+def minhash_bands_rowwise(
+    docs: DataFrame,
+    n_shingle: int,
+    num_hashes: int,
+    bands: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, sig) LSH bands computed entirely PER ROW — no groupBy.
+
+    Identical output to word_shingles → minhash_signatures → lsh_banded
+    (same distinct-shingle set, same hash60 % p permutations, same
+    concat_ws band signature), but the min-over-shingles runs as
+    array_min over an in-row array instead of a shuffle aggregation.
+    That makes it legal and cheap inside Structured Streaming (a
+    streaming groupBy is stateful and append-mode-hostile; a per-row map
+    is free) and, in batch, removes the signature shuffle entirely.
+    Docs with fewer than n_shingle words have no shingles and are
+    dropped, matching the explode-based path.
+
+    Each projection materializes before the next lambda uses it (shingle
+    array, then the base-hash array, then the permutation mins) —
+    Catalyst re-evaluates expressions referenced inside transform()
+    lambdas per element (PERF.md round 6), so the md5 pass must not be
+    inlined into the 16 permutation transforms."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    shingle_arr = F.when(
+        F.size("w") < n_shingle, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, size(w) - {n_shingle - 1}),"
+            f" i -> array_join(slice(w, i, {n_shingle}), ' '))"
+        )
+    )
+    base = (
+        docs.select(F.col(id_col), words.alias("w"))
+        .select(F.col(id_col), F.array_distinct(shingle_arr).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("sh"), lambda s: hash60(s) % F.lit(MINHASH_P)
+            ).alias("ha"),
+        )
+    )
+    def perm_min(a: int, b: int):
+        # Closure factory, not default-arg capture: PySpark infers the
+        # higher-order function's arity from the Python lambda's parameter
+        # count, so `lambda x, a=a, b=b` would request a 3-arg lambda.
+        return F.array_min(
+            F.transform(
+                F.col("ha"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P),
+            )
+        )
+
+    sigs = base.select(
+        F.col(id_col),
+        *[
+            perm_min(a, b).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ],
+    )
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))

@@ -178,3 +178,21 @@ def run_to_memory(
             f"memory table would be partial"
         )
     return stream_df.sparkSession.table(name)
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str = "documents.parquet",
+) -> DataFrame:
+    """File-source stream over the documents parquet — the crawl-landing
+    feed of a training-data ingest pipeline. Schema comes from one batch
+    footer probe (a streaming source requires an explicit schema); in
+    production this is the kafka topic / landing bucket, exactly like
+    read_events_stream."""
+    schema = spark.read.parquet(os.path.join(sf_dir, path_glob)).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("pathGlobFilter", path_glob).parquet(sf_dir)

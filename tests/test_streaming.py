@@ -256,3 +256,38 @@ def test_file_sink_checkpoint_resume_exactly_once(spark, tmp_path):
     # Exactly once: batch-1 rows not duplicated by the restart, batch-2
     # rows all present.
     assert ids == [0, 1, 2, 3, 4, 10, 11, 12], ids
+
+
+def test_rowwise_bands_equal_groupby_bands(spark, sf_dir):
+    """minhash_bands_rowwise (the streaming-legal, shuffle-free per-row
+    formulation) must produce the exact band set of the batch
+    word_shingles -> minhash_signatures -> lsh_banded path — the property
+    stream_dedup_admission's oracle parity stands on."""
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.operators import dedup as D
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    a = D.lsh_banded(D.minhash_signatures(D.word_shingles(docs, 3), 16), 16, 4)
+    b = D.minhash_bands_rowwise(docs, 3, 16, 4)
+    sa = {(r.doc_id, r.band, r.sig) for r in a.collect()}
+    sb = {(r.doc_id, r.band, r.sig) for r in b.collect()}
+    assert sa == sb and sa
+
+
+def test_stream_dedup_admission_matches_batch_incremental(spark, sf_dir):
+    """The streaming admission filter's rejected set equals the batch
+    incremental path's distinct matched new_docs on the same finite
+    input."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.plans import registry
+
+    stream_rejected = {
+        r.doc_id
+        for r in registry.specs()["stream_dedup_admission"].fn(spark, sf_dir).collect()
+    }
+    batch_matched = {
+        r.new_doc
+        for r in registry.specs()["dedup_incremental_batch"].fn(spark, sf_dir).collect()
+    }
+    assert stream_rejected == batch_matched
