@@ -180,6 +180,8 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         return w, h, content[15 : 15 + w * h]
     if content[:2] in NETPBM_MAGICS:
         return _decode_netpbm(content)
+    if content[:8] == PNG_MAGIC:
+        return _decode_png(content)
     try:
         import io
 
@@ -291,4 +293,169 @@ def media_table(spark, n: int = 12, width: int = 32, height: int = 24) -> DataFr
         (i, "image", bytearray(fake_image(width, height, seed=i)), ("image/fake", f"mem://{i}"))
         for i in range(n)
     ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG (pure stdlib: zlib) — round-6 extension of the dependency-free codec
+# boundary beyond the uncompressed netpbm family.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python PNG decoder on stdlib zlib — no PIL: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Alpha drops; RGB collapses with the same BT.601 integer luma
+    as the netpbm path. Interlaced (Adam7), 16-bit, and palette images
+    stay beyond the boundary (NotImplementedError). The per-pixel
+    unfilter loop is Python — fine for fixture-scale images; a PIL
+    deployment takes the fast path in _decode_one first."""
+    import zlib
+
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w, h, depth, ctype, interlace = 8, None, None, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_NCH:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} interlace={interlace}:"
+            " outside the pure-Python boundary (8-bit, non-interlaced,"
+            " gray/RGB/alpha only; palette needs PLTE handling)"
+        )
+    nch = _PNG_NCH[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = [0] * stride
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = raw[p : p + stride]
+        p += stride
+        cur = [0] * stride
+        for i in range(stride):
+            a = cur[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            x = line[i]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x + a
+            elif f == 2:
+                v = x + b
+            elif f == 3:
+                v = x + (a + b) // 2
+            elif f == 4:
+                v = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"PNG filter {f}")
+            cur[i] = v & 0xFF
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h * w, nch).astype(np.int64)
+    if ctype in (0, 4):
+        g = px[:, 0]
+    else:
+        g = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+    return w, h, g.astype(np.uint8).tobytes()
+
+
+# Color type per media_id % 4: gray, RGB, gray+alpha, RGBA.
+PNG_CYCLE = (0, 2, 4, 6)
+
+
+def fake_png(width: int, height: int, seed: int, ctype: int = 2) -> bytes:
+    """Deterministic REAL PNG file from the shared LCG value stream. Rows
+    cycle through all five filter types (y % 5) so every unfilter branch
+    is exercised; chunks carry correct CRCs, so any PNG reader opens
+    these."""
+    import zlib
+
+    nch = _PNG_NCH[ctype]
+    vals = netpbm_values(width, height * nch, seed, 1, 255)  # w*h*nch bytes
+    stride = width * nch
+    rowsrc = [vals[y * stride : (y + 1) * stride] for y in range(height)]
+    filtered = bytearray()
+    prev = [0] * stride
+    for y, row in enumerate(rowsrc):
+        f = y % 5
+        filtered.append(f)
+        for i in range(stride):
+            a = row[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            x = row[i]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            else:
+                v = x - _paeth(a, b, c)
+            filtered.append(v & 0xFF)
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_media_table(
+    spark, n: int = 12, width: int = 23, height: int = 19
+) -> DataFrame:
+    """Deterministic media table of REAL PNG payloads cycling through
+    PNG_CYCLE color types by media_id."""
+    rows = []
+    for i in range(n):
+        ctype = PNG_CYCLE[i % len(PNG_CYCLE)]
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(fake_png(width, height, seed=i, ctype=ctype)),
+                ("image/png", f"mem://png/{i}.png"),
+            )
+        )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

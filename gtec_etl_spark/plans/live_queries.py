@@ -383,3 +383,45 @@ def stream_dedup_admission(spark, sf_dir):
     # the streaming side itself is stateless row flow.
     out = P.run_to_memory(rejected.select("doc_id"), output_mode="append")
     return out.distinct().orderBy("doc_id")
+
+
+@query(
+    "mm_decode_png",
+    oracle=f"""
+    SELECT media_id, color_type, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_png.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_png(spark, sf_dir):
+    """COMPRESSED real image format through the media pipeline with no
+    image library: deterministic PNG files (gray / RGB / gray+alpha /
+    RGBA, rows cycling all five scanline filters) decoded by the
+    pure-stdlib zlib decoder (operators/multimodal.py:_decode_png) inside
+    the Arrow-batched mapInPandas pass — round-6 extension of the codec
+    boundary past the uncompressed netpbm family; NotImplementedError now
+    remains only for palette/16-bit/interlaced PNG and DCT formats (JPEG).
+    Oracle = golden fixture recomputed independently from the LCG value
+    stream WITHOUT the encoder or decoder
+    (tools/make_multimodal_golden.py:decode_png_golden)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.png_media_table(spark, n=12, width=23, height=19)
+    ctypes = F.array(*[F.lit(c) for c in M.PNG_CYCLE])
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            F.element_at(ctypes, (F.col("media_id") % 4 + 1).cast("int"))
+            .cast("long")
+            .alias("color_type"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )

@@ -52,9 +52,11 @@ def test_frame_sample_expands_rows(spark):
 
 
 def test_stub_boundary_raises_on_real_formats(spark):
-    fake_png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # JPEG (DCT-compressed) is the boundary now that netpbm AND png decode
+    # dependency-free; a JFIF header must still hit the PIL-or-error stub.
+    fake_jpeg = bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 64)
     media = spark.createDataFrame(
-        [(1, "image", fake_png, ("image/png", "mem://x"))], M.MEDIA_SCHEMA
+        [(1, "image", fake_jpeg, ("image/jpeg", "mem://x"))], M.MEDIA_SCHEMA
     )
     with pytest.raises(PythonException, match="NotImplementedError|FAKEIMG"):
         M.decode_image(media).collect()
@@ -98,3 +100,53 @@ def test_netpbm_through_spark_pipeline(spark):
     assert [r["mean_intensity"] for r in rows] == [
         r["mean_intensity"] for r in again
     ]
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """fake_png encodes with rows cycling ALL five scanline filters; the
+    pure-stdlib decoder must invert every one for every color type, and
+    the grayscale projection must equal the raw LCG stream's projection
+    computed without any codec."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    for ctype in (0, 2, 4, 6):
+        w, h, seed = 23, 19, ctype + 3
+        dw, dh, gray = M._decode_png(M.fake_png(w, h, seed, ctype))
+        assert (dw, dh) == (w, h)
+        nch = M._PNG_NCH[ctype]
+        vals = np.array(
+            M.netpbm_values(w, h * nch, seed, 1, 255), dtype=np.int64
+        ).reshape(h * w, nch)
+        want = (
+            vals[:, 0]
+            if ctype in (0, 4)
+            else (299 * vals[:, 0] + 587 * vals[:, 1] + 114 * vals[:, 2]) // 1000
+        )
+        got = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+        assert (got == want).all()
+
+
+def test_png_boundary_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    def png_with_ihdr(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+        crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        return (
+            M.PNG_MAGIC
+            + struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", crc)
+        )
+
+    for depth, ctype, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        with pytest.raises(NotImplementedError):
+            M._decode_png(png_with_ihdr(depth, ctype, interlace))

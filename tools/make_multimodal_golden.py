@@ -142,6 +142,41 @@ def decode_ppm_golden(n: int = 12, width: int = 31, height: int = 17) -> pa.Tabl
     return pa.Table.from_pylist(rows)
 
 
+def decode_png_golden(n: int = 12, width: int = 23, height: int = 19) -> pa.Table:
+    """Expected output of mm_decode_png. Independent recomputation: the LCG
+    byte stream is regenerated directly and projected to grayscale (channel
+    0 for gray/gray+alpha, BT.601 integer luma for RGB/RGBA) WITHOUT going
+    through the engine's PNG encoder/decoder (the zlib round-trip is
+    exactly what the query is testing)."""
+    cycle = (0, 2, 4, 6)
+    nch_of = {0: 1, 2: 3, 4: 2, 6: 4}
+    rows = []
+    for mid in range(n):
+        ctype = cycle[mid % 4]
+        nch = nch_of[ctype]
+        x = (mid * 2654435761) % (2**32)
+        vals = np.empty(width * height * nch, dtype=np.int64)
+        for i in range(len(vals)):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % 256
+        px = vals.reshape(width * height, nch)
+        if ctype in (0, 4):
+            g = px[:, 0]
+        else:
+            g = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+        rows.append(
+            {
+                "media_id": mid,
+                "color_type": ctype,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(g.mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -153,6 +188,9 @@ def main() -> None:
     )
     pq.write_table(
         decode_ppm_golden(), os.path.join(OUT_DIR, "mm_decode_ppm.parquet")
+    )
+    pq.write_table(
+        decode_png_golden(), os.path.join(OUT_DIR, "mm_decode_png.parquet")
     )
     print(f"wrote golden fixtures to {OUT_DIR}")
 
