@@ -65,6 +65,9 @@ QUERIES = [
     # Round-6: DSIR importance weighting — one explode+hash pass with a
     # reused exchange; the curve should track corpus bigram count.
     "text_dsir_weights",
+    # Round-6: exact substring spans — nothing pairwise, no cap; the
+    # curve should track window count, immune to hot-phrase fan-out.
+    "dedup_substring_spans",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
@@ -74,6 +77,9 @@ QUERIES = [
     "stream_stream_join",
     "stream_dedup_watermark",
     "stream_stateful_user_totals",
+    # Round-6: streaming LSH admission — per-trigger cost should track
+    # the batch size, not the indexed corpus.
+    "stream_dedup_admission",
 ]
 
 
