@@ -782,22 +782,19 @@ DS_K, DS_ITERS, DS_SAMPLE, DS_KEEP = 8, 3, 512, 10
 _DS_DIM = PQ_M * PQ_SUBDIM
 
 
-def _diversity_sql() -> str:
-    """DuckDB oracle for sim_diversity_sample: full-vector k-means trained
-    by DS_ITERS unrolled Lloyd's CTE stages (the single-subspace analogue
-    of _lloyds_unrolled_sql), then nearest-centroid assignment over the
-    whole corpus and a per-cluster top-DS_KEEP by (dist, vec_id). The
-    oracle's per-cluster pick is ONE row_number window — the naive plan —
-    which is exactly what the Spark side's two-level salted top-n must
-    reproduce bit for bit."""
+def _fullvec_lloyds_ctes(where: str = "") -> str:
+    """WITH-chain through cb{DS_ITERS}: full-vector k-means trained by
+    DS_ITERS unrolled Lloyd's CTE stages (the single-subspace analogue of
+    _lloyds_unrolled_sql) over `h` = embeddings filtered by `where`.
+    Shared head of the diversity-sampling and trained-IVF oracles."""
     sq_s = _sqdist_int_sql("s.qe", "cb.c", _DS_DIM)
-    sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
+    w = f" WHERE {where}" if where else ""
     parts = [
         f"""
     WITH h AS (
       SELECT vec_id, {_quantize_sql('embedding')} AS qe,
              {hash60_sql("CAST(vec_id AS VARCHAR)")} AS hh
-      FROM embeddings
+      FROM embeddings{w}
     ),
     ds AS (SELECT unnest(generate_series(1, {_DS_DIM})) AS i),
     seeds AS (
@@ -835,6 +832,17 @@ def _diversity_sql() -> str:
       FROM {prev} cb LEFT JOIN n{i} n ON n.r = cb.r
     )"""
         )
+    return "".join(parts)
+
+
+def _diversity_sql() -> str:
+    """DuckDB oracle for sim_diversity_sample: the shared Lloyd's head,
+    then nearest-centroid assignment over the whole corpus and a
+    per-cluster top-DS_KEEP by (dist, vec_id). The oracle's per-cluster
+    pick is ONE row_number window — the naive plan — which is exactly what
+    the Spark side's two-level salted top-n must reproduce bit for bit."""
+    sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
+    parts = [_fullvec_lloyds_ctes()]
     parts.append(
         f""",
     assign AS (
@@ -888,25 +896,12 @@ def sim_diversity_sample(spark, sf_dir):
     No reference counterpart (the reference has no embedding operators) —
     LLM-pipeline extension per the brief, same family as sim_* and
     dedup_embedding_cosine."""
-    from pyspark.sql import Window
-
     from gtec_etl_spark.operators import aggregates as A
 
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
     )
-    hashed = emb.select(
-        "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
-    )
-    seeds = (
-        hashed.orderBy("hh", "vec_id")
-        .limit(DS_K)
-        .withColumn("r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
-    )
-    init = seeds.select(F.lit(0).alias("j"), "r", F.col("qe").alias("c"))
-    samp = hashed.orderBy("hh", "vec_id").limit(DS_SAMPLE)
-    subs = samp.select("vec_id", F.lit(0).alias("j"), F.col("qe").alias("sub"))
-    cb = S.pq_kmeans_codebook(subs, init, iters=DS_ITERS).select("r", "c")
+    cb = _fullvec_centroids(emb)
 
     assigned = (
         emb.select("vec_id", "qe")
@@ -932,3 +927,134 @@ def sim_diversity_sample(spark, sf_dir):
         salt_on="vec_id",
     )
     return kept.select("cluster", "vec_id", "dist").orderBy("cluster", "vec_id")
+
+
+def _fullvec_centroids(base):
+    """Trained full-vector centroid table (r, c) — the Spark twin of
+    _fullvec_lloyds_ctes: hash-ordered DS_K seeds, hash-ordered DS_SAMPLE
+    training sample, DS_ITERS integer Lloyd's iterations via
+    pq_kmeans_codebook with a single subspace spanning all dims. `base`
+    must carry (vec_id, qe)."""
+    from pyspark.sql import Window
+
+    hashed = base.select(
+        "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
+    )
+    seeds = (
+        hashed.orderBy("hh", "vec_id")
+        .limit(DS_K)
+        .withColumn("r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
+    )
+    init = seeds.select(F.lit(0).alias("j"), "r", F.col("qe").alias("c"))
+    samp = hashed.orderBy("hh", "vec_id").limit(DS_SAMPLE)
+    subs = samp.select("vec_id", F.lit(0).alias("j"), F.col("qe").alias("sub"))
+    return S.pq_kmeans_codebook(subs, init, iters=DS_ITERS).select("r", "c")
+
+
+IVF_TRAINED_NPROBE = 2
+
+
+def _ivf_trained_sql() -> str:
+    """DuckDB oracle for sim_ivf_trained_rerank: the shared Lloyd's head
+    over the corpus (vec_id <> 0), nearest-centroid assignment, probe the
+    {IVF_TRAINED_NPROBE} centroids nearest the query, exact integer-L2
+    re-rank within the probed cells."""
+    sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
+    sq_q = _sqdist_int_sql("q.qe", "cb.c", _DS_DIM)
+    sq_x = _sqdist_int_sql("h.qe", "q.qe", _DS_DIM)
+    return _fullvec_lloyds_ctes("vec_id <> 0") + f""",
+    qv AS (
+      SELECT {_quantize_sql('embedding')} AS qe
+      FROM embeddings WHERE vec_id = 0
+    ),
+    assign AS (
+      SELECT vec_id, r AS cluster FROM (
+        SELECT vec_id, r,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, r) AS rn
+        FROM (
+          SELECT h.vec_id AS vec_id, cb.r AS r, {sq_h} AS d
+          FROM h CROSS JOIN cb{DS_ITERS} cb
+        )
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT r FROM (
+        SELECT cb.r AS r, row_number() OVER (ORDER BY {sq_q}, cb.r) AS rn
+        FROM cb{DS_ITERS} cb CROSS JOIN qv q
+      ) WHERE rn <= {IVF_TRAINED_NPROBE}
+    )
+    SELECT h.vec_id, CAST({sq_x} AS BIGINT) AS dist_q
+    FROM h
+    JOIN assign a ON a.vec_id = h.vec_id
+    JOIN probe p ON p.r = a.cluster
+    CROSS JOIN qv q
+    ORDER BY dist_q, h.vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "sim_ivf_trained_rerank",
+    oracle=_ivf_trained_sql(),
+    tags=("similarity", "scale"),
+)
+def sim_ivf_trained_rerank(spark, sf_dir):
+    """IVF-Flat ANN with a TRAINED coarse quantizer and exact re-rank —
+    the production vector-search shape (a k-means coarse index narrows
+    the corpus to nprobe={IVF_TRAINED_NPROBE} cells, then exact
+    integer-L2 ranks only the candidates): completes the ANN family's
+    progression label-IVF (sim_ivf_probe) -> multi-probe
+    (sim_ivf_multiprobe) -> trained coarse quantizer + re-rank (this) ->
+    memory-bounded PQ (sim_pq_*). Training reuses the bit-reproducible
+    full-vector Lloyd's head shared with sim_diversity_sample
+    (_fullvec_centroids / _fullvec_lloyds_ctes), so the two oracles pin
+    the same codebook.
+
+    Scale design: training is O(sample x iters), corpus-independent;
+    assignment is one broadcast crossJoin + per-vector argmin (at 100 TB
+    the assignment is the persisted index artifact, built once); the
+    probe set is a {IVF_TRAINED_NPROBE}-row broadcast, so the search
+    touches only matching cells via a broadcast-hash join and the final
+    exact re-rank is TakeOrderedAndProject over ~nprobe/{DS_K} of the
+    corpus."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    cb = _fullvec_centroids(base)
+
+    assigned = (
+        base.select("vec_id", "qe")
+        .crossJoin(F.broadcast(cb))
+        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("r"), F.col("qe")),
+                F.struct(F.col("__d"), F.col("r")),
+            ).alias("__a")
+        )
+        .select(
+            "vec_id",
+            F.col("__a.r").alias("cluster"),
+            F.col("__a.qe").alias("qe"),
+        )
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("qe").alias("qqe"))
+    probe = (
+        cb.crossJoin(F.broadcast(qrow))
+        .select("r", S.sqdist_int(F.col("c"), F.col("qqe")).alias("__d"))
+        .orderBy("__d", "r")
+        .limit(IVF_TRAINED_NPROBE)
+        .select(F.col("r").alias("cluster"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cluster")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            S.sqdist_int(F.col("qe"), F.col("qqe")).alias("dist_q"),
+        )
+        .orderBy("dist_q", "vec_id")
+        .limit(10)
+    )

