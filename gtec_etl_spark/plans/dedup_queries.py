@@ -517,10 +517,10 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 SUBSTR_K = 8
 
-
-@query(
-    "dedup_substring_spans",
-    oracle=f"""
+# Shared oracle CTE chain ending in `spans` (doc_id, g, s, e): the
+# positioned k-gram windows, cross-doc dup marking, and gaps-and-islands
+# span merge — used by both the detection report and the apply pass.
+_SUBSTR_SPAN_CTES = f"""
     WITH words AS (
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
@@ -557,6 +557,13 @@ SUBSTR_K = 8
       SELECT doc_id, g, min(p) AS s, max(p) + {SUBSTR_K} AS e
       FROM grp GROUP BY doc_id, g
     )
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SUBSTR_SPAN_CTES
+    + f"""
     SELECT s.doc_id,
            CAST(count(*) AS BIGINT) AS n_dup_spans,
            CAST(sum(e - s) AS BIGINT) AS n_dup_tokens,
@@ -606,6 +613,94 @@ def dedup_substring_spans(spark, sf_dir):
             F.expr("CAST(n_dup_tokens * 10000 div n_words AS BIGINT)").alias(
                 "dup_frac_bp"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_substring_apply",
+    oracle=_SUBSTR_SPAN_CTES
+    + """
+    , toks AS (
+      SELECT doc_id, i - 1 AS p, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM words)
+    ),
+    clean AS (
+      SELECT t.doc_id, t.p, t.tok FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.p >= s.s AND t.p < s.e
+      )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) - count(c.tok) AS BIGINT) AS n_removed,
+           coalesce(
+             array_to_string(list(c.tok ORDER BY t.p) FILTER (c.tok IS NOT NULL), ' '),
+             ''
+           ) AS clean_text
+    FROM toks t
+    LEFT JOIN clean c ON c.doc_id = t.doc_id AND c.p = t.p
+    WHERE t.doc_id < 200
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "apply", "scale"),
+)
+def dedup_substring_apply(spark, sf_dir):
+    """The substring-dedup APPLICATION: strip every cross-doc duplicated
+    span (dedup_substring_spans' merged maximal spans) from every document
+    and rebuild the cleaned text — the remove-duplicated-text pass of the
+    Lee-et-al pipeline (this is the remove-ALL-copies variant; picking one
+    canonical surviving occurrence is a policy layered on the same spans).
+    Spans are detected over the WHOLE corpus; the doc_id < 200 filter only
+    bounds the output surface.
+
+    Plan: positioned tokens LEFT ANTI JOIN the span table on doc equality
+    plus position-in-range — spans per doc are few and disjoint (tested),
+    so the join keys on the uniform doc_id with a residual range
+    predicate — then one groupBy(doc) rebuilds text via sorted
+    collect_list. Shuffles key on doc_id only; at 100 TB the rebuild is
+    the same shape as the K1 document emitters (grouped sorted
+    reassembly)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, SUBSTR_K)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("p", "tok")
+    )
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    clean = toks.join(
+        sp,
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("p") >= F.col("span_start"))
+        & (F.col("p") < F.col("span_end")),
+        "left_anti",
+    )
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = (
+        clean.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        totals.filter(F.col("doc_id") < 200)
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_clean"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
         .orderBy("doc_id")
     )
