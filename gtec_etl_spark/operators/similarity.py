@@ -55,6 +55,17 @@ def quantize_micros(vec: Column) -> Column:
     )
 
 
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact dot product over int64 vectors (quantized micros). Pure
+    integer arithmetic — engine-independent. Magnitude: |x| <= ~1e6 per
+    element, so a 64-dim dot is <= ~6.4e13, far inside int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def sqdist_int(a: Column, b: Column) -> Column:
     """Exact squared L2 distance over int64 vectors. Pure integer
     arithmetic: order-free, association-free, engine-independent."""

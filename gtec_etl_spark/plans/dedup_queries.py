@@ -704,3 +704,113 @@ def dedup_substring_apply(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+CHUNK_W = 8          # words per non-overlapping chunk ("paragraph")
+CHUNK_ORD = 1024     # > max chunks/doc — packs (doc_id, ci) into one int64
+
+
+@query(
+    "dedup_paragraph_chunks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, i - 1 AS ci,
+             array_to_string(
+               w[(i - 1) * {CHUNK_W} + 1 : i * {CHUNK_W}], ' '
+             ) AS chunk
+      FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(
+                 1, CAST(ceil(len(w) / {CHUNK_W}.0) AS INT))) AS i
+        FROM w
+      )
+    ),
+    firsts AS (
+      SELECT chunk, min(doc_id * {CHUNK_ORD} + ci) AS first_key
+      FROM c GROUP BY chunk
+    ),
+    k AS (
+      SELECT c.doc_id, c.ci, c.chunk,
+             (c.doc_id * {CHUNK_ORD} + c.ci = f.first_key) AS kept
+      FROM c JOIN firsts f ON f.chunk = c.chunk
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY ci) FILTER (kept)) AS new_fp,
+           CAST(len(string_agg(chunk, ' ' ORDER BY ci) FILTER (kept))
+                AS BIGINT) AS new_n_chars
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "apply", "scale"),
+)
+def dedup_paragraph_chunks(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup with keep-first semantics
+    (the CCNet / MassiveText paragraph pass, on {CHUNK_W}-word
+    non-overlapping chunks since this corpus has no newlines): every
+    chunk instance except the globally-first occurrence (lowest
+    (doc_id, position), packed into one int64) is dropped, and each
+    document is rebuilt from its surviving chunks in order — emitting
+    per-doc chunk counts plus the rebuilt text's fingerprint/length.
+    Completes the dedup family's granularity ladder: document
+    (dedup_exact), overlapping span (dedup_substring_*), and
+    non-overlapping paragraph (this).
+
+    Plan shape: chunking is SHUFFLE-FREE — transform over
+    sequence(0, ceil(n/{CHUNK_W})-1) slices the word array map-side, no
+    explode-then-groupBy reassembly. Then one groupBy(chunk) with
+    map-side partial min (no sort, unlike a window over chunk — a
+    boilerplate chunk shared by a million docs would put them all in one
+    window partition), a join back on chunk (same key → exchange reuse;
+    a hot chunk is AQE-skew-join territory), and one groupBy(doc_id)
+    rebuild. Three shuffles total at any corpus size.
+
+    No reference counterpart — LLM-pipeline extension per the brief
+    (Rae et al. 2021 §A1.2; Wenzek et al. CCNet §3)."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(words) / F.lit(CHUNK_W)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * CHUNK_W + 1, CHUNK_W)
+                ),
+            )
+        ).alias("ci", "chunk"),
+    )
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * CHUNK_ORD + F.col("ci")).alias("first_key")
+    )
+    k = chunks.join(firsts, "chunk").withColumn(
+        "kept", F.col("doc_id") * CHUNK_ORD + F.col("ci") == F.col("first_key")
+    )
+    kept_pairs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("kept"), F.struct(F.col("ci"), F.col("chunk")))
+        )
+    )
+    rebuilt = F.concat_ws(" ", F.transform(F.col("__kp"), lambda p: p["chunk"]))
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            kept_pairs.alias("__kp"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.md5(rebuilt)).alias("new_fp"),
+            F.when(F.col("n_kept") > 0, F.length(rebuilt))
+            .cast("long")
+            .alias("new_n_chars"),
+        )
+        .orderBy("doc_id")
+    )

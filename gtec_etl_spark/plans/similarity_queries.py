@@ -951,6 +951,157 @@ def _fullvec_centroids(base):
     return S.pq_kmeans_codebook(subs, init, iters=DS_ITERS).select("r", "c")
 
 
+SEMDEDUP_TAU = 0.35
+
+
+def _dot_int_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _semdedup_sql() -> str:
+    """DuckDB oracle for sim_semdedup: shared Lloyd's head, nearest-centroid
+    assignment carrying the quantized vector, within-cluster pairwise
+    integer-cosine, earliest-id witness per removed vector."""
+    sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
+    dot_ab = _dot_int_sql("a.qe", "b.qe", _DS_DIM)
+    cos = (
+        f"CAST({dot_ab} AS DOUBLE)"
+        f" / sqrt(CAST(a.na2 AS DOUBLE) * CAST(b.na2 AS DOUBLE))"
+    )
+    return _fullvec_lloyds_ctes() + f""",
+    assign AS (
+      SELECT vec_id, r AS cluster, qe FROM (
+        SELECT h.vec_id AS vec_id, cb.r AS r, h.qe AS qe,
+               row_number() OVER (
+                 PARTITION BY h.vec_id ORDER BY {sq_h}, cb.r
+               ) AS rn
+        FROM h CROSS JOIN cb{DS_ITERS} cb
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT vec_id, cluster, qe,
+             {_dot_int_sql('qe', 'qe', _DS_DIM)} AS na2
+      FROM assign
+    ),
+    edges AS (
+      SELECT a.cluster AS cluster, b.vec_id AS vec_id, a.vec_id AS dup_of,
+             CAST(floor({cos} * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+      FROM m a JOIN m b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEMDEDUP_TAU}
+    )
+    SELECT cluster, vec_id, dup_of, cos_e6 FROM (
+      SELECT cluster, vec_id, dup_of, cos_e6,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn
+      FROM edges
+    ) WHERE rn = 1
+    ORDER BY cluster, vec_id
+    """
+
+
+@query(
+    "sim_semdedup",
+    oracle=_semdedup_sql(),
+    tags=("similarity", "dedup", "scale"),
+)
+def sim_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic deduplication
+    — the pruning pass an LLM data pipeline runs over document embeddings.
+    K-means the corpus into {DS_K} clusters (the bit-reproducible
+    integer Lloyd's head shared with sim_diversity_sample /
+    sim_ivf_trained_rerank), then compare pairs ONLY within a cluster:
+    a vector is removed when an earlier-id cluster-mate has cosine >=
+    {SEMDEDUP_TAU}; the emitted witness (`dup_of`) is the lowest such id.
+    Cosine is computed over quantized-integer vectors with one exact int64
+    dot and one IEEE double divide/sqrt, so the threshold compare and the
+    emitted cos_e6 = floor(cos*1e6+0.5) are bit-identical cross-engine.
+
+    Scale design: the whole point of SemDeDup is that pairwise work is
+    cluster-local — at 100 TB you raise K ~ sqrt(N) (the paper's regime)
+    so expected cluster size stays bounded and the within-cluster
+    self-join never degenerates toward all-pairs; assignment is one
+    broadcast crossJoin + argmin (no shuffle), and the self-join shuffles
+    both sides once on the cluster key. The trained codebook is collected
+    to a {DS_K}-row local relation (pq_kmeans_codebook), so re-deriving
+    the assignment lineage on each join side re-runs only the broadcast
+    argmin, not the training.
+
+    No reference counterpart (the reference has no embedding operators) —
+    LLM-pipeline extension per the brief, complementing
+    dedup_embedding_cosine (label-blocked exact pass) with the trained-
+    cluster-blocked variant that works without labels."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    cb = _fullvec_centroids(emb)
+
+    assigned = (
+        emb.select("vec_id", "qe")
+        .crossJoin(F.broadcast(cb))
+        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("r"), F.col("qe")),
+                F.struct(F.col("__d"), F.col("r")),
+            ).alias("__a")
+        )
+        .select(
+            "vec_id",
+            F.col("__a.r").alias("cluster"),
+            F.col("__a.qe").alias("qe"),
+        )
+        .withColumn("na2", S.dot_int(F.col("qe"), F.col("qe")))
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a_id"),
+        F.col("qe").alias("a_qe"),
+        F.col("na2").alias("a_na2"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("qe").alias("b_qe"),
+        F.col("na2").alias("b_na2"),
+    )
+    cos = S.dot_int(F.col("a_qe"), F.col("b_qe")).cast("double") / F.sqrt(
+        F.col("a_na2").cast("double") * F.col("b_na2").cast("double")
+    )
+    edges = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(SEMDEDUP_TAU))
+        .select(
+            "cluster",
+            F.col("b_id").alias("vec_id"),
+            F.col("a_id").alias("dup_of"),
+            F.floor(F.col("__cos") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    return (
+        edges.groupBy("cluster", "vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("dup_of"), F.col("cos_e6")), F.col("dup_of")
+            ).alias("__w")
+        )
+        .select(
+            "cluster",
+            "vec_id",
+            F.col("__w.dup_of").alias("dup_of"),
+            F.col("__w.cos_e6").alias("cos_e6"),
+        )
+        .orderBy("cluster", "vec_id")
+    )
+
+
 IVF_TRAINED_NPROBE = 2
 
 

@@ -162,3 +162,51 @@ def k4_bag_manifest(spark, sf_dir):
         F.sha2(F.col("content"), 256).alias("sha256"),
         F.length(F.col("content")).cast("long").alias("n_bytes"),
     ).orderBy("file")
+
+
+K5_BUCKETS = 8
+
+
+@query(
+    "k5_range_bucket_layout",
+    oracle=f"""
+    WITH b AS (SELECT max(doc_id) + 1 AS ub FROM documents)
+    SELECT CAST(doc_id * {K5_BUCKETS} // ub AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+    FROM documents CROSS JOIN b
+    GROUP BY 1 ORDER BY bucket
+    """,
+    tags=("sinks", "scale"),
+)
+def k5_range_bucket_layout(spark, sf_dir):
+    """K5 range-bucketed layout contract: the per-bucket (count, min, max)
+    ranges that sinks.tabular.write_range_bucketed materializes as
+    directory partitions with sorted, footer-tight parquet files. The
+    bucket is a FIXED integer formula (key * B div upper_bound), not
+    repartitionByRange's sampled boundaries, so incremental appends land
+    in the same buckets and re-runs are byte-stable; because the formula
+    is monotonic in the key, bucket ranges are provably disjoint —
+    exactly the property that lets a key predicate prune to one
+    directory + one row group at 100 TB. tests/test_sinks.py performs
+    the physical write at sf0.001 and asserts the parquet footer
+    min/max statistics equal these rows.
+
+    The upper bound is a 1-row broadcast aggregate (crossJoin of a
+    constant), costing one pre-pass over the key column's footer stats
+    at scale — or a known catalog constant in production."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    ub = docs.agg((F.max("doc_id") + 1).alias("ub"))
+    return (
+        docs.crossJoin(F.broadcast(ub))
+        .groupBy(
+            F.expr(f"CAST(doc_id * {K5_BUCKETS} div ub AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )

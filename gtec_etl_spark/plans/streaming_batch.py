@@ -274,3 +274,81 @@ def ev_funnel_stages(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+    ),
+    ret AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+               AS week_offset,
+             count(*) AS n_active
+      FROM act a JOIN firsts f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           CAST(10000 * n_active
+                // max(CASE WHEN week_offset = 0 THEN n_active END)
+                     OVER (PARTITION BY cohort_week) AS BIGINT)
+             AS retention_e4
+    FROM ret
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("streaming", "cohort"),
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """Weekly cohort-retention matrix — the standard product-analytics
+    rollup: cohort = week of a user's first event; each cell counts users
+    of that cohort active `week_offset` weeks later, plus retention_e4 =
+    10000 * n_active div cohort_size (exact integer basis points; the
+    cohort size is the offset-0 cell, which exists by construction since
+    every user is active in their own first week).
+
+    Scale design: one distinct on (user_id, week) and the first-week
+    aggregation both shuffle on user_id, so Catalyst reuses the exchange
+    for the cohort join (co-partitioned, no extra shuffle); the cohort
+    matrix itself is tiny (weeks x offsets), so the final window costs
+    nothing. No per-event window functions anywhere — the plan is
+    aggregate-dominated at any event volume, the same shape a 100 TB
+    clickstream needs.
+
+    No reference counterpart (the reference has no event-time analytics)
+    — LLM/product-pipeline extension, same family as ev_funnel_stages."""
+    from pyspark.sql import Window as W
+
+    ev = catalog.table(spark, sf_dir, "events")
+    # date_trunc('week') yields DATE in DuckDB but TIMESTAMP in Spark —
+    # cast up front so the emitted cohort_week types agree.
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    firsts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    ret = (
+        act.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(W.partitionBy("cohort_week"))
+    return ret.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        (F.lit(10000) * F.col("n_active") / size)
+        .cast("long")
+        .alias("retention_e4"),
+    ).orderBy("cohort_week", "week_offset")

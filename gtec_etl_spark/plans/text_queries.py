@@ -1153,3 +1153,125 @@ def text_dsir_select(spark, sf_dir):
         .orderBy(F.col("importance_scaled").desc(), "doc_id")
         .limit(25)
     )
+
+
+# Gopher-style rule bounds (Rae et al. 2021, Table A1 shape, adapted to
+# this corpus's scale): word count, mean word length (x10), >=2 stopword
+# hits, dominant-word fraction, distinct-word ratio (both in e4 basis
+# points). All integer arithmetic over nonnegative values, so Spark's
+# truncating `div` and DuckDB's flooring `//` agree.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 80
+GOPHER_MIN_MWL10, GOPHER_MAX_MWL10 = 30, 100
+GOPHER_MIN_STOP = 2
+GOPHER_MAX_DOM_E4 = 2000
+GOPHER_MIN_DR_E4 = 5000
+
+_GOPHER_REASON_SQL = f"""CASE
+      WHEN n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS}
+        THEN 'word_count'
+      WHEN mwl10 < {GOPHER_MIN_MWL10} OR mwl10 > {GOPHER_MAX_MWL10}
+        THEN 'mean_word_length'
+      WHEN n_stop < {GOPHER_MIN_STOP} THEN 'stopword_hits'
+      WHEN dom_e4 > {GOPHER_MAX_DOM_E4} THEN 'dominant_word'
+      WHEN dr_e4 < {GOPHER_MIN_DR_E4} THEN 'distinct_ratio'
+      ELSE NULL END"""
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, count(*) AS cnt FROM t GROUP BY doc_id, w
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN list_contains({_EN_STOP_SQL}, w)
+                           THEN cnt ELSE 0 END) AS BIGINT) AS n_stop,
+             CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars_ns,
+             CAST(max(cnt) AS BIGINT) AS dom
+      FROM wc GROUP BY doc_id
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             10 * n_chars_ns // n_words AS mwl10,
+             n_stop,
+             10000 * dom // n_words AS dom_e4,
+             10000 * n_distinct // n_words AS dr_e4
+      FROM f
+    )
+    SELECT doc_id, n_words, mwl10, n_stop, dom_e4, dr_e4,
+           CAST(CASE WHEN {_GOPHER_REASON_SQL} IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass,
+           {_GOPHER_REASON_SQL} AS reject_reason
+    FROM r ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule ensemble (Rae et al. 2021): per-document
+    word-count bounds, mean-word-length bounds, minimum stopword hits,
+    dominant-word fraction cap, and distinct-word-ratio floor — emitted as
+    per-rule features, an overall gopher_pass flag, and the FIRST failing
+    rule name (reject_reason), which is what a pipeline operator actually
+    wants for per-source rejection dashboards. Complements
+    text_quality_score (a single weighted score) with the rule-ensemble
+    shape most production filters use.
+
+    Plan shape: ONE explode of the token array, then two CHAINED
+    aggregations — groupBy(doc_id, word) counts, then groupBy(doc_id)
+    derives every feature from the (word, cnt) pairs (n_words=sum(cnt),
+    n_distinct=count(*), chars=sum(cnt*len), dominant=max(cnt)) — so the
+    doc_id-level agg reuses the (doc_id, word) exchange's partitioning
+    (no second wide shuffle) and no count-distinct expand is needed.
+    All thresholds compare exact integers (x10 / basis-point scaling),
+    so the flags are bit-identical cross-engine.
+
+    No reference counterpart — LLM-pipeline extension per the brief."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    wc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    f = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.when(F.array_contains(stop_arr, F.col("w")), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_stop"),
+        F.sum(F.col("cnt") * F.length("w")).alias("n_chars_ns"),
+        F.max("cnt").alias("dom"),
+    )
+    r = f.select(
+        "doc_id",
+        "n_words",
+        F.expr("10 * n_chars_ns div n_words").alias("mwl10"),
+        "n_stop",
+        F.expr("10000 * dom div n_words").alias("dom_e4"),
+        F.expr("10000 * n_distinct div n_words").alias("dr_e4"),
+    )
+    reason = F.expr(_GOPHER_REASON_SQL)
+    return r.select(
+        "doc_id",
+        "n_words",
+        "mwl10",
+        "n_stop",
+        "dom_e4",
+        "dr_e4",
+        F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("gopher_pass"),
+        reason.alias("reject_reason"),
+    ).orderBy("doc_id")

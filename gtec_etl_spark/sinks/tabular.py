@@ -65,3 +65,38 @@ def write_partitioned_json(df: DataFrame, path: str, partition_cols: list[str]) 
     key columns (the scale-safe form of one-file-per-sample,
     ccmm/gtex/rna_extracts.py:167-191)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).json(path)
+
+
+def write_range_bucketed(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_buckets: int,
+    upper_bound: int,
+) -> None:
+    """Range-bucketed parquet layout for data-skipping: rows land in
+    bucket = key * n_buckets div upper_bound (a fixed integer formula, so
+    re-runs and incremental appends agree on placement — unlike
+    repartitionByRange, whose sampled boundaries drift run to run), one
+    directory partition per bucket, rows sorted by the key within each
+    file so parquet row-group min/max statistics are tight and disjoint.
+
+    A point/range predicate on the key then prunes at THREE levels: the
+    partition directory (Catalyst partition pruning on the bucket
+    formula), the row group (footer min/max), and the page (column
+    index). At 100 TB this layout is the difference between scanning one
+    bucket and scanning the corpus; the writer shuffles once on the
+    bucket key."""
+    from pyspark.sql import functions as F
+
+    bucketed = df.withColumn(
+        "bucket",
+        F.expr(f"CAST({key} * {n_buckets} div {upper_bound} AS BIGINT)"),
+    )
+    (
+        bucketed.repartition(n_buckets, "bucket")
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

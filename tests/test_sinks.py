@@ -120,3 +120,43 @@ def test_binary_content_hashes_match_hashlib(spark):
     ).collect()[0]
     assert row["m"] == hashlib.md5(payload).hexdigest()
     assert row["s"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_range_bucketed_write_layout(spark, tmp_path):
+    """Physical contract of sinks.tabular.write_range_bucketed: one
+    directory per bucket, parquet footer min/max equal to the
+    k5_range_bucket_layout query's rows, and bucket key-ranges pairwise
+    disjoint — the data-skipping property the layout exists for."""
+    import pyarrow.parquet as pq
+
+    from gtec_etl_spark.plans.sink_queries import K5_BUCKETS, k5_range_bucket_layout
+    from gtec_etl_spark.sinks.tabular import write_range_bucketed
+
+    docs = catalog.table(spark, SF_DIR, "documents")
+    ub = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    out = str(tmp_path / "bucketed")
+    write_range_bucketed(docs, out, "doc_id", K5_BUCKETS, ub)
+
+    expected = {
+        r["bucket"]: (r["n_rows"], r["min_id"], r["max_id"])
+        for r in k5_range_bucket_layout(spark, SF_DIR).collect()
+    }
+
+    seen = {}
+    for d in sorted(glob.glob(out + "/bucket=*")):
+        b = int(d.rsplit("=", 1)[1])
+        n = mn = mx = None
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            md = pq.read_metadata(f)
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(0).statistics
+                assert md.row_group(i).column(0).path_in_schema == "doc_id"
+                n = (n or 0) + md.row_group(i).num_rows
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        seen[b] = (n, mn, mx)
+    assert seen == expected
+
+    spans = sorted((mn, mx) for (_, mn, mx) in seen.values())
+    for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+        assert amax < bmin  # disjoint → a key predicate prunes to one bucket
