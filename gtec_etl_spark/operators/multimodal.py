@@ -459,3 +459,154 @@ def png_media_table(
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio modality through the same Arrow boundary, with
+# a REAL dependency-free codec (stdlib struct; no soundfile/librosa needed).
+# ---------------------------------------------------------------------------
+
+# (bits, channels) per media_id % 4 — covers 8/16-bit x mono/stereo.
+WAV_CYCLE = ((16, 1), (16, 2), (8, 1), (8, 2))
+
+
+def wav_values(n_values: int, seed: int, bits: int) -> list[int]:
+    """Deterministic LCG PCM sample stream (same recurrence as fake_image):
+    16-bit yields signed values in [-32768, 32767], 8-bit the RAW unsigned
+    container bytes in [0, 255] (WAV stores 8-bit PCM unsigned; logical
+    amplitude is value-128)."""
+    x = (seed * 2654435761) % (2**32)
+    vals = []
+    for _ in range(n_values):
+        x = (1103515245 * x + 12345) % (2**31)
+        vals.append((x % 65536) - 32768 if bits == 16 else x % 256)
+    return vals
+
+
+def fake_wav(
+    n_frames: int,
+    sample_rate: int,
+    seed: int,
+    bits: int = 16,
+    n_channels: int = 1,
+) -> bytes:
+    """Deterministic REAL RIFF/WAVE PCM file — canonical 44-byte header +
+    interleaved little-endian raster. Any WAV reader (including stdlib
+    `wave`) opens these; tests/test_multimodal.py cross-checks against
+    `wave` as an independent parser."""
+    vals = wav_values(n_frames * n_channels, seed, bits)
+    if bits == 16:
+        raster = b"".join(struct.pack("<h", v) for v in vals)
+    else:
+        raster = bytes(vals)
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raster))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raster)) + raster
+    )
+
+
+def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-Python RIFF/WAVE parser -> (sample_rate, n_channels, bits,
+    centered int64 samples). Walks the chunk list (so extra chunks like
+    LIST/INFO are skipped, not assumed absent), accepts integer PCM
+    (format 1) at 8/16 bits; float PCM (format 3), ADPCM, and 24/32-bit
+    rasters are the documented NotImplementedError boundary. 8-bit
+    unsigned samples center to value-128 so amplitude stats mean the
+    same thing at both depths."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        ln = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits}: only integer PCM at"
+            " 8/16 bits is inside the pure-Python decode boundary"
+            " (float/ADPCM/24-bit need an audio library)"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.int64)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    return rate, nch, bits, samples
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, bits int,"
+    " n_frames long, peak_abs long, mean_abs_e3 long"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio decode pass: binary -> rate/layout + exact integer amplitude
+    stats (peak and 1000x mean absolute value, truncating div — engine-
+    independent ints, no float summaries). One Arrow round-trip; output is
+    tiny per row regardless of clip length."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, nch, bits, s = _decode_wav(bytes(content))
+                n = len(s)
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        nch,
+                        bits,
+                        n // nch,
+                        int(np.abs(s).max()) if n else 0,
+                        int(1000 * np.abs(s).sum()) // n if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "bits",
+                    "n_frames", "peak_abs", "mean_abs_e3",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, AUDIO_SCHEMA)
+
+
+def wav_media_table(
+    spark, n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic media table of REAL WAV payloads cycling through
+    WAV_CYCLE (bits, channels) layouts by media_id."""
+    rows = []
+    for i in range(n):
+        bits, nch = WAV_CYCLE[i % len(WAV_CYCLE)]
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(
+                    fake_wav(n_frames, sample_rate, seed=i, bits=bits, n_channels=nch)
+                ),
+                ("audio/wav", f"mem://wav/{i}.wav"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -425,3 +425,31 @@ def mm_decode_png(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "mm_decode_wav",
+    oracle=f"""
+    SELECT media_id, sample_rate, n_channels, bits, n_frames,
+           peak_abs, mean_abs_e3
+    FROM '{_MM_GOLDEN}/mm_decode_wav.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_wav(spark, sf_dir):
+    """AUDIO through the media pipeline with a REAL dependency-free codec:
+    deterministic RIFF/WAVE PCM clips (8/16-bit x mono/stereo, canonical
+    headers any WAV reader opens — tests cross-check against stdlib
+    `wave`) parsed by the pure-struct chunk walker
+    (operators/multimodal.py:_decode_wav) inside the same Arrow-batched
+    mapInPandas boundary as the image decoders; emitted stats are exact
+    integers (peak, 1000x mean |amplitude|), so no float parity games.
+    The NotImplementedError boundary now covers only float/ADPCM/24-bit
+    audio and DCT images. Oracle = golden fixture recomputed straight
+    from the LCG sample stream WITHOUT the RIFF writer or parser
+    (tools/make_multimodal_golden.py:decode_wav_golden)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.wav_media_table(spark, n=12, n_frames=480, sample_rate=8000)
+    return M.decode_audio(media).orderBy("media_id")

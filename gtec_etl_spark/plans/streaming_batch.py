@@ -311,12 +311,16 @@ def ev_retention_cohorts(spark, sf_dir):
     cohort size is the offset-0 cell, which exists by construction since
     every user is active in their own first week).
 
-    Scale design: one distinct on (user_id, week) and the first-week
-    aggregation both shuffle on user_id, so Catalyst reuses the exchange
-    for the cohort join (co-partitioned, no extra shuffle); the cohort
-    matrix itself is tiny (weeks x offsets), so the final window costs
-    nothing. No per-event window functions anywhere — the plan is
-    aggregate-dominated at any event volume, the same shape a 100 TB
+    Scale design: ONE shuffle on user_id collapses each user to their
+    distinct-week set (collect_set — dedup, first week, and offsets all
+    come from that array map-side, so the distinct + min + self-join of
+    the naive formulation disappear), then one shuffle aggregates the
+    tiny (cohort, offset) matrix; the closing window runs over weeks x
+    offsets rows and costs nothing. Two data-sized exchanges total
+    (verified plan) — the naive distinct/join shape costs four. The
+    per-user week set is bounded by the calendar (52/year), so
+    collect_set state cannot balloon. No per-event window functions —
+    aggregate-dominated at any event volume, the shape a 100 TB
     clickstream needs.
 
     No reference counterpart (the reference has no event-time analytics)
@@ -326,13 +330,17 @@ def ev_retention_cohorts(spark, sf_dir):
     ev = catalog.table(spark, sf_dir, "events")
     # date_trunc('week') yields DATE in DuckDB but TIMESTAMP in Spark —
     # cast up front so the emitted cohort_week types agree.
-    act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
-    ).distinct()
-    firsts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    peruser = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+        .select(F.array_min("weeks").alias("cohort_week"), F.explode("weeks").alias("week"))
+    )
     ret = (
-        act.join(firsts, "user_id")
-        .select(
+        peruser.select(
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
             .cast("long")

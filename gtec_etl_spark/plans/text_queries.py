@@ -1226,11 +1226,16 @@ def text_gopher_rules(spark, sf_dir):
     Plan shape: ONE explode of the token array, then two CHAINED
     aggregations — groupBy(doc_id, word) counts, then groupBy(doc_id)
     derives every feature from the (word, cnt) pairs (n_words=sum(cnt),
-    n_distinct=count(*), chars=sum(cnt*len), dominant=max(cnt)) — so the
-    doc_id-level agg reuses the (doc_id, word) exchange's partitioning
-    (no second wide shuffle) and no count-distinct expand is needed.
-    All thresholds compare exact integers (x10 / basis-point scaling),
-    so the flags are bit-identical cross-engine.
+    n_distinct=count(*), chars=sum(cnt*len), dominant=max(cnt)) — so no
+    count-distinct Expand is needed and both shuffles carry partial
+    aggregates (the second moves only the pre-counted (doc_id, word,
+    cnt) rows, a fraction of the token stream). Verified plan: exactly
+    two hash exchanges. A fully map-side variant (array-expression run
+    counting over array_sort) would avoid the shuffles but puts O(n x
+    distinct) work on single tasks for giant documents; the two-agg
+    shape degrades gracefully instead. All thresholds compare exact
+    integers (x10 / basis-point scaling), so the flags are bit-identical
+    cross-engine.
 
     No reference counterpart — LLM-pipeline extension per the brief."""
     docs = catalog.table(spark, sf_dir, "documents")
@@ -1274,4 +1279,101 @@ def text_gopher_rules(spark, sf_dir):
         .cast("long")
         .alias("gopher_pass"),
         reason.alias("reject_reason"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lm_familiarity",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS b
+      FROM (
+        SELECT doc_id, lang, w,
+               unnest(generate_series(1, len(w) - 1)) AS i
+        FROM w
+      )
+    ),
+    cnt AS (
+      SELECT b, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY b
+    ),
+    sc AS (
+      SELECT g.doc_id, g.lang,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN c.c IS NULL THEN 0
+                           ELSE len(bin(c.c)) END) AS BIGINT) AS tier_sum
+      FROM bg g LEFT JOIN cnt c ON c.b = g.b
+      GROUP BY g.doc_id, g.lang
+    )
+    SELECT doc_id, lang, n_bigrams,
+           CAST(1000 * tier_sum // n_bigrams AS BIGINT) AS familiarity_e3
+    FROM sc ORDER BY doc_id
+    """,
+    tags=("text", "quality", "scale"),
+)
+def text_lm_familiarity(spark, sf_dir):
+    """Target-LM familiarity scoring — the CCNet-style 'perplexity filter'
+    shape (score each document by how familiar its n-grams are to a model
+    trained on a trusted target corpus), made cross-engine-EXACT by
+    replacing log-probabilities with integer log2 tiers: a bigram seen c
+    times in the English target slice contributes floor(log2(c)) + 1
+    (= len(bin(c)), a pure string-length of the binary form — both
+    engines' bin() emits unpadded binary), unseen bigrams contribute 0;
+    the doc score is 1000 * tier_sum div n_bigrams. Monotone in the true
+    log-likelihood up to quantization, with none of the float-ln
+    cross-engine drift. Complements text_dsir_weights (relative
+    target-vs-corpus importance ratio) with an absolute per-doc fluency
+    proxy.
+
+    Plan shape: the words array is materialized in a projection BEFORE
+    the bigram transform (Catalyst does not hoist split() out of lambda
+    bodies — the inlined form re-tokenizes per index, O(words^2)/doc, the
+    round-6 DSIR lesson); training is one groupBy(bigram) with map-side
+    partial counts over the target slice; scoring is one equi-join on the
+    bigram string — at 100 TB the count model shuffles once and AQE picks
+    broadcast when the trained model is small (here it is); hot
+    boilerplate bigrams are skew-join territory, same as every dedup
+    family join."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    bg = w.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat(
+                    F.element_at("w", i), F.lit(" "), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("b"),
+    )
+    cnt = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sc = (
+        bg.join(cnt, "b", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c").isNull(), 0).otherwise(
+                    F.length(F.bin(F.col("c")))
+                )
+            ).alias("tier_sum"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.expr("CAST(1000 * tier_sum div n_bigrams AS BIGINT)").alias(
+            "familiarity_e3"
+        ),
     ).orderBy("doc_id")

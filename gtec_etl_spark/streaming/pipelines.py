@@ -196,3 +196,73 @@ def read_documents_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.option("pathGlobFilter", path_glob).parquet(sf_dir)
+
+
+def run_dedup_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    await_secs: int = 120,
+) -> None:
+    """SELF-MAINTAINING streaming dedup ingest — the missing half of
+    stream_dedup_admission (which filters against a FROZEN index): each
+    micro-batch is admission-filtered against the persisted banded index
+    AND the admitted documents' bands are appended back to that index, so
+    a document duplicated across two later batches is caught by the
+    second even though the bootstrap index never saw either. This is the
+    complete production crawl-ingest loop: admit, record, repeat.
+
+    foreachBatch is the right tool because the index is both a join input
+    and a sink within one trigger — something no single-pass streaming
+    plan can express. Exactly-once across restarts comes from idempotent
+    writes, not sink transactions: every batch writes its admitted rows
+    and its index delta to `batch_id=N` subdirectories with
+    mode("overwrite"), so a replayed batch (checkpoint says it was
+    in-flight) overwrites its own partition instead of duplicating it —
+    the standard idempotent-foreachBatch pattern.
+
+    Scale: per-trigger cost is O(batch bands + matched buckets) for the
+    semi-join (the index side is a parquet scan pruned to matching band
+    buckets when the index is bucketed on (band, sig)); the index append
+    is one partition directory per trigger — compact periodically with
+    the K5 range-bucketed writer. Intra-batch duplicates are NOT removed
+    here (the batch dedup operators compose in front when needed)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from gtec_etl_spark.operators.dedup import minhash_bands_rowwise
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        bands_df = minhash_bands_rowwise(batch_df, n_shingle, num_hashes, bands)
+        try:
+            index = s.read.parquet(index_dir).select("band", "sig")
+        except AnalysisException:
+            index = s.createDataFrame([], bands_df.select("band", "sig").schema)
+        suspects = (
+            bands_df.join(index, ["band", "sig"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        admitted = batch_df.join(suspects, "doc_id", "left_anti")
+        admitted.write.mode("overwrite").parquet(
+            f"{admitted_dir}/batch_id={batch_id}"
+        )
+        bands_df.join(suspects, "doc_id", "left_anti").select(
+            "doc_id", "band", "sig"
+        ).write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(await_secs)
+    finally:
+        if q.isActive:
+            q.stop()

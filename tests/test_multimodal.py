@@ -150,3 +150,84 @@ def test_png_boundary_rejects_unsupported():
     for depth, ctype, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
         with pytest.raises(NotImplementedError):
             M._decode_png(png_with_ihdr(depth, ctype, interlace))
+
+
+def test_wav_roundtrip_vs_stdlib_wave():
+    """The pure-struct WAV parser agrees with stdlib `wave` (an
+    independent RIFF implementation) on header fields AND every sample,
+    for all four WAV_CYCLE layouts."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for i, (bits, nch) in enumerate(M.WAV_CYCLE):
+        blob = M.fake_wav(480, 8000, seed=i, bits=bits, n_channels=nch)
+        rate, got_nch, got_bits, s = M._decode_wav(blob)
+        w = wave.open(io.BytesIO(blob))
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth() * 8) == (
+            rate,
+            got_nch,
+            got_bits,
+        )
+        assert w.getnframes() == len(s) // nch
+        raw = w.readframes(480)
+        if bits == 16:
+            ref = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        else:
+            ref = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        assert (ref == s).all()
+
+
+def test_wav_parser_skips_extra_chunks():
+    """Chunk-walking contract: LIST/INFO (or any unknown) chunks between
+    fmt and data must be skipped, including odd-length word alignment."""
+    blob = M.fake_wav(16, 8000, seed=3, bits=16, n_channels=1)
+    fmt_at = blob.index(b"fmt ")
+    data_at = blob.index(b"data")
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # padded
+    hacked = blob[:data_at] + extra + blob[data_at:]
+    import struct as st
+
+    hacked = (
+        hacked[:4]
+        + st.pack("<I", len(hacked) - 8)
+        + hacked[8:]
+    )
+    assert fmt_at < data_at
+    rate, nch, bits, s = M._decode_wav(hacked)
+    _, _, _, s0 = M._decode_wav(blob)
+    assert (rate, nch, bits) == (8000, 1, 16) and (s == s0).all()
+
+
+def test_wav_boundary_rejects_unsupported():
+    import struct as st
+
+    def wav_with_fmt(audio_format, bits):
+        fmt = st.pack("<HHIIHH", audio_format, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        data = b"\x00" * 8
+        body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", len(data)) + data
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    for audio_format, bits in ((3, 32), (1, 24), (2, 4)):
+        with pytest.raises(NotImplementedError):
+            M._decode_wav(wav_with_fmt(audio_format, bits))
+
+
+def test_decode_audio_distributed(spark):
+    """decode_audio through the real mapInPandas path matches the direct
+    per-clip parse."""
+    media = M.wav_media_table(spark, n=8, n_frames=64, sample_rate=16000)
+    rows = {r["media_id"]: r for r in M.decode_audio(media).collect()}
+    import numpy as np
+
+    for i in range(8):
+        bits, nch = M.WAV_CYCLE[i % 4]
+        _, _, _, s = M._decode_wav(
+            M.fake_wav(64, 16000, seed=i, bits=bits, n_channels=nch)
+        )
+        r = rows[i]
+        assert (r["sample_rate"], r["n_channels"], r["bits"]) == (16000, nch, bits)
+        assert r["n_frames"] == 64
+        assert r["peak_abs"] == int(np.abs(s).max())
+        assert r["mean_abs_e3"] == int(1000 * np.abs(s).sum()) // len(s)

@@ -236,3 +236,50 @@ def test_diversity_sample_broadcasts_centroids_and_salts(spark):
     plan = _formatted_plan(spark, "sim_diversity_sample")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Window") >= 2
+
+
+def test_gopher_rules_two_chained_aggs(spark):
+    """text_gopher_rules: one explode, two hash exchanges (token counts,
+    then doc features) — no count-distinct Expand, no join."""
+    plan = _formatted_plan(spark, "text_gopher_rules")
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+
+def test_retention_cohorts_two_data_shuffles(spark):
+    """ev_retention_cohorts: the collect_set formulation — one shuffle on
+    user_id, one on the (cohort, offset) matrix, plus the window over the
+    tiny matrix; the naive distinct/min/join shape costs four data-sized
+    exchanges and a join."""
+    plan = _formatted_plan(spark, "ev_retention_cohorts")
+    assert plan.count("Arguments: hashpartitioning") <= 3
+    assert "Join" not in plan
+
+
+def test_paragraph_chunks_no_window_over_chunk(spark):
+    """dedup_paragraph_chunks: keep-first is a min-aggregate + join back,
+    NOT a window partitioned by chunk (a boilerplate chunk shared by a
+    million docs would single-task a window sort); chunking itself is
+    array slicing, so the only Generate is the chunk posexplode."""
+    plan = _formatted_plan(spark, "dedup_paragraph_chunks")
+    assert "Window" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 3
+
+
+def test_semdedup_broadcasts_centroids_pairs_cluster_scoped(spark):
+    """sim_semdedup: centroid assignment is a broadcast nested loop over
+    the collected codebook (no shuffle); the only sort-merge/shuffled
+    equi-join is the within-cluster self-join on the cluster key."""
+    plan = _formatted_plan(spark, "sim_semdedup")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lm_familiarity_single_count_model_join(spark):
+    """text_lm_familiarity: one aggregation trains the bigram counts, one
+    left join applies them, one aggregation scores — and the words array
+    is materialized before the bigram lambda (no split() inside the
+    transform body, the O(words^2) re-tokenize trap)."""
+    plan = _formatted_plan(spark, "text_lm_familiarity")
+    assert "lambdafunction(split" not in plan.lower()
+    assert plan.lower().count("join") >= 1

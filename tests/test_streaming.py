@@ -291,3 +291,57 @@ def test_stream_dedup_admission_matches_batch_incremental(spark, sf_dir):
         for r in registry.specs()["dedup_incremental_batch"].fn(spark, sf_dir).collect()
     }
     assert stream_rejected == batch_matched
+
+
+def test_dedup_ingest_maintains_its_own_index(spark, tmp_path):
+    """run_dedup_ingest: the admitted docs of batch N join the index that
+    batch N+1 filters against — a duplicate ACROSS two streamed batches is
+    rejected by the second even though no bootstrap index existed; and a
+    restart from the same checkpoint neither reprocesses nor duplicates
+    (idempotent batch_id-partitioned writes)."""
+    from gtec_etl_spark.streaming.pipelines import run_dedup_ingest
+
+    land_dir = tmp_path / "landing"
+    land_dir.mkdir()
+    schema = "doc_id long, text string"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(land_dir / name)
+        )
+
+    t_unique = "alpha beta gamma delta epsilon zeta"
+    t_dup = "one two three four five six seven"
+    t_late = "red orange yellow green blue indigo"
+    land("b1", [(1, t_unique), (2, t_dup)])
+    land("b2", [(3, t_dup), (4, t_late)])  # 3 duplicates 2 across batches
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", True)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land_dir))
+        )
+        run_dedup_ingest(
+            stream,
+            str(tmp_path / "index"),
+            str(tmp_path / "admitted"),
+            str(tmp_path / "ck"),
+        )
+
+    run()
+    admitted = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+    # 3 must be rejected: its duplicate (2) was admitted by an EARLIER
+    # micro-batch of the same run, so only the maintained index can know.
+    assert admitted == {1, 2, 4}
+
+    # Restart with one more batch: a dup of doc 4 (indexed in the prior
+    # RUN) and a fresh doc. Prior batches must not reprocess.
+    land("b3", [(5, t_late), (6, "lorem ipsum dolor sit amet consectetur")])
+    run()
+    rows = spark.read.parquet(str(tmp_path / "admitted")).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 2, 4, 6]

@@ -68,6 +68,16 @@ QUERIES = [
     # Round-6: exact substring spans — nothing pairwise, no cap; the
     # curve should track window count, immune to hot-phrase fan-out.
     "dedup_substring_spans",
+    # Round-6 late additions: cluster-scoped semantic dedup (pairwise is
+    # bounded by cluster size), paragraph-chunk dedup (three shuffles,
+    # boilerplate-chunk skew is the stress), the bigram-LM familiarity
+    # join, the Gopher rule ensemble (two chained aggs), and the cohort
+    # matrix (collect_set shape).
+    "sim_semdedup",
+    "dedup_paragraph_chunks",
+    "text_lm_familiarity",
+    "text_gopher_rules",
+    "ev_retention_cohorts",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query

@@ -177,6 +177,37 @@ def decode_png_golden(n: int = 12, width: int = 23, height: int = 19) -> pa.Tabl
     return pa.Table.from_pylist(rows)
 
 
+def decode_wav_golden(
+    n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> pa.Table:
+    """Expected output of mm_decode_wav: rate/layout + exact integer
+    amplitude stats per clip, recomputed straight from the LCG sample
+    stream WITHOUT the RIFF parser (wav_media_table(n=12, 480 frames))."""
+    cycle = ((16, 1), (16, 2), (8, 1), (8, 2))  # WAV_CYCLE, independently
+    rows = []
+    for mid in range(n):
+        bits, nch = cycle[mid % 4]
+        x = (mid * 2654435761) % (2**32)
+        vals = []
+        for _ in range(n_frames * nch):
+            x = (1103515245 * x + 12345) % (2**31)
+            v = (x % 65536) - 32768 if bits == 16 else x % 256
+            vals.append(v if bits == 16 else v - 128)
+        s = np.array(vals, dtype=np.int64)
+        rows.append(
+            {
+                "media_id": mid,
+                "sample_rate": sample_rate,
+                "n_channels": nch,
+                "bits": bits,
+                "n_frames": n_frames,
+                "peak_abs": int(np.abs(s).max()),
+                "mean_abs_e3": int(1000 * np.abs(s).sum()) // len(s),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -191,6 +222,9 @@ def main() -> None:
     )
     pq.write_table(
         decode_png_golden(), os.path.join(OUT_DIR, "mm_decode_png.parquet")
+    )
+    pq.write_table(
+        decode_wav_golden(), os.path.join(OUT_DIR, "mm_decode_wav.parquet")
     )
     print(f"wrote golden fixtures to {OUT_DIR}")
 
