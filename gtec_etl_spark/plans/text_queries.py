@@ -1377,3 +1377,219 @@ def text_lm_familiarity(spark, sf_dir):
             "familiarity_e3"
         ),
     ).orderBy("doc_id")
+
+
+BPE_K = 6
+
+
+def _bpe_ctes(k: int) -> str:
+    """WITH-chain through tok{k}: BPE training unrolled as K CTE stages
+    (the sim_pq_trained_codebook precedent — iteration count is a
+    constant, so no recursion is needed). Stage i: weighted adjacent-pair
+    counts over tok{i-1}, 1-row argmax m{i} (c DESC, then lexicographic),
+    then the greedy left-to-right merge via window functions: mark merge
+    START positions, split consecutive-start runs (the a,a overlap case)
+    and keep odd ranks — provably the same selection as the engine's
+    carry fold — then drop each start's right neighbour and rebuild the
+    token list."""
+    parts = [
+        """
+    WITH tok0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, len(word)), i -> word[i]) AS toks
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      WHERE len(word) > 0
+      GROUP BY word
+    )"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"tok{i - 1}"
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT toks[j] AS l, toks[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+        FROM {prev}
+      )
+      GROUP BY 1, 2
+    ),
+    m{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+    x{i} AS (
+      SELECT t.word, t.freq, t.j, t.tk, m.l AS ml, m.r AS mr,
+             coalesce(
+               t.tk = m.l
+               AND lead(t.tk) OVER (PARTITION BY t.word ORDER BY t.j) = m.r,
+               FALSE
+             ) AS is_start
+      FROM (
+        SELECT word, freq, toks, j, toks[j] AS tk
+        FROM (
+          SELECT word, freq, toks,
+                 unnest(generate_series(1, len(toks))) AS j
+          FROM {prev}
+        )
+      ) t CROSS JOIN m{i} m
+    ),
+    y{i} AS (
+      SELECT word, freq, j, tk, ml, mr, is_start,
+             CASE WHEN is_start THEN
+               row_number() OVER (PARTITION BY word, grp ORDER BY j)
+             END AS rn
+      FROM (
+        SELECT word, freq, j, tk, ml, mr, is_start,
+               CASE WHEN is_start THEN
+                 j - row_number() OVER (PARTITION BY word, is_start ORDER BY j)
+               END AS grp
+        FROM x{i}
+      )
+    ),
+    z{i} AS (
+      SELECT word, freq, j,
+             CASE
+               WHEN sel THEN ml || mr
+               WHEN coalesce(
+                 lag(sel) OVER (PARTITION BY word ORDER BY j), FALSE
+               ) THEN NULL
+               ELSE tk
+             END AS newtok,
+             coalesce(
+               lag(sel) OVER (PARTITION BY word ORDER BY j), FALSE
+             ) AS dropped
+      FROM (
+        SELECT word, freq, j, tk, ml, mr,
+               (is_start AND rn % 2 = 1) AS sel
+        FROM y{i}
+      )
+    ),
+    tok{i} AS (
+      SELECT word, freq,
+             list(newtok ORDER BY j) FILTER (newtok IS NOT NULL) AS toks
+      FROM z{i} GROUP BY word, freq
+    )"""
+        )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(k: int) -> str:
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS iter, l AS lhs, r AS rhs, c AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return _bpe_ctes(k) + f"\n    SELECT * FROM ({rows}) ORDER BY iter"
+
+
+@query(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(BPE_K),
+    tags=("text", "tokenizer", "scale"),
+)
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — learn
+    the {BPE_K} most frequent adjacent-symbol merges over the corpus,
+    emitting (iter, lhs, rhs, pair_count) merge rules. Counts are
+    frequency-weighted over the DISTINCT-word vocabulary, so every
+    iteration costs O(|vocab|), independent of corpus size — the property
+    that makes tokenizer training feasible at 100 TB (the only
+    corpus-sized pass is the initial word count). Ties break to the
+    lexicographically smallest pair on binary collation, so training is
+    bit-deterministic; the oracle replays all {BPE_K} iterations as
+    unrolled CTE stages with the window-function formulation of the
+    greedy merge, which tests prove equivalent to the engine's map-side
+    carry fold (operators/bpe.py:apply_merge).
+
+    Plan: per iteration one bounded pair-count shuffle + a 1-row argmax
+    collect + a shuffle-free fold; the vocab is persisted per round and
+    the previous round released, keeping plan depth O(1).
+
+    No reference counterpart — LLM-pipeline extension per the brief."""
+    from gtec_etl_spark.operators import bpe as B
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    merges, vocab = B.bpe_train(docs, BPE_K)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        [(int(i), l, r, int(c)) for (i, l, r, c) in merges],
+        "iter long, lhs string, rhs string, pair_count long",
+    ).orderBy("iter")
+
+
+@query(
+    "text_bpe_apply",
+    oracle=_bpe_ctes(BPE_K) + f""",
+    d AS (
+      SELECT doc_id, j AS p, w[j] AS word
+      FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS w,
+               unnest(generate_series(1, len(w))) AS j
+        FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens,
+           md5(string_agg(array_to_string(t.toks, ' '), ' ' ORDER BY p))
+             AS tok_fp
+    FROM d JOIN tok{BPE_K} t USING (word)
+    WHERE doc_id < 200
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("text", "tokenizer", "scale"),
+)
+def text_bpe_apply(spark, sf_dir):
+    """Tokenize the corpus with the trained BPE vocabulary: per document,
+    the BPE token count and a fingerprint of the full token stream. The
+    encode path never re-runs the merge loop over documents — each
+    DISTINCT word was fully merged during training, so encoding is one
+    equi-join of the corpus word stream against the (word -> tokens)
+    table: the same join shape as text_lm_familiarity, broadcastable
+    whenever the vocab fits, and the token stream is reassembled
+    map-side from the per-word pieces in word order. This is exactly how
+    production tokenizers amortize BPE at scale (encode = vocab lookup,
+    not merge replay).
+
+    Restricted to doc_id < 200 to bound the fingerprint row count (the
+    text_quality_score convention)."""
+    from gtec_etl_spark.operators import bpe as B
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    _, vocab = B.bpe_train(docs, BPE_K)
+    try:
+        w = docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+        ).select(
+            "doc_id", F.posexplode("w").alias("p0", "word")
+        ).withColumn("p", F.col("p0") + 1)
+        joined = w.join(F.broadcast(vocab.select("word", "toks")), "word")
+        per_doc = (
+            joined.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.size("toks")).alias("n_bpe_tokens"),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("p"), F.concat_ws(" ", "toks").alias("s")
+                        )
+                    )
+                ).alias("__ts"),
+            )
+            .filter(F.col("doc_id") < 200)
+            .select(
+                "doc_id",
+                "n_words",
+                "n_bpe_tokens",
+                F.md5(
+                    F.concat_ws(
+                        " ", F.transform(F.col("__ts"), lambda t: t["s"])
+                    )
+                ).alias("tok_fp"),
+            )
+            .orderBy("doc_id")
+        )
+        # Materialize before releasing the trained-vocab cache the plan
+        # references (same discipline as pq_kmeans_codebook).
+        out = per_doc.collect()
+        return spark.createDataFrame(out, per_doc.schema)
+    finally:
+        vocab.unpersist()

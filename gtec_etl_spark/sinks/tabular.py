@@ -100,3 +100,41 @@ def write_range_bucketed(
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    sort_key: str | None = None,
+) -> int:
+    """Small-file compaction — the maintenance pass every incremental
+    sink eventually needs (streaming.run_dedup_ingest appends one
+    partition directory per trigger; object stores and NameNodes both
+    degrade under file-count, and tiny row groups defeat footer
+    statistics). Reads the directory, picks the output file count from
+    TOTAL BYTES / target_bytes (size-based, not partition-count-based,
+    so compaction converges no matter how fragmented the input), and
+    rewrites with an optional sort key so the compacted row groups carry
+    tight min/max footers (pair with write_range_bucketed for the full
+    layout). Returns the output file count.
+
+    The byte-size listing is driver-side filesystem metadata — the same
+    O(#files) listing any table-maintenance service (OPTIMIZE, compaction
+    daemons) performs; row data itself moves through one executor-side
+    repartition."""
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(_os.path.join(src, "**", "*.parquet"), recursive=True)
+    )
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src)
+    out = df.repartition(n_out)
+    if sort_key:
+        out = out.sortWithinPartitions(sort_key)
+    out.write.mode("overwrite").parquet(dst)
+    return n_out

@@ -469,3 +469,30 @@ def test_ivf_trained_rerank_recall_floor(spark, sf_dir):
     got = [r.vec_id for r in sim_ivf_trained_rerank(spark, sf_dir).collect()]
     assert len(got) == 10
     assert len(set(got) & set(exact)) >= 4
+
+
+def test_bpe_train_classic_corpus(spark):
+    """BPE on the textbook corpus: 'low' x2 + 'lowest' — the first merges
+    must follow the weighted pair counts with lexicographic tie-breaks,
+    and the final vocab tokenizes 'low' as one symbol."""
+    from gtec_etl_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "low low lowest")], "doc_id long, text string"
+    )
+    merges, vocab = B.bpe_train(docs, 3)
+    try:
+        rows = {r["word"]: r["toks"] for r in vocab.collect()}
+    finally:
+        vocab.unpersist()
+    # Pair counts round 1: (l,o)=3, (o,w)=3, (w,e)=1, (e,s)=1, (s,t)=1
+    # -> tie on 3 breaks lexicographically: (l,o). Round 2: (lo,w)=3 wins.
+    # Round 3: 'low' is fused; remaining pairs in 'lowest' count 1 each,
+    # tie breaks to (e,s).
+    assert [(m[1], m[2], m[3]) for m in merges] == [
+        ("l", "o", 3),
+        ("lo", "w", 3),
+        ("e", "s", 1),
+    ]
+    assert rows["low"] == ["low"]
+    assert rows["lowest"] == ["low", "es", "t"]

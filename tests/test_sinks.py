@@ -160,3 +160,24 @@ def test_range_bucketed_write_layout(spark, tmp_path):
     spans = sorted((mn, mx) for (_, mn, mx) in seen.values())
     for (_, amax), (bmin, _) in zip(spans, spans[1:]):
         assert amax < bmin  # disjoint → a key predicate prunes to one bucket
+
+
+def test_compact_parquet_dir_preserves_content(spark, tmp_path):
+    """Compaction contract: many fragment files in, size-targeted few
+    files out, content multiset unchanged, sorted row groups when a key
+    is given."""
+    from gtec_etl_spark.sinks.tabular import compact_parquet_dir
+
+    src = str(tmp_path / "frags")
+    for b in range(6):
+        spark.createDataFrame(
+            [(b * 10 + i, f"v{b}_{i}") for i in range(10)], "id long, v string"
+        ).coalesce(1).write.parquet(f"{src}/batch_id={b}")
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet_dir(spark, src, dst, target_bytes=1 << 30, sort_key="id")
+    assert n_out == 1
+    files = glob.glob(dst + "/*.parquet")
+    assert len(files) == 1  # 6 fragments -> 1 size-targeted file
+    got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert got == list(range(60))
