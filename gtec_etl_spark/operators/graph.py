@@ -1,0 +1,73 @@
+"""Iterative graph propagation operators (Pregel-style, DataFrame-first).
+
+PageRank here is the integer fixed-point variant: ranks are scaled
+BIGINTs and every division floors, so runs are bit-reproducible across
+engines (the property plans/graph_queries.py's unrolled-CTE oracle
+depends on) and across retries (no float summation order anywhere — the
+per-edge messages are exact integers).
+
+Connected components (min-label propagation) lives with its consumer in
+operators/dedup.py:218; this module holds the weighted-propagation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """PageRank over directed `edges` (src string, dst string) → (node,
+    rank) with rank an integer at `scale` fixed-point. Every node must
+    appear as a src (mirror undirected graphs before calling — this keeps
+    the dangling-mass term out of the inner loop).
+
+    Per iteration: one join of the rank vector against the edge list on
+    src (both sides arrive co-partitioned after the first round — the
+    edge list should be pre-partitioned on src and cached by the caller),
+    one groupBy(dst) shuffle summing incoming integer mass, one map-side
+    damped update. O(|E|) per iteration, no driver-side state beyond the
+    node count."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    try:
+        n_nodes = nodes.count()
+        teleport = ((100 - damping_pct) * scale // 100) // n_nodes
+        ranks = nodes.select(
+            "node", F.lit(scale // n_nodes).cast("long").alias("rank")
+        )
+        for _ in range(iters):
+            insum = (
+                edges.join(ranks, ranks["node"] == edges["src"])
+                .join(deg, "src")
+                .select(
+                    F.col("dst"),
+                    F.floor(F.col("rank") / F.col("outdeg")).cast("long").alias("m"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("m").cast("long").alias("insum"))
+            )
+            ranks = nodes.join(
+                insum, nodes["node"] == insum["dst"], "left"
+            ).select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.floor(
+                        damping_pct * F.coalesce(F.col("insum"), F.lit(0)) / 100
+                    ).cast("long")
+                ).alias("rank"),
+            )
+        # Materialize while the nodes cache is alive: the loop's plan
+        # references `nodes` once per iteration.
+        out = ranks.collect()
+        return edges.sparkSession.createDataFrame(out, ranks.schema)
+    finally:
+        nodes.unpersist()

@@ -1,0 +1,132 @@
+"""Graph-analytics query pack over the purchase graph (customers and
+suppliers connected by order lineitems).
+
+The reference's graph surface is the triples store (BGP joins,
+plans/triples_queries.py) plus the GFF parent/child hierarchy; this pack
+adds the iterative-propagation family a data-curation pipeline uses for
+source-authority weighting (PageRank over a citation/link graph is the
+classic quality prior for web-crawl corpora, e.g. the Common Crawl
+harmonic-centrality filter). Connected components already exist on the
+dedup side (operators/dedup.py:218); PageRank here completes the pair.
+
+Everything is integer fixed-point (ranks scaled by 1e12, floor at every
+division) so the unrolled-CTE DuckDB oracle reproduces the iteration
+bit-for-bit — the sim_pq_trained_codebook / text_bpe_train precedent for
+oracling a constant-iteration-count algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.operators import graph as G
+from gtec_etl_spark.plans.registry import query
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000_000  # rank fixed-point scale
+PR_TELEPORT_NUM = 150_000_000_000  # (1 - damping) * SCALE, damping = 0.85
+
+
+def _pagerank_oracle(iters: int) -> str:
+    parts = [
+        f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT 'c:' || ck AS src, 's:' || sk AS dst FROM pairs
+      UNION ALL
+      SELECT 's:' || sk AS src, 'c:' || ck AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT node, CAST(floor({PR_SCALE} / nn.cnt) AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT n.node,
+             CAST(floor({PR_TELEPORT_NUM} / nn.cnt) AS BIGINT)
+             + CAST(floor(85 * coalesce(s.insum, 0) / 100) AS BIGINT) AS rank
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum(CAST(floor(r.rank / d.outdeg) AS BIGINT)) AS BIGINT)
+                 AS insum
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, rank AS rank_fp FROM r{iters}
+    ORDER BY rank_fp DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(PR_ITERS),
+    tags=("graph", "iterative", "scale"),
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, {PR_ITERS} iterations) over the undirected
+    customer-supplier purchase graph — top-20 nodes by rank. The
+    source-authority prior a curation pipeline computes over a link graph
+    to weight crawl sources.
+
+    Graph build: one distinct (custkey, suppkey) projection of
+    orders ⋈ lineitem, mirrored into both directions so every node has
+    out-degree ≥ 1 (no dangling-mass term needed). Per iteration: each
+    node's rank splits evenly across its out-edges
+    (floor(rank/outdeg) — integer fixed-point at 1e12 scale), one
+    groupBy(dst) shuffle sums incoming mass, and the damped update adds
+    the teleport term. Iteration count is constant, so the DuckDB oracle
+    unrolls the loop as CTE stages and matches bit-for-bit.
+
+    Scale: edges are hash-partitioned on src once and REUSED across all
+    iterations (ranks arrive co-partitioned from the previous groupBy —
+    the only per-iteration shuffle is the dst aggregation, the same
+    Pregel-style cost model as GraphX/Giraph); degree is precomputed
+    once; the rank vector is O(|nodes|), never materialized on the
+    driver; top-20 is TakeOrderedAndProject. Doubling the corpus doubles
+    the per-iteration shuffle linearly — no all-pairs term anywhere."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # One partitioning, reused by every iteration's src-side join.
+        .repartition("src")
+        .persist()
+    )
+    try:
+        ranks = G.pagerank(edges, iters=PR_ITERS, damping_pct=85, scale=PR_SCALE)
+        return (
+            ranks.orderBy(F.col("rank").desc(), "node")
+            .limit(20)
+            .select("node", F.col("rank").alias("rank_fp"))
+        )
+    finally:
+        edges.unpersist()

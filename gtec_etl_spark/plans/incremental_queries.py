@@ -1,0 +1,262 @@
+"""Incremental-ETL query pack: slowly-changing-dimension (SCD2) history
+merge and CDC latest-wins upsert — the two MERGE-shaped passes every
+warehouse pipeline runs on dimension tables (the reference's pipelines
+rebuild dimensions from scratch each run, e.g. the study/subject rebuild
+in gtec/topmed/etl.py; at 100 TB a rebuild is not an option, so the
+engine provides the incremental forms as first-class queries, the same
+posture as dedup_incremental_batch for the fact side).
+
+Both derive a deterministic "incoming batch" from the customer table with
+pure modular-arithmetic rules, so the Spark plan and the DuckDB oracle
+construct bit-identical inputs from the same parquet — no side files.
+
+Scale posture: the merge key is the dimension's natural key; the batch
+side is always << the dimension, so every join here broadcasts the batch
+(or, when the batch is genuinely large, degrades to ONE shuffle on the
+key). Nothing rescans history more than once, and the output preserves
+the dimension's partitioning for the next increment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.plans.registry import query
+
+SCD2_EFF_DATE = "2024-06-01"
+
+# Shared derivation of the incoming batch (updates to every 7th customer,
+# brand-new rows for every 97th) — one SQL string so the oracle and the
+# docstring stay in sync with the DataFrame twin below.
+_BATCH_SQL = """
+      SELECT c_custkey AS cust_id, c_name || '-v2' AS name,
+             c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS cust_id, 'new-' || c_custkey AS name,
+             c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 97 = 0
+"""
+
+
+def _base_dim(spark, sf_dir):
+    cust = catalog.table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def _incoming_batch(spark, sf_dir):
+    cust = catalog.table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("cust_id"),
+        F.concat(F.col("c_name"), F.lit("-v2")).alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("cust_id"),
+        F.concat(F.lit("new-"), F.col("c_custkey")).alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return updates.unionByName(inserts)
+
+
+@query(
+    "etl_scd2_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS cust_id, c_name AS name,
+             c_mktsegment AS segment,
+             DATE '2020-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      FROM customer
+    ),
+    batch AS ({_BATCH_SQL}),
+    changed AS (
+      SELECT b.cust_id, b.name, b.segment
+      FROM batch b JOIN base d ON d.cust_id = b.cust_id
+      WHERE d.is_current AND d.name <> b.name
+    ),
+    brand_new AS (
+      SELECT b.cust_id, b.name, b.segment
+      FROM batch b ANTI JOIN base d ON d.cust_id = b.cust_id
+    )
+    SELECT d.cust_id, d.name, d.segment, d.valid_from,
+           CASE WHEN c.cust_id IS NOT NULL
+                THEN DATE '{SCD2_EFF_DATE}' ELSE d.valid_to END AS valid_to,
+           c.cust_id IS NULL AS is_current
+    FROM base d LEFT JOIN changed c ON c.cust_id = d.cust_id
+    UNION ALL
+    SELECT cust_id, name, segment, DATE '{SCD2_EFF_DATE}' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM (SELECT * FROM changed UNION ALL SELECT * FROM brand_new)
+    ORDER BY cust_id, valid_from
+    """,
+    tags=("incremental", "etl", "scale"),
+)
+def etl_scd2_merge(spark, sf_dir):
+    """Type-2 slowly-changing-dimension merge: given the current dimension
+    history and an incoming attribute snapshot, close the changed rows
+    (valid_to = effective date, is_current = false), open new versions for
+    changed and brand-new keys, and pass unchanged history through — the
+    exact row set `MERGE INTO dim USING batch` produces under the SCD2
+    recipe, expressed as one join + a two-branch union so it runs on any
+    Spark (no Delta/Iceberg dependency) and Catalyst sees the whole plan.
+
+    Plan: ONE equi-join of history against the (broadcast) batch decides
+    changed-vs-unchanged without a shuffle of the dimension; the new
+    versions branch reuses the same broadcast. The history side is read
+    once. At 100 TB the dimension stays hash-partitioned on cust_id
+    across increments, so successive merges never reshuffle it."""
+    base = _base_dim(spark, sf_dir).select(
+        "cust_id",
+        "name",
+        "segment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = _incoming_batch(spark, sf_dir)
+    changed = (
+        F.broadcast(batch)
+        .join(
+            base.filter("is_current").select("cust_id", F.col("name").alias("__cur")),
+            "cust_id",
+        )
+        .filter(F.col("__cur") != F.col("name"))
+        .select("cust_id", "name", "segment")
+    )
+    brand_new = batch.join(
+        base.select("cust_id"), "cust_id", "left_anti"
+    ).select("cust_id", "name", "segment")
+    closed_or_kept = (
+        base.join(
+            F.broadcast(changed.select("cust_id", F.lit(True).alias("__chg"))),
+            "cust_id",
+            "left",
+        )
+        .select(
+            "cust_id",
+            "name",
+            "segment",
+            "valid_from",
+            F.when(
+                F.col("__chg"), F.lit(SCD2_EFF_DATE).cast("date")
+            ).otherwise(F.col("valid_to")).alias("valid_to"),
+            F.col("__chg").isNull().alias("is_current"),
+        )
+    )
+    opened = changed.unionByName(brand_new).select(
+        "cust_id",
+        "name",
+        "segment",
+        F.lit(SCD2_EFF_DATE).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_kept.unionByName(opened).orderBy("cust_id", "valid_from")
+
+
+@query(
+    "etl_cdc_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS cust_id, c_name AS name,
+             c_mktsegment AS segment
+      FROM customer
+    ),
+    log AS (
+      SELECT cust_id, 'U' AS op, CAST(2 AS BIGINT) AS seq, name, segment
+      FROM ({_BATCH_SQL}) WHERE cust_id <= 1000000
+      UNION ALL
+      SELECT cust_id, 'I' AS op, CAST(1 AS BIGINT) AS seq, name, segment
+      FROM ({_BATCH_SQL}) WHERE cust_id > 1000000
+      UNION ALL
+      SELECT c_custkey AS cust_id, 'D' AS op, CAST(3 AS BIGINT) AS seq,
+             CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS segment
+      FROM customer WHERE c_custkey % 77 = 0
+    ),
+    latest AS (
+      SELECT cust_id,
+             max_by(op, seq) AS op,
+             max_by(name, seq) AS name,
+             max_by(segment, seq) AS segment
+      FROM log GROUP BY cust_id
+    )
+    SELECT coalesce(l.cust_id, b.cust_id) AS cust_id,
+           CASE WHEN l.cust_id IS NULL THEN b.name ELSE l.name END
+             AS name,
+           CASE WHEN l.cust_id IS NULL THEN b.segment ELSE l.segment END
+             AS segment
+    FROM base b FULL JOIN latest l ON l.cust_id = b.cust_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY cust_id
+    """,
+    tags=("incremental", "etl", "scale"),
+)
+def etl_cdc_upsert(spark, sf_dir):
+    """CDC latest-wins upsert: apply a changelog of (op ∈ I/U/D, seq)
+    records to the dimension — collapse the log to the highest-seq change
+    per key (max_by, one bounded shuffle on the key), then a single FULL
+    join applies inserts, updates, and deletes in one pass: the batch
+    half of `MERGE INTO ... WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED
+    INSERT`, with conflict resolution by sequence number the way a Kafka
+    compacted topic or a Debezium stream resolves it.
+
+    The changelog is derived deterministically (every 7th key updated at
+    seq 2, every 97th inserted at seq 1, every 77th deleted at seq 3 —
+    keys divisible by both 7 and 77 exercise the precedence path: the
+    seq-3 delete must win over the seq-2 update).
+
+    Plan: collapse shuffles only the log (<< dimension); the FULL join is
+    one co-partitioned shuffle — at scale, base stays hash-partitioned on
+    cust_id across runs so only the log side moves."""
+    base = _base_dim(spark, sf_dir)
+    batch = _incoming_batch(spark, sf_dir)
+    ulog = batch.filter(F.col("cust_id") <= 1000000).select(
+        "cust_id", F.lit("U").alias("op"), F.lit(2).cast("long").alias("seq"),
+        "name", "segment",
+    )
+    ilog = batch.filter(F.col("cust_id") > 1000000).select(
+        "cust_id", F.lit("I").alias("op"), F.lit(1).cast("long").alias("seq"),
+        "name", "segment",
+    )
+    dlog = (
+        catalog.table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 77 == 0)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            F.lit("D").alias("op"),
+            F.lit(3).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("segment"),
+        )
+    )
+    latest = (
+        ulog.unionByName(ilog).unionByName(dlog)
+        .groupBy("cust_id")
+        .agg(
+            F.max_by("op", "seq").alias("op"),
+            F.max_by("name", "seq").alias("name"),
+            F.max_by("segment", "seq").alias("segment"),
+        )
+    )
+    merged = base.alias("b").join(
+        F.broadcast(latest).alias("l"),
+        F.col("l.cust_id") == F.col("b.cust_id"),
+        "full",
+    )
+    return (
+        merged.filter(F.col("l.op").isNull() | (F.col("l.op") != "D"))
+        .select(
+            F.coalesce(F.col("l.cust_id"), F.col("b.cust_id")).alias("cust_id"),
+            F.when(F.col("l.cust_id").isNull(), F.col("b.name"))
+            .otherwise(F.col("l.name")).alias("name"),
+            F.when(F.col("l.cust_id").isNull(), F.col("b.segment"))
+            .otherwise(F.col("l.segment")).alias("segment"),
+        )
+        .orderBy("cust_id")
+    )

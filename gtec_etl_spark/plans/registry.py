@@ -125,6 +125,8 @@ def _ensure_loaded() -> None:
         dedup_queries,
         etl_queries,
         extended_queries,
+        graph_queries,
+        incremental_queries,
         live_queries,
         profile_queries,
         relational,

@@ -1593,3 +1593,145 @@ def text_bpe_apply(spark, sf_dir):
         return spark.createDataFrame(out, per_doc.schema)
     finally:
         vocab.unpersist()
+
+
+BM25_TERMS = ("vector", "stream", "spark")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM toks WHERE len(term) > 0 GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    idf AS (
+      SELECT term,
+             CAST(floor(
+               ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5
+             ) AS BIGINT) AS idf_e6
+      FROM (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term IN {BM25_TERMS!r} GROUP BY 1
+      ) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               idf.idf_e6 * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+               + 0.5
+             ) AS BIGINT) AS s_e6
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(s_e6) AS BIGINT) AS bm25_e6
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_e6 DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("text", "retrieval", "scale"),
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 document retrieval (Robertson/Sparck Jones; k1=1.2, b=0.75):
+    top-10 documents for a fixed 3-term query — the lexical-search half
+    of a retrieval/decontamination stack (the embedding half is the
+    sim_* family).
+
+    Plan shape: term stats are computed ONLY for the query terms (the
+    `term IN (...)` filter lands before every aggregation, so the
+    corpus-sized explode feeds a prune-first pipeline); document length
+    and avgdl need no explode at all (size(split) + one 1-row global
+    agg broadcast by crossJoin). Scoring joins are all on doc_id/term
+    with the tiny idf side broadcast. Final top-10 is
+    TakeOrderedAndProject — per-partition heads, no global sort. At
+    100 TB: one corpus scan for (tf, dl), everything downstream is
+    bounded by |query terms| x |matching docs|.
+
+    Cross-engine determinism (the quantize_micros discipline): the ONLY
+    transcendental — ln of the idf odds, 1 value per query term — is
+    quantized to integer micros immediately; avgdl comes from exact
+    integer sums with a single IEEE division; every remaining op is
+    rational double arithmetic on exactly-representable integers, then
+    the per-term scores are floor-quantized and summed as BIGINT, so
+    the aggregate is independent of summation order and top-k ties
+    break on (bm25_e6, doc_id) identically in both engines."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    qterms = list(BM25_TERMS)
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0)
+        ).cast("long").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            ).cast("long").alias("idf_e6"),
+        )
+    )
+    k1, b = BM25_K1, BM25_B
+    per_term = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf_e6") * F.col("tf") * F.lit(k1 + 1)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+                + F.lit(0.5)
+            ).cast("long").alias("s_e6"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("s_e6").cast("long").alias("bm25_e6"))
+        .orderBy(F.col("bm25_e6").desc(), "doc_id")
+        .limit(10)
+    )

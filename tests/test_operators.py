@@ -496,3 +496,20 @@ def test_bpe_train_classic_corpus(spark):
     ]
     assert rows["low"] == ["low"]
     assert rows["lowest"] == ["low", "es", "t"]
+
+
+def test_pagerank_path_graph_symmetry_and_mass(spark):
+    """Integer PageRank on the undirected path a—b—c: symmetry forces
+    rank(a) == rank(c) < rank(b), and the total mass stays within
+    rounding slack of the fixed-point scale (floors only ever lose
+    sub-integer mass, bounded by iters * (|V| + |E|))."""
+    from gtec_etl_spark.operators.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=4).collect()}
+    assert ranks["a"] == ranks["c"] < ranks["b"]
+    total = sum(ranks.values())
+    assert abs(total - PR_SCALE) < 1000

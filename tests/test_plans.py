@@ -283,3 +283,29 @@ def test_lm_familiarity_single_count_model_join(spark):
     plan = _formatted_plan(spark, "text_lm_familiarity")
     assert "lambdafunction(split" not in plan.lower()
     assert plan.lower().count("join") >= 1
+
+
+def test_bm25_prunes_then_takes_ordered(spark):
+    """text_bm25_topk: top-10 is TakeOrderedAndProject (no global sort),
+    the idf/stats sides broadcast, and no cartesian product sneaks in via
+    the 1-row crossJoins (they must stay broadcast nested loops)."""
+    plan = _formatted_plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_scd2_merge_broadcasts_batch_over_history(spark):
+    """etl_scd2_merge: every join of history against the (small) batch is
+    a broadcast — the dimension side never shuffles."""
+    plan = _formatted_plan(spark, "etl_scd2_merge")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_upsert_collapses_log_before_merge(spark):
+    """etl_cdc_upsert: the changelog collapse (max_by per key) happens
+    before the single merge join, and nothing falls to a cartesian."""
+    plan = _formatted_plan(spark, "etl_cdc_upsert")
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
