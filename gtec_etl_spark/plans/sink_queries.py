@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from gtec_etl_spark import catalog
 from gtec_etl_spark.plans.registry import query
-from gtec_etl_spark.sinks import jsonld
+from gtec_etl_spark.sinks import jsonld, tabular
 
 
 @query(
@@ -209,4 +209,87 @@ def k5_range_bucket_layout(spark, sf_dir):
             F.max("doc_id").alias("max_id"),
         )
         .orderBy("bucket")
+    )
+
+
+Z_BITS, Z_BUCKET_BITS = 8, 4
+
+
+def _z_norm_sql(col: str, lo: str, hi: str) -> str:
+    return f"CAST(({col} - {lo}) * {1 << Z_BITS} // ({hi} - {lo} + 1) AS BIGINT)"
+
+
+@query(
+    "k6_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+             min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+      FROM events
+    ),
+    z AS (
+      SELECT {tabular.z_value_sql(
+          _z_norm_sql('user_id', 'b.ulo', 'b.uhi'),
+          _z_norm_sql('epoch_us(ts)', 'b.tlo', 'b.thi'),
+          8,
+      )} AS zv,
+             user_id, epoch_us(ts) AS tus
+      FROM events CROSS JOIN b
+    )
+    SELECT CAST(zv >> {2 * Z_BITS - Z_BUCKET_BITS} AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(user_id) AS min_u, max(user_id) AS max_u,
+           min(tus) AS min_t, max(tus) AS max_t
+    FROM z GROUP BY 1 ORDER BY zbucket
+    """,
+    tags=("sinks", "scale"),
+)
+def k6_zorder_layout(spark, sf_dir):
+    """K6 Z-order (Morton) clustered layout contract: per-zbucket row
+    counts and BOTH dimensions' min/max — the statistics profile
+    sinks.tabular.write_zordered materializes as directory partitions
+    with z-sorted files (Delta OPTIMIZE ZORDER / Iceberg sort-order
+    rewrite, as plain Spark).
+
+    Why this beats a single-column sort at 100 TB: a Morton-prefix bucket
+    is a 2-D TILE, so with 16 buckets each one spans ~1/4 of the user_id
+    range AND ~1/4 of the time range — a predicate on either column
+    prunes ~75% of directories and row groups, where a ts-sorted layout
+    prunes nothing for user_id filters. tests/test_sinks.py performs the
+    physical write at sf0.001 and asserts the per-partition tile spans.
+
+    The normalization bounds are a 1-row broadcast aggregate here (a
+    catalog constant in production); the interleave itself is a static
+    16-term JVM bit expression — integer-exact, no UDF, no shuffle beyond
+    the final stats groupBy."""
+    ev = catalog.table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.unix_micros(F.min("ts")).alias("tlo"),
+        F.unix_micros(F.max("ts")).alias("thi"),
+    )
+    un = F.expr(f"CAST((user_id - ulo) * {1 << Z_BITS} div (uhi - ulo + 1) AS BIGINT)")
+    tn = F.expr(f"CAST((tus - tlo) * {1 << Z_BITS} div (thi - tlo + 1) AS BIGINT)")
+    z = (
+        ev.select("user_id", F.unix_micros("ts").alias("tus"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            "tus",
+            tabular.z_value(un, tn, Z_BITS).alias("zv"),
+        )
+    )
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zv"), 2 * Z_BITS - Z_BUCKET_BITS).alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("min_u"),
+            F.max("user_id").alias("max_u"),
+            F.min("tus").alias("min_t"),
+            F.max("tus").alias("max_t"),
+        )
+        .orderBy("zbucket")
     )

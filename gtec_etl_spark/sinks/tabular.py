@@ -138,3 +138,73 @@ def compact_parquet_dir(
         out = out.sortWithinPartitions(sort_key)
     out.write.mode("overwrite").parquet(dst)
     return n_out
+
+
+def z_value(x, y, bits: int = 8):
+    """Morton (Z-order) interleave of two already-normalized non-negative
+    integer columns in [0, 2^bits): x's bit i lands at output bit 2i+1,
+    y's at 2i. A static 2*bits-term expression tree — pure JVM bit ops,
+    exact on both engines (the SQL twin is z_value_sql)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def z_value_sql(x: str, y: str, bits: int = 8) -> str:
+    """ANSI-SQL twin of z_value (DuckDB-runnable)."""
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i + 1}) + ((({y} >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_key: str,
+    y_key: str,
+    x_bounds: tuple[int, int],
+    y_bounds: tuple[int, int],
+    bits: int = 8,
+    bucket_bits: int = 4,
+) -> None:
+    """Z-order-clustered parquet layout: the multi-column data-skipping
+    pass (Delta's OPTIMIZE ZORDER BY, Iceberg's sort-order rewrite)
+    expressed as plain Spark. Both keys are normalized into [0, 2^bits)
+    with a FIXED affine formula over caller-supplied bounds (catalog
+    constants in production — same determinism argument as
+    write_range_bucketed vs repartitionByRange), interleaved into a
+    Morton code, and the top `bucket_bits` bits become the directory
+    partition; files are sorted by the full z-value within partitions.
+
+    Because a Morton prefix is a 2-D tile, EVERY bucket spans only
+    2^-(bucket_bits/2) of each key's range — so a predicate on EITHER
+    column prunes directories and row groups, which a single-column sort
+    can only offer for its leading key. One shuffle on the bucket."""
+    from pyspark.sql import functions as F
+
+    (x_lo, x_hi), (y_lo, y_hi) = x_bounds, y_bounds
+    # Integer-exact normalization (k5's fixed-formula discipline): no
+    # float anywhere, so placement is bit-stable across runs and engines.
+    xn = F.expr(f"CAST(({x_key} - {x_lo}) * {1 << bits} div {x_hi - x_lo + 1} AS BIGINT)")
+    yn = F.expr(f"CAST(({y_key} - {y_lo}) * {1 << bits} div {y_hi - y_lo + 1} AS BIGINT)")
+    z = z_value(xn, yn, bits)
+    out = df.withColumn("zv", z).withColumn(
+        "zbucket", F.shiftright(F.col("zv"), 2 * bits - bucket_bits)
+    )
+    (
+        out.repartition(1 << bucket_bits, "zbucket")
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )

@@ -181,3 +181,42 @@ def test_compact_parquet_dir_preserves_content(spark, tmp_path):
     assert len(files) == 1  # 6 fragments -> 1 size-targeted file
     got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert got == list(range(60))
+
+
+def test_zordered_write_2d_tile_spans(spark, tmp_path):
+    """write_zordered: each zbucket directory is a 2-D Morton tile — with
+    bucket_bits=4 its rows span at most ~1/4 of EACH key's range (plus
+    one normalization-grid cell of rounding), so predicates on either
+    column prune directories. A single-column sort gives this for one
+    dimension only."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.sinks.tabular import write_zordered
+
+    ev = catalog.table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    b = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("tus"), F.max("tus")
+    ).collect()[0]
+    ulo, uhi, tlo, thi = b
+    path = str(tmp_path / "zord")
+    write_zordered(
+        ev, path, "user_id", "tus", (ulo, uhi), (tlo, thi), bits=8, bucket_bits=4
+    )
+    got = (
+        spark.read.parquet(path)
+        .groupBy("zbucket")
+        .agg(
+            F.min("user_id").alias("mu"), F.max("user_id").alias("xu"),
+            F.min("tus").alias("mt"), F.max("tus").alias("xt"),
+        )
+        .collect()
+    )
+    assert len(got) > 4  # data actually spreads across tiles
+    uspan_max = (uhi - ulo + 1) // 4 + (uhi - ulo + 1) // 256 + 2
+    tspan_max = (thi - tlo + 1) // 4 + (thi - tlo + 1) // 256 + 2
+    for r in got:
+        assert r["xu"] - r["mu"] + 1 <= uspan_max, r
+        assert r["xt"] - r["mt"] + 1 <= tspan_max, r
