@@ -65,9 +65,15 @@ def pagerank(
                     ).cast("long")
                 ).alias("rank"),
             )
-        # Materialize while the nodes cache is alive: the loop's plan
-        # references `nodes` once per iteration.
-        out = ranks.collect()
-        return edges.sparkSession.createDataFrame(out, ranks.schema)
+            # Eager lineage truncation every iteration (the Pregel/GraphX
+            # discipline): without it the plan nests one join tree per
+            # iteration and the rank vector replays from iteration 0 on
+            # every action. The vector stays DISTRIBUTED (executor
+            # storage) — never collected to the driver, so the operator
+            # holds at 100 TB node counts.
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
     finally:
+        # Safe: the checkpointed vector reads from stored blocks, not
+        # from lineage through the nodes cache.
         nodes.unpersist()

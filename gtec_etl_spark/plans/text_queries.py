@@ -1625,8 +1625,8 @@ BM25_K1, BM25_B = 1.2, 0.75
                ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) * 1000000 + 0.5
              ) AS BIGINT) AS idf_e6
       FROM (
-        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM toks WHERE term IN {BM25_TERMS!r} GROUP BY 1
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY 1
       ) CROSS JOIN stats s
     ),
     scored AS (
@@ -1661,8 +1661,9 @@ def text_bm25_topk(spark, sf_dir):
     agg broadcast by crossJoin). Scoring joins are all on doc_id/term
     with the tiny idf side broadcast. Final top-10 is
     TakeOrderedAndProject — per-partition heads, no global sort. At
-    100 TB: one corpus scan for (tf, dl), everything downstream is
-    bounded by |query terms| x |matching docs|.
+    100 TB: one exploded scan for tf (df/idf derive from tf, so terms
+    are counted once) plus one map-side scan for dl; everything
+    downstream is bounded by |query terms| x |matching docs|.
 
     Cross-engine determinism (the quantize_micros discipline): the ONLY
     transcendental — ln of the idf odds, 1 value per query term — is
@@ -1693,10 +1694,11 @@ def text_bm25_topk(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
+    # df derives from tf (a doc contributes to df iff it has a tf row),
+    # so the corpus is exploded exactly once.
     idf = (
-        toks.filter(F.col("term").isin(qterms))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
             "term",

@@ -78,6 +78,20 @@ QUERIES = [
     "text_lm_familiarity",
     "text_gopher_rules",
     "ev_retention_cohorts",
+    # Round-6 second wave: BPE training (cost tracks |vocab|, not corpus
+    # — the curve should be FLAT apart from the initial word count),
+    # BPE encode (one broadcast vocab join over the corpus word stream),
+    # BM25 (prune-first term stats: one corpus scan + bounded joins),
+    # the SCD2/CDC merges (batch side broadcast, history read once),
+    # PageRank (per-iteration O(|E|) shuffle), and the Z-order stats
+    # profile (one scan + one bounded groupBy).
+    "text_bpe_train",
+    "text_bpe_apply",
+    "text_bm25_topk",
+    "etl_scd2_merge",
+    "etl_cdc_upsert",
+    "graph_pagerank",
+    "k6_zorder_layout",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
