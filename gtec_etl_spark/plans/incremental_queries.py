@@ -235,28 +235,11 @@ def etl_cdc_upsert(spark, sf_dir):
             F.lit(None).cast("string").alias("segment"),
         )
     )
-    latest = (
-        ulog.unionByName(ilog).unionByName(dlog)
-        .groupBy("cust_id")
-        .agg(
-            F.max_by("op", "seq").alias("op"),
-            F.max_by("name", "seq").alias("name"),
-            F.max_by("segment", "seq").alias("segment"),
-        )
+    from gtec_etl_spark.operators import cdc
+
+    latest = cdc.collapse_changelog(
+        ulog.unionByName(ilog).unionByName(dlog), "cust_id", ["name", "segment"]
     )
-    merged = base.alias("b").join(
-        F.broadcast(latest).alias("l"),
-        F.col("l.cust_id") == F.col("b.cust_id"),
-        "full",
-    )
-    return (
-        merged.filter(F.col("l.op").isNull() | (F.col("l.op") != "D"))
-        .select(
-            F.coalesce(F.col("l.cust_id"), F.col("b.cust_id")).alias("cust_id"),
-            F.when(F.col("l.cust_id").isNull(), F.col("b.name"))
-            .otherwise(F.col("l.name")).alias("name"),
-            F.when(F.col("l.cust_id").isNull(), F.col("b.segment"))
-            .otherwise(F.col("l.segment")).alias("segment"),
-        )
-        .orderBy("cust_id")
-    )
+    return cdc.apply_changes(
+        base, latest, "cust_id", ["name", "segment"]
+    ).orderBy("cust_id")

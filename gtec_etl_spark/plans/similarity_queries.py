@@ -1209,3 +1209,231 @@ def sim_ivf_trained_rerank(spark, sf_dir):
         .orderBy("dist_q", "vec_id")
         .limit(10)
     )
+
+
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB oracle for sim_ivfpq_adc_topk: the shared trained-coarse
+    Lloyd's head, per-vector RESIDUAL encoding against a hash-seeded PQ
+    codebook, per-probed-list query-residual LUTs, ADC over the probed
+    lists only — FAISS's IVF-PQ layout, int64-exact end to end."""
+    sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
+    sq_q = _sqdist_int_sql("q.qe", "cb.c", _DS_DIM)
+    sub = f"list_slice(re, j*{PQ_SUBDIM}+1, j*{PQ_SUBDIM}+{PQ_SUBDIM})"
+    qsub = f"list_slice(qr.re, p.j*{PQ_SUBDIM}+1, p.j*{PQ_SUBDIM}+{PQ_SUBDIM})"
+    return _fullvec_lloyds_ctes("vec_id <> 0") + f""",
+    qv AS (
+      SELECT {_quantize_sql('embedding')} AS qe
+      FROM embeddings WHERE vec_id = 0
+    ),
+    assign AS (
+      SELECT vec_id, r AS cluster FROM (
+        SELECT h.vec_id AS vec_id, cb.r AS r,
+               row_number() OVER (PARTITION BY h.vec_id ORDER BY {sq_h}, cb.r)
+                 AS rn
+        FROM h CROSS JOIN cb{DS_ITERS} cb
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT h.vec_id AS vec_id, a.cluster AS cluster,
+             list_transform(generate_series(1, {_DS_DIM}),
+                            i -> h.qe[i] - cb.c[i]) AS re
+      FROM h
+      JOIN assign a ON a.vec_id = h.vec_id
+      JOIN cb{DS_ITERS} cb ON cb.r = a.cluster
+    ),
+    js AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+    pseeds AS (
+      SELECT res.re AS re, s.pr AS pr FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY hh, vec_id) - 1 AS pr
+        FROM h ORDER BY hh, vec_id LIMIT {PQ_K}
+      ) s JOIN res ON res.vec_id = s.vec_id
+    ),
+    pcb AS (
+      SELECT pr, j, {sub} AS c FROM pseeds CROSS JOIN js
+    ),
+    rsubs AS (
+      SELECT vec_id, cluster, j, {sub} AS sub FROM res CROSS JOIN js
+    ),
+    enc AS (
+      SELECT vec_id, cluster, j, pr FROM (
+        SELECT rs.vec_id AS vec_id, rs.cluster AS cluster, rs.j AS j,
+               p.pr AS pr,
+               row_number() OVER (
+                 PARTITION BY rs.vec_id, rs.j
+                 ORDER BY {_sqdist_int_sql('rs.sub', 'p.c', PQ_SUBDIM)}, p.pr
+               ) AS rn
+        FROM rsubs rs JOIN pcb p ON p.j = rs.j
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT r AS cluster FROM (
+        SELECT cb.r AS r, row_number() OVER (ORDER BY {sq_q}, cb.r) AS rn
+        FROM cb{DS_ITERS} cb CROSS JOIN qv q
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT p.cluster AS cluster,
+             list_transform(generate_series(1, {_DS_DIM}),
+                            i -> q.qe[i] - cb.c[i]) AS re
+      FROM probe p
+      JOIN cb{DS_ITERS} cb ON cb.r = p.cluster
+      CROSS JOIN qv q
+    ),
+    lut AS (
+      SELECT qr.cluster AS cluster, p.j AS j, p.pr AS pr,
+             {_sqdist_int_sql(qsub, 'p.c', PQ_SUBDIM)} AS qd
+      FROM qres qr CROSS JOIN pcb p
+    )
+    SELECT e.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist_q
+    FROM enc e
+    JOIN lut l ON l.cluster = e.cluster AND l.j = e.j AND l.pr = e.pr
+    GROUP BY e.vec_id
+    ORDER BY adc_dist_q, e.vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "sim_ivfpq_adc_topk",
+    oracle=_ivfpq_sql(),
+    tags=("similarity", "scale"),
+)
+def sim_ivfpq_adc_topk(spark, sf_dir):
+    """IVF-PQ with residual encoding — the capstone of the ANN family and
+    the index layout production vector search actually ships (FAISS
+    IVFPQ): a TRAINED coarse quantizer routes each vector to a list, the
+    vector's RESIDUAL from its list centroid is product-quantized (4
+    codes of 4 bits), and a query probes nprobe={IVFPQ_NPROBE} lists,
+    building one tiny LUT per probed list from ITS query residual; ADC
+    distance = sum of LUT entries for the candidate's codes. Residual
+    encoding is why IVF-PQ beats flat PQ at equal bits: residual vectors
+    are centered near zero, so the same codebook spends its 16 cells on
+    a much smaller volume.
+
+    Composition: the coarse quantizer is the shared bit-reproducible
+    Lloyd's head (sim_diversity_sample / sim_ivf_trained_rerank pin the
+    same codebook); the PQ codebook is the hash-seeded construction of
+    sim_pq_adc_topk, trained here on residuals; everything stays int64
+    (quantized micros; residual subtraction is exact; distances are
+    integer sqdist), so the unrolled oracle matches bit-for-bit.
+
+    Scale: the inverted-list posture is what changes at 100 TB — ADC
+    scoring touches ONLY the probed lists (a semi-join on the cluster
+    key prunes the candidate scan: ~nprobe/K of the corpus), while flat
+    PQ (sim_pq_adc_topk) scores every code. Encode is one broadcast
+    codebook join; the rank vector of per-list LUTs is
+    nprobe x {PQ_M} x {PQ_K} rows, always broadcast-size."""
+    from pyspark.sql import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    cb = _fullvec_centroids(base)  # (r, c) trained coarse centroids
+
+    assign = (
+        base.select("vec_id", "qe")
+        .crossJoin(F.broadcast(cb))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    S.sqdist_int(F.col("qe"), F.col("c")), F.col("r")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("r").alias("cluster"), "qe")
+    )
+    res = assign.join(
+        F.broadcast(cb.withColumnRenamed("r", "cluster")), "cluster"
+    ).select(
+        "vec_id",
+        "cluster",
+        F.zip_with("qe", "c", lambda x, y: x - y).alias("re"),
+    )
+
+    seeds = (
+        base.select(
+            "vec_id", hash60(F.col("vec_id").cast("string")).alias("hh")
+        )
+        .orderBy("hh", "vec_id")
+        .limit(PQ_K)
+        .withColumn("pr", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
+        .select("vec_id", "pr")
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(PQ_M)])).alias("j")
+    pcb = (
+        seeds.join(res.select("vec_id", "re"), "vec_id")
+        .select("pr", js, "re")
+        .select(
+            "pr",
+            "j",
+            F.slice("re", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c"),
+        )
+    )
+
+    rsubs = res.select("vec_id", "cluster", js, "re").select(
+        "vec_id",
+        "cluster",
+        "j",
+        F.slice("re", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+    )
+    enc = (
+        rsubs.join(F.broadcast(pcb), "j")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "j").orderBy(
+                    S.sqdist_int(F.col("sub"), F.col("c")), F.col("pr")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "j", "pr")
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).select("qe")
+    probe = (
+        cb.crossJoin(F.broadcast(qv))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    S.sqdist_int(F.col("qe"), F.col("c")), F.col("r")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= IVFPQ_NPROBE)
+        .select(F.col("r").alias("cluster"))
+    )
+    qres = (
+        probe.join(F.broadcast(cb.withColumnRenamed("r", "cluster")), "cluster")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "cluster", F.zip_with("qe", "c", lambda x, y: x - y).alias("re")
+        )
+    )
+    lut = (
+        qres.select("cluster", js, "re")
+        .select(
+            "cluster",
+            "j",
+            F.slice("re", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qsub"),
+        )
+        .join(F.broadcast(pcb), "j")
+        .select(
+            "cluster", "j", "pr",
+            S.sqdist_int(F.col("qsub"), F.col("c")).alias("qd"),
+        )
+    )
+    return (
+        enc.join(F.broadcast(lut), ["cluster", "j", "pr"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_dist_q"))
+        .orderBy("adc_dist_q", "vec_id")
+        .limit(10)
+    )

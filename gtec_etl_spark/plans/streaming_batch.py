@@ -360,3 +360,67 @@ def ev_retention_cohorts(spark, sf_dir):
         .cast("long")
         .alias("retention_e4"),
     ).orderBy("cohort_week", "week_offset")
+
+
+MAD_K = 3
+
+
+@query(
+    "ev_anomaly_mad",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, median(n) AS med FROM c GROUP BY 1),
+    d AS (
+      SELECT c.event_type, c.h, c.n, m.med, abs(c.n - m.med) AS dev
+      FROM c JOIN m USING (event_type)
+    ),
+    s AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY 1)
+    SELECT d.event_type, d.h AS window_start, d.n AS n_events,
+           d.med AS med, s.mad AS mad
+    FROM d JOIN s USING (event_type)
+    WHERE d.dev > {MAD_K} * s.mad
+    ORDER BY d.event_type, window_start
+    """,
+    tags=("streaming", "quality"),
+)
+def ev_anomaly_mad(spark, sf_dir):
+    """Robust volume-anomaly detection on the event stream: hours whose
+    per-type event count deviates from that type's median by more than
+    {MAD_K}x the median absolute deviation — the ingest-monitoring pass
+    a pipeline runs on its own telemetry (median/MAD, not mean/stddev,
+    so a burst can't drag its own baseline).
+
+    Exactness: counts are integers; an exact interpolated median of
+    integers is k/2, so every med/mad/deviation is a dyadic double —
+    IEEE-exact in both engines, no rounding needed (the q08 exact-median
+    convention; percentile_approx is the documented 100 TB swap-in).
+
+    Plan: one count aggregation over events, two tiny per-type median
+    aggs (5 groups), two broadcast joins back — the hourly-count relation
+    (O(types x hours), << events) is what the medians and the final
+    filter traverse, so the corpus is scanned once."""
+    ev = catalog.table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("event_type").agg(F.median("n").alias("med"))
+    d = c.join(F.broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    s = d.groupBy("event_type").agg(F.median("dev").alias("mad"))
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .filter(F.col("dev") > MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("h").alias("window_start"),
+            F.col("n").alias("n_events"),
+            "med",
+            "mad",
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -1737,3 +1737,95 @@ def text_bm25_topk(spark, sf_dir):
         .orderBy(F.col("bm25_e6").desc(), "doc_id")
         .limit(10)
     )
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> len(w) > 0)
+               AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(
+               0, (greatest(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+                  // {CHUNK_STRIDE}
+             )) AS i
+      FROM d
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(1 + i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least(n - i * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(
+             list_transform(
+               generate_series(1 + i * {CHUNK_STRIDE},
+                               least(i * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)),
+               j -> toks[j]
+             ), ' ')) AS chunk_fp
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("text", "retrieval", "scale"),
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping token-window chunking ({CHUNK_SIZE}-token chunks,
+    stride {CHUNK_STRIDE} = 25% overlap): the retrieval-indexing prep
+    pass that feeds chunk embeddings (the sim_* family) and paragraph
+    dedup. Chunk count per doc is 1 + ceil(max(0, n - size)/stride) —
+    pure integer arithmetic, so placement is deterministic and an
+    incremental re-chunk of an appended corpus reproduces byte-identical
+    chunk ids.
+
+    Plan: entirely map-side until the presentation sort — tokenize once,
+    explode a generate_series of chunk indices (fan-out = chunks per
+    doc, bounded by n/stride), slice the cached token array per chunk.
+    No shuffle at all in the production form (the ORDER BY here is the
+    oracle-comparison convention); at 100 TB this is a single pass that
+    writes chunks partitioned by the source layout. Restricted to
+    doc_id < 200 to bound fingerprint rows (text_quality_score
+    convention)."""
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda w: F.length(w) > 0
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks")).filter(F.col("n") >= 1)
+    c = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(
+                    f"(greatest(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)"
+                    f" div {CHUNK_STRIDE}"
+                ),
+            )
+        ).alias("i"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        (1 + F.col("i") * CHUNK_STRIDE).cast("long").alias("start_tok"),
+        F.least(
+            F.col("n") - F.col("i") * CHUNK_STRIDE, F.lit(CHUNK_SIZE)
+        ).cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"), 1 + F.col("i") * CHUNK_STRIDE, CHUNK_SIZE
+                ),
+            )
+        ).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")

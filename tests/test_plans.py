@@ -309,3 +309,13 @@ def test_cdc_upsert_collapses_log_before_merge(spark):
     plan = _formatted_plan(spark, "etl_cdc_upsert")
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_overlap_is_map_side_until_presentation_sort(spark):
+    """text_chunk_overlap: tokenize + series-explode + slice are all
+    map-side — zero hash exchanges (the only exchange is the ORDER BY's
+    range partitioning, an oracle-comparison convention)."""
+    df = registry.specs()["text_chunk_overlap"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "EvalPython" not in plan

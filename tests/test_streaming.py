@@ -345,3 +345,68 @@ def test_dedup_ingest_maintains_its_own_index(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "admitted")).collect()
     ids = sorted(r["doc_id"] for r in rows)
     assert ids == [1, 2, 4, 6]
+
+
+def test_cdc_dimension_maintenance_versions_and_final_state(spark, tmp_path):
+    """Streaming CDC maintenance: two changelog files -> two micro-batches
+    (maxFilesPerTrigger=1); the intermediate snapshot reflects batch A
+    only, the final one shows B's delete and insert applied with
+    latest-wins collapse — identical semantics to the batch
+    etl_cdc_upsert operator it shares code with."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "log"
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_log(name, rows, mtime):
+        t = pa.table(
+            {
+                "cust_id": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows]),
+                "seq": pa.array([r[2] for r in rows], pa.int64()),
+                "name": pa.array([r[3] for r in rows]),
+                "segment": pa.array([r[4] for r in rows]),
+            }
+        )
+        p = str(src / name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    # Batch A: insert 1 and 2; seq-2 update of key 1 must win the collapse.
+    write_log(
+        "000.parquet",
+        [(1, "I", 1, "a1", "s"), (2, "I", 1, "b", "s"), (1, "U", 2, "a2", "s")],
+        1_700_000_000,
+    )
+    # Batch B: delete key 2, insert key 3.
+    write_log(
+        "001.parquet",
+        [(2, "D", 3, None, None), (3, "I", 4, "c", "s")],
+        1_700_000_100,
+    )
+
+    P.run_cdc_dimension_maintenance(
+        P.read_changelog_stream(spark, str(src)), snap, ckpt
+    )
+
+    import glob
+
+    versions = sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(snap + "/version=*")
+    )
+    assert versions == [0, 1]
+    v0 = {
+        r["cust_id"]: r["name"]
+        for r in spark.read.parquet(snap + "/version=0").collect()
+    }
+    assert v0 == {1: "a2", 2: "b"}
+    v1 = {
+        r["cust_id"]: r["name"]
+        for r in spark.read.parquet(snap + "/version=1").collect()
+    }
+    assert v1 == {1: "a2", 3: "c"}

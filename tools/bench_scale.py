@@ -115,6 +115,16 @@ def main() -> None:
     ap.add_argument("--factor", type=float, default=10.0,
                     help="data volume vs the sf0.1 baseline")
     ap.add_argument("--out", default="BENCH_sf1.json")
+    ap.add_argument(
+        "--only",
+        default="",
+        help=(
+            "comma-separated query names: re-time just these in a fresh "
+            "session and MERGE into the existing --out file (for "
+            "re-measuring entries hit by transient machine load; the "
+            "same-session sf0.1-vs-sf1 pairing still holds per query)"
+        ),
+    )
     args = ap.parse_args()
 
     from gtec_etl_spark.plans import registry
@@ -138,7 +148,8 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     total = 0.0
-    for name in QUERIES:
+    names = [n for n in args.only.split(",") if n] or QUERIES
+    for name in names:
         # SAME-SESSION baseline, measured back-to-back with the scaled
         # run: a long bench session slows as JVM heap / GC / state-store
         # residue accumulates, so a baseline recorded in a different
@@ -176,6 +187,14 @@ def main() -> None:
         "queries": results,
     }
     out_path = os.path.join(repo, args.out)
+    if args.only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        prior["queries"].update(results)
+        payload = prior
+        payload["value"] = round(
+            sum(q["sec"] for q in payload["queries"].values()), 3
+        )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
