@@ -929,12 +929,14 @@ def sim_diversity_sample(spark, sf_dir):
     return kept.select("cluster", "vec_id", "dist").orderBy("cluster", "vec_id")
 
 
-def _fullvec_centroids(base):
+def _fullvec_centroids(base, k: int = DS_K, sample: int = DS_SAMPLE, iters: int = DS_ITERS):
     """Trained full-vector centroid table (r, c) — the Spark twin of
-    _fullvec_lloyds_ctes: hash-ordered DS_K seeds, hash-ordered DS_SAMPLE
-    training sample, DS_ITERS integer Lloyd's iterations via
+    _fullvec_lloyds_ctes: hash-ordered `k` seeds, hash-ordered `sample`
+    training sample, `iters` integer Lloyd's iterations via
     pq_kmeans_codebook with a single subspace spanning all dims. `base`
-    must carry (vec_id, qe)."""
+    must carry (vec_id, qe). Registered queries pin the defaults (the
+    oracle unrolls them); tools/bench_semdedup_k.py varies `k` to
+    demonstrate the K ~ N scaling regime."""
     from pyspark.sql import Window
 
     hashed = base.select(
@@ -942,13 +944,13 @@ def _fullvec_centroids(base):
     )
     seeds = (
         hashed.orderBy("hh", "vec_id")
-        .limit(DS_K)
+        .limit(k)
         .withColumn("r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
     )
     init = seeds.select(F.lit(0).alias("j"), "r", F.col("qe").alias("c"))
-    samp = hashed.orderBy("hh", "vec_id").limit(DS_SAMPLE)
+    samp = hashed.orderBy("hh", "vec_id").limit(sample)
     subs = samp.select("vec_id", F.lit(0).alias("j"), F.col("qe").alias("sub"))
-    return S.pq_kmeans_codebook(subs, init, iters=DS_ITERS).select("r", "c")
+    return S.pq_kmeans_codebook(subs, init, iters=iters).select("r", "c")
 
 
 SEMDEDUP_TAU = 0.35
