@@ -160,9 +160,7 @@ def etl_scd2_merge(spark, sf_dir):
     return closed_or_kept.unionByName(opened).orderBy("cust_id", "valid_from")
 
 
-@query(
-    "etl_cdc_upsert",
-    oracle=f"""
+CDC_ORACLE_SQL = f"""
     WITH base AS (
       SELECT c_custkey AS cust_id, c_name AS name,
              c_mktsegment AS segment
@@ -194,7 +192,12 @@ def etl_scd2_merge(spark, sf_dir):
     FROM base b FULL JOIN latest l ON l.cust_id = b.cust_id
     WHERE l.op IS NULL OR l.op <> 'D'
     ORDER BY cust_id
-    """,
+    """
+
+
+@query(
+    "etl_cdc_upsert",
+    oracle=CDC_ORACLE_SQL,
     tags=("incremental", "etl", "scale"),
 )
 def etl_cdc_upsert(spark, sf_dir):
@@ -214,7 +217,26 @@ def etl_cdc_upsert(spark, sf_dir):
     Plan: collapse shuffles only the log (<< dimension); the FULL join is
     one co-partitioned shuffle — at scale, base stays hash-partitioned on
     cust_id across runs so only the log side moves."""
+    from gtec_etl_spark.operators import cdc
+
     base = _base_dim(spark, sf_dir)
+    uilog, dlog = changelog_parts(spark, sf_dir)
+    latest = cdc.collapse_changelog(
+        uilog.unionByName(dlog), "cust_id", ["name", "segment"]
+    )
+    return cdc.apply_changes(
+        base, latest, "cust_id", ["name", "segment"]
+    ).orderBy("cust_id")
+
+
+def changelog_parts(spark, sf_dir):
+    """The deterministic derived changelog, split into its two causal
+    waves: (updates seq 2 + inserts seq 1, deletes seq 3). Shared by the
+    batch collapse above and the streaming replay
+    (plans/live_queries.stream_cdc_snapshot), which feeds the waves as
+    separate triggers — sequential per-batch application and a single
+    all-seq collapse provably agree because seq order equals wave
+    order."""
     batch = _incoming_batch(spark, sf_dir)
     ulog = batch.filter(F.col("cust_id") <= 1000000).select(
         "cust_id", F.lit("U").alias("op"), F.lit(2).cast("long").alias("seq"),
@@ -235,11 +257,13 @@ def etl_cdc_upsert(spark, sf_dir):
             F.lit(None).cast("string").alias("segment"),
         )
     )
-    from gtec_etl_spark.operators import cdc
+    return ulog.unionByName(ilog), dlog
 
-    latest = cdc.collapse_changelog(
-        ulog.unionByName(ilog).unionByName(dlog), "cust_id", ["name", "segment"]
+
+def bootstrap_log(spark, sf_dir):
+    """The dimension's initial full load expressed as seq-0 inserts — the
+    bootstrap wave of a streaming CDC replay."""
+    return _base_dim(spark, sf_dir).select(
+        "cust_id", F.lit("I").alias("op"), F.lit(0).cast("long").alias("seq"),
+        "name", "segment",
     )
-    return cdc.apply_changes(
-        base, latest, "cust_id", ["name", "segment"]
-    ).orderBy("cust_id")

@@ -453,3 +453,69 @@ def mm_decode_wav(spark, sf_dir):
 
     media = M.wav_media_table(spark, n=12, n_frames=480, sample_rate=8000)
     return M.decode_audio(media).orderBy("media_id")
+
+
+from gtec_etl_spark.plans.incremental_queries import CDC_ORACLE_SQL
+
+
+@query(
+    "stream_cdc_snapshot",
+    oracle=CDC_ORACLE_SQL,  # etl_cdc_upsert's SQL verbatim
+    tags=("streaming", "live", "incremental"),
+)
+def stream_cdc_snapshot(spark, sf_dir):
+    """Streaming CDC dimension maintenance executed as a REAL streaming
+    job: the derived changelog is replayed as three file triggers —
+    bootstrap full load (seq-0 inserts), update+insert wave (seq 1-2),
+    delete wave (seq 3) — through
+    streaming.pipelines.run_cdc_dimension_maintenance (foreachBatch +
+    versioned idempotent snapshots), and the FINAL snapshot version is
+    returned. Its oracle is etl_cdc_upsert's SQL verbatim: sequential
+    per-trigger application must equal the single all-seq collapse
+    because trigger order equals seq order — the reconcilability
+    contract that lets a production pipeline validate its streaming-
+    maintained dimension against a batch rebuild.
+
+    The tmp staging of the changelog files is test plumbing (a real
+    deployment reads Kafka/Debezium); the maintenance loop itself never
+    collects — each trigger is one broadcast collapse + one merge join,
+    per-trigger cost tracking the wave, not the dimension."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from gtec_etl_spark.plans.incremental_queries import (
+        bootstrap_log,
+        changelog_parts,
+    )
+    from gtec_etl_spark.streaming import pipelines as P
+
+    uilog, dlog = changelog_parts(spark, sf_dir)
+    waves = [bootstrap_log(spark, sf_dir), uilog, dlog]
+    with tempfile.TemporaryDirectory(prefix="cdc_stream_") as tmp:
+        src = os.path.join(tmp, "log")
+        os.makedirs(src)
+        for i, wave in enumerate(waves):
+            stage = os.path.join(tmp, f"stage{i}")
+            wave.coalesce(1).write.parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"{i:03d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        snap = os.path.join(tmp, "snap")
+        P.run_cdc_dimension_maintenance(
+            P.read_changelog_stream(spark, src), snap,
+            os.path.join(tmp, "ckpt"),
+        )
+        last = max(
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(os.path.join(snap, "version=*"))
+        )
+        out = spark.read.parquet(os.path.join(snap, f"version={last}")).select(
+            "cust_id", "name", "segment"
+        )
+        # Materialize before the TemporaryDirectory is removed.
+        rows = out.orderBy("cust_id").collect()
+        return spark.createDataFrame(rows, out.schema)
+
