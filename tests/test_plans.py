@@ -319,3 +319,14 @@ def test_chunk_overlap_is_map_side_until_presentation_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0
     assert "EvalPython" not in plan
+
+
+def test_ivfpq_broadcasts_and_takes_ordered(spark):
+    """sim_ivfpq_adc_topk: codebook/LUT sides broadcast, final top-k is
+    TakeOrderedAndProject, no cartesian product, no Python eval — the
+    IVF-PQ search must stay a broadcast-join pipeline."""
+    plan = _formatted_plan(spark, "sim_ivfpq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

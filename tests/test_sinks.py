@@ -220,3 +220,28 @@ def test_zordered_write_2d_tile_spans(spark, tmp_path):
     for r in got:
         assert r["xu"] - r["mu"] + 1 <= uspan_max, r
         assert r["xt"] - r["mt"] + 1 <= tspan_max, r
+
+
+def test_zordered_read_prunes_partitions(spark, tmp_path):
+    """The z-order layout's payoff: a zbucket predicate reaches the scan
+    as a PartitionFilter, so Catalyst prunes directories instead of
+    scanning the corpus."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.sinks.tabular import write_zordered
+
+    ev = catalog.table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    b = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("tus"), F.max("tus")
+    ).collect()[0]
+    path = str(tmp_path / "zp")
+    write_zordered(
+        ev, path, "user_id", "tus", (b[0], b[1]), (b[2], b[3]),
+        bits=8, bucket_bits=4,
+    )
+    df = spark.read.parquet(path).filter("zbucket = 3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(zbucket" in plan

@@ -92,6 +92,12 @@ QUERIES = [
     "etl_cdc_upsert",
     "graph_pagerank",
     "k6_zorder_layout",
+    # Round-6 third wave: IVF-PQ (probed-list ADC — cost tracks encode +
+    # nprobe/K of the corpus), stride chunking (map-side only), MAD
+    # anomalies (one corpus scan + bounded per-type medians).
+    "sim_ivfpq_adc_topk",
+    "text_chunk_overlap",
+    "ev_anomaly_mad",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
@@ -104,6 +110,9 @@ QUERIES = [
     # Round-6: streaming LSH admission — per-trigger cost should track
     # the batch size, not the indexed corpus.
     "stream_dedup_admission",
+    # Round-6: streaming CDC maintenance — three triggers whose cost
+    # tracks wave size; the bootstrap wave scales with the dimension.
+    "stream_cdc_snapshot",
 ]
 
 
