@@ -610,3 +610,51 @@ def wav_media_table(
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_WIN_SCHEMA = (
+    "media_id long, window_idx long, n_frames long,"
+    " energy long, peak_abs long, rms_e3 long"
+)
+
+
+def audio_rms_windows(media: DataFrame, window_frames: int = 160) -> DataFrame:
+    """Windowed audio feature extraction: tumbling `window_frames`-frame
+    windows per clip -> exact integer energy (sum of squared samples
+    across channels), peak, and RMS scaled by 1e3 via math.isqrt
+    (integer square root — exact, engine-independent, no float sqrt).
+    The audio analogue of frame_sample: one Arrow round-trip, output
+    rows ~ clip_length/window, the raster never leaves the executor."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, nch, _bits, s = _decode_wav(bytes(content))
+                n_frames = len(s) // nch
+                for w in range(0, max(1, -(-n_frames // window_frames))):
+                    lo, hi = w * window_frames, min((w + 1) * window_frames, n_frames)
+                    if lo >= hi:
+                        break
+                    seg = s[lo * nch : hi * nch]
+                    energy = int((seg * seg).sum())
+                    rows.append(
+                        (
+                            mid,
+                            w,
+                            hi - lo,
+                            energy,
+                            int(np.abs(seg).max()),
+                            math.isqrt(energy * 1_000_000 // len(seg)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "window_idx", "n_frames",
+                    "energy", "peak_abs", "rms_e3",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, AUDIO_WIN_SCHEMA)

@@ -519,3 +519,28 @@ def stream_cdc_snapshot(spark, sf_dir):
         rows = out.orderBy("cust_id").collect()
         return spark.createDataFrame(rows, out.schema)
 
+
+
+@query(
+    "mm_audio_rms_windows",
+    oracle=f"""
+    SELECT media_id, window_idx, n_frames, energy, peak_abs, rms_e3
+    FROM '{_MM_GOLDEN}/mm_audio_rms_windows.parquet'
+    ORDER BY media_id, window_idx
+    """,
+    tags=("multimodal",),
+)
+def mm_audio_rms_windows(spark, sf_dir):
+    """Windowed audio feature extraction over real WAV clips: tumbling
+    160-frame windows -> exact integer energy, peak, and isqrt-based
+    RMS (no float sqrt, engine-independent) through the Arrow-batched
+    codec boundary — the audio counterpart of the image byte-histogram
+    features. Oracle = golden fixture recomputed from the LCG sample
+    stream without the RIFF writer, parser, or windowing code
+    (tools/make_multimodal_golden.py:audio_rms_windows_golden)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.wav_media_table(spark, n=12, n_frames=480, sample_rate=8000)
+    return M.audio_rms_windows(media, window_frames=160).orderBy(
+        "media_id", "window_idx"
+    )

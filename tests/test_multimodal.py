@@ -231,3 +231,33 @@ def test_decode_audio_distributed(spark):
         assert r["n_frames"] == 64
         assert r["peak_abs"] == int(np.abs(s).max())
         assert r["mean_abs_e3"] == int(1000 * np.abs(s).sum()) // len(s)
+
+
+def test_audio_rms_windows_partial_tail_window(spark):
+    """480/160 divides evenly in the golden fixture, so the partial-tail
+    path needs its own check: 170 frames at window 160 must yield windows
+    of 160 and 10 frames whose energies sum to the clip total."""
+    import math
+
+    import numpy as np
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.wav_media_table(spark, n=2, n_frames=170, sample_rate=8000)
+    got = M.audio_rms_windows(media, window_frames=160).orderBy(
+        "media_id", "window_idx"
+    ).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        assert [r["n_frames"] for r in rows] == [160, 10]
+        bits, nch = M.WAV_CYCLE[mid % len(M.WAV_CYCLE)]
+        vals = M.wav_values(170 * nch, seed=mid, bits=bits)
+        s = np.array(
+            [v if bits == 16 else v - 128 for v in vals], dtype=np.int64
+        )
+        assert sum(r["energy"] for r in rows) == int((s * s).sum())
+        seg = s[160 * nch :]
+        e = int((seg * seg).sum())
+        assert rows[1]["rms_e3"] == math.isqrt(e * 1_000_000 // len(seg))

@@ -208,6 +208,43 @@ def decode_wav_golden(
     return pa.Table.from_pylist(rows)
 
 
+def audio_rms_windows_golden(
+    n: int = 12, n_frames: int = 480, sample_rate: int = 8000,
+    window_frames: int = 160,
+) -> pa.Table:
+    """Expected output of mm_audio_rms_windows: tumbling-window integer
+    energy/peak/RMS per clip, recomputed straight from the LCG stream
+    without the RIFF parser or the operator."""
+    import math
+
+    cycle = ((16, 1), (16, 2), (8, 1), (8, 2))
+    rows = []
+    for mid in range(n):
+        bits, nch = cycle[mid % 4]
+        x = (mid * 2654435761) % (2**32)
+        vals = []
+        for _ in range(n_frames * nch):
+            x = (1103515245 * x + 12345) % (2**31)
+            v = (x % 65536) - 32768 if bits == 16 else x % 256
+            vals.append(v if bits == 16 else v - 128)
+        s = np.array(vals, dtype=np.int64)
+        for w in range(-(-n_frames // window_frames)):
+            lo, hi = w * window_frames, min((w + 1) * window_frames, n_frames)
+            seg = s[lo * nch : hi * nch]
+            energy = int((seg * seg).sum())
+            rows.append(
+                {
+                    "media_id": mid,
+                    "window_idx": w,
+                    "n_frames": hi - lo,
+                    "energy": energy,
+                    "peak_abs": int(np.abs(seg).max()),
+                    "rms_e3": math.isqrt(energy * 1_000_000 // len(seg)),
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -225,6 +262,10 @@ def main() -> None:
     )
     pq.write_table(
         decode_wav_golden(), os.path.join(OUT_DIR, "mm_decode_wav.parquet")
+    )
+    pq.write_table(
+        audio_rms_windows_golden(),
+        os.path.join(OUT_DIR, "mm_audio_rms_windows.parquet"),
     )
     print(f"wrote golden fixtures to {OUT_DIR}")
 
