@@ -54,3 +54,33 @@ def test_bucketed_join_has_no_exchange(spark):
         .join(t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"), "o_orderkey")
     )
     assert joined.count() == plain.count()
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: with a fact table partitioned on the
+    join key's domain (event date here) and a selective dim filter,
+    Spark must inject a dynamicpruning subquery into the fact scan so
+    only matching partitions are read — at 100 TB the difference
+    between scanning a day and scanning the lake. Asserted on the plan
+    (dynamicpruning expression present) AND on the result."""
+    ev = catalog.table(spark, SF_DIR, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    fact_path = str(tmp_path / "fact")
+    ev.write.partitionBy("d").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        ev.select("d").distinct()
+        .withColumn("tag", F.dayofmonth("d") % 7)
+    )
+    joined = fact.join(dim.filter(F.col("tag") == 3), "d").groupBy("d").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = {
+        r["d"]: r["count"]
+        for r in ev.groupBy("d").count().join(
+            dim.filter(F.col("tag") == 3), "d"
+        ).select("d", "count").collect()
+    }
+    got = {r["d"]: r["count"] for r in joined.collect()}
+    assert got == want and got
