@@ -463,3 +463,87 @@ def q40_asof_nearest_click(spark, sf_dir):
         direction="nearest",
         how="inner",  # unattributed purchases are out of scope here
     ).orderBy("purchase_id")
+
+
+@query(
+    "q41_fuzzy_blocked_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    dirty AS (
+      SELECT name,
+             substr(name, 1, (len(name) + 1) // 2 - 1)
+               || substr(name, (len(name) + 1) // 2 + 1) AS dname
+      FROM names
+    )
+    SELECT d.dname, n.name AS matched, 
+           CAST(levenshtein(d.dname, n.name) AS BIGINT) AS dist
+    FROM dirty d JOIN names n
+      ON substr(d.dname, 1, 3) = substr(n.name, 1, 3)
+    WHERE levenshtein(d.dname, n.name) <= 2
+    ORDER BY dname, matched
+    """,
+    tags=("extended", "fuzzy", "scale"),
+)
+def q41_fuzzy_blocked_match(spark, sf_dir):
+    """Blocked fuzzy entity matching: recover corrupted part names
+    (deterministic middle-character drop) against the clean vocabulary
+    via Levenshtein <= 2 — the entity-resolution pass an ETL pipeline
+    runs on dirty catalogue/vendor feeds.
+
+    Scale shape: the join is BLOCKED on a 3-char prefix key, so edit
+    distance — O(mn) per pair, never pushed into the join condition
+    without a block — runs only within prefix buckets: candidate count
+    tracks bucket sizes, not |dirty| x |vocab| (the same never-all-pairs
+    discipline as the LSH dedup family). Blocking recall loss is part of
+    the declared semantics (a corruption inside the first 3 chars exits
+    the block), identically on both engines."""
+    part = catalog.table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    dirty = names.select(
+        "name",
+        F.concat(
+            F.expr("substr(name, 1, (length(name) + 1) div 2 - 1)"),
+            F.expr("substr(name, (length(name) + 1) div 2 + 1)"),
+        ).alias("dname"),
+    )
+    return (
+        dirty.select("dname")
+        .join(
+            names,
+            F.substring("dname", 1, 3) == F.substring("name", 1, 3),
+        )
+        .withColumn("dist", F.levenshtein("dname", "name").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("dname", F.col("name").alias("matched"), "dist")
+        .orderBy("dname", "matched")
+    )
+
+
+@query(
+    "q42_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+      FROM part WHERE p_partkey < 500
+    ) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    ORDER BY p_partkey, metric
+    """,
+    tags=("extended",),
+)
+def q42_unpivot_part_metrics(spark, sf_dir):
+    """Unpivot/melt (the inverse of q15/q28's pivots): wide per-part
+    metrics into (key, metric, value) long form — the reshape every
+    metrics store ingests. Map-side only (unpivot is an Expand node, no
+    shuffle before the presentation sort); restricted to p_partkey < 500
+    per the fingerprint-row convention."""
+    part = catalog.table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
