@@ -98,6 +98,10 @@ QUERIES = [
     "sim_ivfpq_adc_topk",
     "text_chunk_overlap",
     "ev_anomaly_mad",
+    # Round-6: blocked fuzzy match (edit distance only inside prefix
+    # blocks) and the unpivot Expand — both should track input size.
+    "q41_fuzzy_blocked_match",
+    "q42_unpivot_part_metrics",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
