@@ -16,7 +16,6 @@ wide one.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
 
 
 def dynamic_pivot(
