@@ -130,3 +130,95 @@ def graph_pagerank(spark, sf_dir):
         )
     finally:
         edges.unpersist()
+
+
+KHOP_DEPTH, KHOP_SEED_MOD = 3, 4999
+
+
+@query(
+    "graph_khop_reachability",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT 'c:' || ck AS src, 's:' || sk AS dst FROM pairs
+      UNION ALL
+      SELECT 's:' || sk AS src, 'c:' || ck AS dst FROM pairs
+    ),
+    seeds AS (
+      SELECT DISTINCT 'c:' || c_custkey AS seed FROM customer
+      WHERE c_custkey % {KHOP_SEED_MOD} = 0
+    ),
+    r AS (
+      SELECT seed, seed AS node, 0 AS depth FROM seeds
+      UNION
+      SELECT r.seed, e.dst AS node, r.depth + 1 AS depth
+      FROM r JOIN edges e ON e.src = r.node
+      WHERE r.depth < {KHOP_DEPTH}
+    )
+    SELECT seed, CAST(count(DISTINCT node) AS BIGINT) AS n_reachable
+    FROM r GROUP BY seed ORDER BY seed
+    """,
+    tags=("graph", "iterative", "scale"),
+)
+def graph_khop_reachability(spark, sf_dir):
+    """Multi-source bounded-depth BFS: for each seed customer, the number
+    of distinct nodes within {KHOP_DEPTH} hops in the purchase graph —
+    the reachability/blast-radius primitive (lineage impact, fraud
+    rings, recall scoping) that SQL needs a recursive CTE for and Spark
+    expresses as a {KHOP_DEPTH}-round frontier expansion.
+
+    Per round: ONE equi-join of the (seed, node) frontier against the
+    src-partitioned edge list + a distinct on (seed, dst) — the visited
+    set accumulates by unionByName + distinct, so total cost is
+    O(depth x frontier x avg-degree), never materializing paths. The
+    oracle is DuckDB's recursive-CTE fixpoint over the same edge CTEs
+    (depth-bounded, UNION-deduplicated) — the dedup_clusters_cc
+    precedent for oracling iterative graph passes."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    customer = catalog.table(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    try:
+        seeds = (
+            customer.filter(F.col("c_custkey") % KHOP_SEED_MOD == 0)
+            .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("seed"))
+            .distinct()
+        )
+        visited = seeds.select("seed", F.col("seed").alias("node"))
+        frontier = visited
+        for _ in range(KHOP_DEPTH):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+            )
+            # The next frontier needs only NEW nodes (anti-join) — the
+            # visited set stops re-expansion, keeping round cost tied to
+            # the frontier, not the accumulated set.
+            frontier = nxt.join(visited, ["seed", "node"], "left_anti")
+            visited = visited.unionByName(frontier).distinct()
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+        out = visited.groupBy("seed").agg(
+            F.count(F.lit(1)).alias("n_reachable")
+        ).orderBy("seed")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        edges.unpersist()

@@ -102,6 +102,9 @@ QUERIES = [
     # blocks) and the unpivot Expand — both should track input size.
     "q41_fuzzy_blocked_match",
     "q42_unpivot_part_metrics",
+    # Round-6: multi-source bounded BFS — cost = depth x frontier x
+    # degree; the visited-set distinct dominates at high seed counts.
+    "graph_khop_reachability",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
