@@ -137,3 +137,55 @@ def prof_mode_median_synthesis(spark, sf_dir):
         )
         .orderBy("subject_id")
     )
+
+
+EQD_BUCKETS = 8
+
+
+@query(
+    "prof_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile({EQD_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("profile",),
+)
+def prof_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram of order totals: {EQD_BUCKETS} equal-count
+    buckets with their value boundaries — the statistics object a
+    cost-based optimizer and a data-profiling report both want (equal
+    WIDTH histograms lie under skew; equal DEPTH adapts to it).
+
+    Determinism: ntile's frame is totally ordered by (value, o_orderkey),
+    so bucket membership is identical cross-engine even on duplicate
+    values. Plan: one global-sort window at test scale; the documented
+    100 TB swap-in is approx_percentile boundaries + one aggregation
+    (same output shape, sampled boundaries) — the prof_approx_profile
+    convention for exact-at-test/approximate-at-scale pairs."""
+    from pyspark.sql import Window
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_totalprice",
+        F.ntile(EQD_BUCKETS)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return (
+        t.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
