@@ -424,3 +424,54 @@ def ev_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type", "window_start")
     )
+
+
+PATH_TOPK = 10
+
+
+@query(
+    "ev_top_paths",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT {PATH_TOPK}
+    """,
+    tags=("streaming", "funnel"),
+)
+def ev_top_paths(spark, sf_dir):
+    """Top-{PATH_TOPK} 3-step event paths (consecutive per-user event
+    sequences): the path-mining pass behind "common user journeys"
+    product analytics — the sequential sibling of ev_funnel_stages'
+    fixed funnel.
+
+    Window order is totally determined by (ts, event_id), so the triple
+    extraction is deterministic on both engines even with simultaneous
+    events. Plan: ONE hash exchange on user_id feeds both lead()s (same
+    window spec), the triple count is a bounded groupBy (|event_types|^3
+    keys at most), and the final top-k is TakeOrderedAndProject. At
+    100 TB the only corpus-sized operation is the per-user window sort —
+    the same cost q18's sessionization already pays."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(PATH_TOPK)
+    )

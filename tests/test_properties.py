@@ -314,3 +314,44 @@ def test_bpe_apply_merge_equals_python_greedy(spark, toks, pair):
         B.apply_merge(F.col("toks"), left, right).alias("m")
     ).collect()[0]["m"]
     assert got == py_merge(toks)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),              # key
+            st.sampled_from(["I", "U", "D"]),                   # op
+            st.text(alphabet="xyz", min_size=1, max_size=3),    # value
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cdc_collapse_apply_equals_sequential_replay(spark, ops):
+    """operators.cdc: collapsing a changelog to max-seq-per-key and
+    merging once must equal replaying the ops one at a time in seq order
+    — the compacted-topic equivalence CDC consumers rely on."""
+    from gtec_etl_spark.operators import cdc
+
+    base_rows = [(1, "a"), (2, "b")]
+    log_rows = [
+        (k, op, i + 1, v if op != "D" else None)
+        for i, (k, op, v) in enumerate(ops)
+    ]
+
+    state = dict(base_rows)
+    for k, op, _seq, v in log_rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    log = spark.createDataFrame(log_rows, "k long, op string, seq long, v string")
+    latest = cdc.collapse_changelog(log, "k", ["v"])
+    got = {
+        r["k"]: r["v"]
+        for r in cdc.apply_changes(base, latest, "k", ["v"]).collect()
+    }
+    assert got == state
