@@ -657,3 +657,24 @@ def audio_rms_windows(media: DataFrame, window_frames: int = 160) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(run, AUDIO_WIN_SCHEMA)
+
+
+def byte_histogram_counts(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Integer byte-value histogram of the raw blob (counts, not
+    normalized) — the exact-arithmetic twin of byte_histogram_features
+    for oracle-checked similarity over media (cosine on int counts needs
+    no float normalization; equal-width bins are value // (256/bins))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width = 256 // bins
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=bins)
+                rows.append((mid, [int(x) for x in hist]))
+            yield pd.DataFrame(rows, columns=["media_id", "hist"])
+
+    return media.select("media_id", "content").mapInPandas(
+        run, "media_id long, hist array<long>"
+    )

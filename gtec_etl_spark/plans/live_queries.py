@@ -544,3 +544,100 @@ def mm_audio_rms_windows(spark, sf_dir):
     return M.audio_rms_windows(media, window_frames=160).orderBy(
         "media_id", "window_idx"
     )
+
+
+NEARDUP_COS_E6_MIN = 999_990
+
+
+@query(
+    "mm_image_neardup",
+    oracle=f"""
+    WITH h AS (
+      SELECT media_id, hist,
+             list_reduce(list_transform(generate_series(1, 16),
+                         i -> hist[i] * hist[i]), (x, y) -> x + y) AS n2
+      FROM '{_MM_GOLDEN}/mm_image_hist.parquet'
+    )
+    SELECT a.media_id AS a_id, b.media_id AS b_id,
+           CAST(floor(
+             CAST(list_reduce(list_transform(generate_series(1, 16),
+                  i -> a.hist[i] * b.hist[i]), (x, y) -> x + y) AS DOUBLE)
+             / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+             * 1000000 + 0.5
+           ) AS BIGINT) AS cos_e6
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE CAST(list_reduce(list_transform(generate_series(1, 16),
+               i -> a.hist[i] * b.hist[i]), (x, y) -> x + y) AS DOUBLE)
+          / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+          * 1000000 + 0.5 >= {NEARDUP_COS_E6_MIN}
+    ORDER BY a_id, b_id
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_image_neardup(spark, sf_dir):
+    """Multimodal near-duplicate detection END TO END: binary images ->
+    integer byte-histogram signatures (Arrow codec boundary) -> pairwise
+    integer-cosine >= {NEARDUP_COS_E6_MIN}/1e6 — the operators/multimodal
+    x operators/similarity composition an image-dedup pipeline runs. The
+    16-row media table plants four EXACT duplicates (ids 12-15 reuse
+    seeds 0-3), which must surface at cos_e6 = 1000000; each seed's bytes
+    are skewed onto a distinct support (bins 0..seed), so non-duplicate
+    pairs cap at cos ~ 0.96 — comfortably under the threshold on both
+    engines (identical int dot + one IEEE divide/sqrt).
+
+    At scale the pairwise stage is never all-pairs: the histogram
+    signature feeds the blocked/banded candidate generators
+    (dedup_embedding_cosine's gram kernel, LSH buckets); the fixture
+    size here keeps the oracle exact. Oracle = pair SQL over the golden
+    histograms recomputed with an independent binning formulation
+    (tools/make_multimodal_golden.py:image_hist_golden)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+    from gtec_etl_spark.operators import similarity as S
+
+    import numpy as np
+
+    rows = []
+    for i in range(16):
+        seed = i % 12
+        raw = M.fake_image(32, 24, seed=seed)
+        # Skew each seed's byte distribution to a distinct support
+        # (mod 16*(seed+1) -> histogram bins 0..seed): duplicates stay
+        # bit-identical, distinct seeds land well under the threshold
+        # (adjacent supports cos ~ sqrt(k/(k+1)) <= 0.96) — uniform LCG
+        # noise alone is NOT discriminative (all histograms converge).
+        pix = np.frombuffer(raw[15:], dtype=np.uint8) % (16 * (seed + 1))
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(raw[:15] + pix.astype(np.uint8).tobytes()),
+                ("image/x-fake", f"mem://img/{i}"),
+            )
+        )
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    h = M.byte_histogram_counts(media, bins=16).withColumn(
+        "n2", S.dot_int(F.col("hist"), F.col("hist"))
+    )
+    a = h.select(
+        F.col("media_id").alias("a_id"),
+        F.col("hist").alias("a_h"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = h.select(
+        F.col("media_id").alias("b_id"),
+        F.col("hist").alias("b_h"),
+        F.col("n2").alias("b_n2"),
+    )
+    cos_scaled = S.dot_int(F.col("a_h"), F.col("b_h")).cast("double") / F.sqrt(
+        F.col("a_n2").cast("double") * F.col("b_n2").cast("double")
+    ) * F.lit(1000000) + F.lit(0.5)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(cos_scaled >= F.lit(NEARDUP_COS_E6_MIN))
+        .select(
+            "a_id", "b_id", F.floor(cos_scaled).cast("long").alias("cos_e6")
+        )
+        .orderBy("a_id", "b_id")
+    )

@@ -245,6 +245,27 @@ def audio_rms_windows_golden(
     return pa.Table.from_pylist(rows)
 
 
+def image_hist_golden(
+    n: int = 16, n_base: int = 12, width: int = 32, height: int = 24,
+    bins: int = 16,
+) -> pa.Table:
+    """Expected (media_id, hist) for mm_image_neardup's 16-row media
+    table (ids >= n_base duplicate seed id % n_base): integer byte
+    histograms of the FULL container blob (header + raster), recomputed
+    here with a different binning formulation (floor-divide bincount)
+    than the operator."""
+    rows = []
+    for mid in range(n):
+        seed = mid % n_base
+        pix = lcg_pixels(width, height, seed=seed) % (16 * (seed + 1))
+        blob = np.frombuffer(
+            container(width, height, pix.astype(np.uint8)), dtype=np.uint8
+        )
+        hist = np.bincount(blob // (256 // bins), minlength=bins)
+        rows.append({"media_id": mid, "hist": [int(x) for x in hist]})
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -266,6 +287,9 @@ def main() -> None:
     pq.write_table(
         audio_rms_windows_golden(),
         os.path.join(OUT_DIR, "mm_audio_rms_windows.parquet"),
+    )
+    pq.write_table(
+        image_hist_golden(), os.path.join(OUT_DIR, "mm_image_hist.parquet")
     )
     print(f"wrote golden fixtures to {OUT_DIR}")
 
