@@ -522,11 +522,12 @@ def q41_fuzzy_blocked_match(spark, sf_dir):
 @query(
     "q42_unpivot_part_metrics",
     oracle="""
-    SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
-    FROM (
-      SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
-      FROM part WHERE p_partkey < 500
-    ) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 500
     ORDER BY p_partkey, metric
     """,
     tags=("extended",),
