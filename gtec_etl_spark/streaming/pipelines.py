@@ -291,7 +291,7 @@ def run_cdc_dimension_maintenance(
     key: str = "cust_id",
     attrs: tuple[str, ...] = ("name", "segment"),
     await_secs: int = 120,
-) -> None:
+):
     """Streaming dimension maintenance: apply a CDC changelog stream to a
     versioned dimension snapshot, one merge per micro-batch — the
     streaming half of etl_cdc_upsert, sharing its operators
@@ -351,3 +351,6 @@ def run_cdc_dimension_maintenance(
     finally:
         if q.isActive:
             q.stop()
+    # Stopped query handle: recentProgress stays readable, so callers
+    # (tools/stream_steady_state.py) can extract per-trigger telemetry.
+    return q

@@ -141,6 +141,39 @@ def run_tumbling(spark, replay_dir: str) -> dict:
         return progress_stats(q)
 
 
+def run_cdc_maintenance(spark, sf_dir: str, tmp_root: str) -> dict:
+    """Steady-state of the CDC dimension-maintenance loop: bootstrap load
+    sliced into 4 triggers, then the update/insert wave, then the delete
+    wave — per-trigger cost should be flat (one merge over the snapshot)
+    after the batch-0 setup."""
+    from gtec_etl_spark.plans.incremental_queries import (
+        bootstrap_log,
+        changelog_parts,
+    )
+    from gtec_etl_spark.streaming import pipelines as P
+
+    src = os.path.join(tmp_root, "cdc_log")
+    os.makedirs(src)
+    boot = bootstrap_log(spark, sf_dir)
+    uilog, dlog = changelog_parts(spark, sf_dir)
+    waves = [boot.filter(F.col("cust_id") % 4 == i) for i in range(4)]
+    waves += [uilog, dlog]
+    for i, wave in enumerate(waves):
+        stage = os.path.join(tmp_root, f"cdc_stage{i}")
+        wave.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    q = P.run_cdc_dimension_maintenance(
+        P.read_changelog_stream(spark, src),
+        os.path.join(tmp_root, "cdc_snap"),
+        os.path.join(tmp_root, "cdc_ckpt"),
+        await_secs=300,
+    )
+    return progress_stats(q)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -158,6 +191,9 @@ def main() -> None:
         results = {
             "stream_stream_join": run_stream_stream_join(spark, replay_dir),
             "stream_tumbling_hourly": run_tumbling(spark, replay_dir),
+            "stream_cdc_snapshot": run_cdc_maintenance(
+                spark, args.sf_dir, replay_dir
+            ),
         }
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
