@@ -355,3 +355,31 @@ def test_cdc_collapse_apply_equals_sequential_replay(spark, ops):
         for r in cdc.apply_changes(base, latest, "k", ["v"]).collect()
     }
     assert got == state
+
+
+@SLOW
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+def test_z_value_prefix_bounds_both_coordinates(spark, x, y):
+    """Morton-code property: the top 2k bits of z determine x's and y's
+    top k bits — i.e. a z-prefix range is a 2-D tile, the invariant the
+    Z-order layout's pruning claims rest on. Also: interleave is
+    invertible (even/odd bit split returns (x, y))."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.sinks.tabular import z_value
+
+    df = spark.createDataFrame([(x, y)], "x long, y long")
+    z = df.select(z_value(F.col("x"), F.col("y"), 8).alias("z")).collect()[0]["z"]
+    xr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    yr = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    assert (xr, yr) == (x, y)
+    # Tile identity: the 4-bit bucket prefix is exactly (x_hi2, y_hi2)
+    # interleaved, so one bucket spans one quarter of EACH axis.
+    bucket = z >> 12
+    assert bucket == (
+        ((x >> 7) & 1) << 3 | ((y >> 7) & 1) << 2
+        | ((x >> 6) & 1) << 1 | ((y >> 6) & 1)
+    )

@@ -105,6 +105,11 @@ QUERIES = [
     # Round-6: multi-source bounded BFS — cost = depth x frontier x
     # degree; the visited-set distinct dominates at high seed counts.
     "graph_khop_reachability",
+    # Round-6: path mining (one shared window exchange + bounded triple
+    # groupBy) and the equi-depth histogram (global-sort ntile at test
+    # scale; approx_percentile is the documented 100 TB swap-in).
+    "ev_top_paths",
+    "prof_equidepth_histogram",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
