@@ -64,9 +64,7 @@ def _incoming_batch(spark, sf_dir):
     return updates.unionByName(inserts)
 
 
-@query(
-    "etl_scd2_merge",
-    oracle=f"""
+SCD2_ORACLE_SQL = f"""
     WITH base AS (
       SELECT c_custkey AS cust_id, c_name AS name,
              c_mktsegment AS segment,
@@ -94,7 +92,12 @@ def _incoming_batch(spark, sf_dir):
            CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
     FROM (SELECT * FROM changed UNION ALL SELECT * FROM brand_new)
     ORDER BY cust_id, valid_from
-    """,
+    """
+
+
+@query(
+    "etl_scd2_merge",
+    oracle=SCD2_ORACLE_SQL,
     tags=("incremental", "etl", "scale"),
 )
 def etl_scd2_merge(spark, sf_dir):

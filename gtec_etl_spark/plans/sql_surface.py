@@ -132,3 +132,60 @@ def q38_lateral_topk_per_group(spark, sf_dir):
     re-scan). The comma-LATERAL text parses identically on DuckDB, so the
     same string is query and oracle."""
     return run_sql(spark, sf_dir, LATERAL_SQL)
+
+
+SCD2_SPARK_SQL = """
+    WITH base AS (
+      SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ),
+    batch AS (
+      SELECT c_custkey AS cust_id,
+             concat(c_name, '-v2') AS name, c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS cust_id,
+             concat('new-', CAST(c_custkey AS STRING)) AS name,
+             c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    changed AS (
+      SELECT b.cust_id, b.name, b.segment
+      FROM batch b JOIN base d ON d.cust_id = b.cust_id
+      WHERE d.is_current AND d.name <> b.name
+    ),
+    brand_new AS (
+      SELECT b.cust_id, b.name, b.segment
+      FROM batch b LEFT ANTI JOIN base d ON d.cust_id = b.cust_id
+    )
+    SELECT d.cust_id, d.name, d.segment, d.valid_from,
+           CASE WHEN c.cust_id IS NOT NULL
+                THEN DATE '2024-06-01' ELSE d.valid_to END AS valid_to,
+           c.cust_id IS NULL AS is_current
+    FROM base d LEFT JOIN changed c ON c.cust_id = d.cust_id
+    UNION ALL
+    SELECT cust_id, name, segment, DATE '2024-06-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM (SELECT * FROM changed UNION ALL SELECT * FROM brand_new)
+    ORDER BY cust_id, valid_from
+"""
+
+
+def _scd2_oracle() -> str:
+    from gtec_etl_spark.plans.incremental_queries import SCD2_ORACLE_SQL
+
+    return SCD2_ORACLE_SQL
+
+
+@query("sql_scd2_merge", oracle=_scd2_oracle(), tags=("incremental", "sql"))
+def sql_scd2_merge(spark, sf_dir):
+    """etl_scd2_merge expressed as pure SQL TEXT through spark.sql — the
+    MERGE-shaped SCD2 recipe is fully declarative, so the SQL surface and
+    the DataFrame twin (plans/incremental_queries.py) compile to the same
+    Catalyst plan and share one oracle; dialect deltas are confined to
+    concat()/LEFT ANTI JOIN spelling. Proves a reference user can run the
+    incremental-ETL layer from SQL alone (the SPARQL-text capability
+    parity argument of this module, extended to the extension surface)."""
+    return run_sql(spark, sf_dir, SCD2_SPARK_SQL)
