@@ -513,3 +513,26 @@ def test_pagerank_path_graph_symmetry_and_mass(spark):
     assert ranks["a"] == ranks["c"] < ranks["b"]
     total = sum(ranks.values())
     assert abs(total - PR_SCALE) < 1000
+
+
+def test_bpe_train_empty_and_degenerate_corpus(spark):
+    """BPE edge cases: an empty corpus trains zero merges; a corpus of
+    single-character words (no adjacent pairs) also trains zero merges
+    but still returns a usable vocab."""
+    from gtec_etl_spark.operators import bpe as B
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    merges, vocab = B.bpe_train(empty, 3)
+    try:
+        assert merges == [] and vocab.count() == 0
+    finally:
+        vocab.unpersist()
+
+    chars = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    merges, vocab = B.bpe_train(chars, 3)
+    try:
+        rows = {r["word"]: (r["freq"], r["toks"]) for r in vocab.collect()}
+    finally:
+        vocab.unpersist()
+    assert merges == []
+    assert rows == {"a": (2, ["a"]), "b": (1, ["b"])}

@@ -245,3 +245,19 @@ def test_zordered_read_prunes_partitions(spark, tmp_path):
     df = spark.read.parquet(path).filter("zbucket = 3")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(zbucket" in plan
+
+
+def test_compact_parquet_dir_multi_file_split(spark, tmp_path):
+    """Size-targeted compaction must also SPLIT: a tiny target_bytes
+    yields several output files (no sort key path)."""
+    from gtec_etl_spark.sinks.tabular import compact_parquet_dir
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "x" * 50) for i in range(2000)], "id long, v string"
+    ).coalesce(1).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    n_out = compact_parquet_dir(spark, src, dst, target_bytes=4 << 10)
+    files = glob.glob(dst + "/*.parquet")
+    assert n_out > 1 and len(files) == n_out
+    assert spark.read.parquet(dst).count() == 2000
