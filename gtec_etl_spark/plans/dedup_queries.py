@@ -707,7 +707,6 @@ def dedup_substring_apply(spark, sf_dir):
 
 
 CHUNK_W = 8          # words per non-overlapping chunk ("paragraph")
-CHUNK_ORD = 1024     # > max chunks/doc — packs (doc_id, ci) into one int64
 
 
 @query(
@@ -727,12 +726,12 @@ CHUNK_ORD = 1024     # > max chunks/doc — packs (doc_id, ci) into one int64
       )
     ),
     firsts AS (
-      SELECT chunk, min(doc_id * {CHUNK_ORD} + ci) AS first_key
+      SELECT chunk, min(ROW(doc_id, ci)) AS first_key
       FROM c GROUP BY chunk
     ),
     k AS (
       SELECT c.doc_id, c.ci, c.chunk,
-             (c.doc_id * {CHUNK_ORD} + c.ci = f.first_key) AS kept
+             (ROW(c.doc_id, c.ci) = f.first_key) AS kept
       FROM c JOIN firsts f ON f.chunk = c.chunk
     )
     SELECT doc_id,
@@ -749,8 +748,10 @@ def dedup_paragraph_chunks(spark, sf_dir):
     """Corpus-wide paragraph-level exact dedup with keep-first semantics
     (the CCNet / MassiveText paragraph pass, on {CHUNK_W}-word
     non-overlapping chunks since this corpus has no newlines): every
-    chunk instance except the globally-first occurrence (lowest
-    (doc_id, position), packed into one int64) is dropped, and each
+    chunk instance except the globally-first occurrence (lexicographic
+    min over struct(doc_id, position) — NOT an integer packing, whose
+    fixed multiplier silently collides keys across documents the day a
+    document exceeds it) is dropped, and each
     document is rebuilt from its surviving chunks in order — emitting
     per-doc chunk counts plus the rebuilt text's fingerprint/length.
     Completes the dedup family's granularity ladder: document
@@ -785,10 +786,11 @@ def dedup_paragraph_chunks(spark, sf_dir):
         ).alias("ci", "chunk"),
     )
     firsts = chunks.groupBy("chunk").agg(
-        F.min(F.col("doc_id") * CHUNK_ORD + F.col("ci")).alias("first_key")
+        F.min(F.struct(F.col("doc_id"), F.col("ci"))).alias("first_key")
     )
     k = chunks.join(firsts, "chunk").withColumn(
-        "kept", F.col("doc_id") * CHUNK_ORD + F.col("ci") == F.col("first_key")
+        "kept",
+        F.struct(F.col("doc_id"), F.col("ci")) == F.col("first_key"),
     )
     kept_pairs = F.array_sort(
         F.collect_list(

@@ -26,13 +26,18 @@ from gtec_etl_spark.plans.registry import query
 
 SCD2_EFF_DATE = "2024-06-01"
 
-# Shared derivation of the incoming batch (updates to every 7th customer,
-# brand-new rows for every 97th) — one SQL string so the oracle and the
-# docstring stay in sync with the DataFrame twin below.
+# Shared derivation of the incoming batch (name updates to every 7th
+# customer, segment updates to every 13th — so name-only, segment-only,
+# AND both-changed (91ths) rows all exist — plus brand-new rows for every
+# 97th) — one SQL string so the oracle and the docstring stay in sync
+# with the DataFrame twin below.
 _BATCH_SQL = """
-      SELECT c_custkey AS cust_id, c_name || '-v2' AS name,
-             c_mktsegment AS segment
-      FROM customer WHERE c_custkey % 7 = 0
+      SELECT c_custkey AS cust_id,
+             CASE WHEN c_custkey % 7 = 0 THEN c_name || '-v2'
+                  ELSE c_name END AS name,
+             CASE WHEN c_custkey % 13 = 0 THEN 'SEG-' || c_mktsegment
+                  ELSE c_mktsegment END AS segment
+      FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0
       UNION ALL
       SELECT c_custkey + 1000000 AS cust_id, 'new-' || c_custkey AS name,
              c_mktsegment AS segment
@@ -51,10 +56,18 @@ def _base_dim(spark, sf_dir):
 
 def _incoming_batch(spark, sf_dir):
     cust = catalog.table(spark, sf_dir, "customer")
-    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+    updates = cust.filter(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 13 == 0)
+    ).select(
         F.col("c_custkey").alias("cust_id"),
-        F.concat(F.col("c_name"), F.lit("-v2")).alias("name"),
-        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.col("c_name"), F.lit("-v2")),
+        ).otherwise(F.col("c_name")).alias("name"),
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.lit("SEG-"), F.col("c_mktsegment")),
+        ).otherwise(F.col("c_mktsegment")).alias("segment"),
     )
     inserts = cust.filter(F.col("c_custkey") % 97 == 0).select(
         (F.col("c_custkey") + 1000000).alias("cust_id"),
@@ -76,7 +89,8 @@ SCD2_ORACLE_SQL = f"""
     changed AS (
       SELECT b.cust_id, b.name, b.segment
       FROM batch b JOIN base d ON d.cust_id = b.cust_id
-      WHERE d.is_current AND d.name <> b.name
+      WHERE d.is_current AND (d.name IS DISTINCT FROM b.name
+                              OR d.segment IS DISTINCT FROM b.segment)
     ),
     brand_new AS (
       SELECT b.cust_id, b.name, b.segment
@@ -126,10 +140,21 @@ def etl_scd2_merge(spark, sf_dir):
     changed = (
         F.broadcast(batch)
         .join(
-            base.filter("is_current").select("cust_id", F.col("name").alias("__cur")),
+            base.filter("is_current").select(
+                "cust_id",
+                F.col("name").alias("__cur_name"),
+                F.col("segment").alias("__cur_seg"),
+            ),
             "cust_id",
         )
-        .filter(F.col("__cur") != F.col("name"))
+        # Change detection spans EVERY tracked attribute, null-safe — a
+        # segment-only change must version the row just like a name change
+        # (the derived batch plants name-only, segment-only, and
+        # both-changed keys to pin all three paths).
+        .filter(
+            ~F.col("__cur_name").eqNullSafe(F.col("name"))
+            | ~F.col("__cur_seg").eqNullSafe(F.col("segment"))
+        )
         .select("cust_id", "name", "segment")
     )
     brand_new = batch.join(
@@ -212,8 +237,8 @@ def etl_cdc_upsert(spark, sf_dir):
     INSERT`, with conflict resolution by sequence number the way a Kafka
     compacted topic or a Debezium stream resolves it.
 
-    The changelog is derived deterministically (every 7th key updated at
-    seq 2, every 97th inserted at seq 1, every 77th deleted at seq 3 —
+    The changelog is derived deterministically (every 7th/13th key updated
+    at seq 2, every 97th inserted at seq 1, every 77th deleted at seq 3 —
     keys divisible by both 7 and 77 exercise the precedence path: the
     seq-3 delete must win over the seq-2 update).
 

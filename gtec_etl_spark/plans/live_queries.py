@@ -515,9 +515,11 @@ def stream_cdc_snapshot(spark, sf_dir):
         out = spark.read.parquet(os.path.join(snap, f"version={last}")).select(
             "cust_id", "name", "segment"
         )
-        # Materialize before the TemporaryDirectory is removed.
-        rows = out.orderBy("cust_id").collect()
-        return spark.createDataFrame(rows, out.schema)
+        # Materialize on the EXECUTORS before the TemporaryDirectory is
+        # removed — eager localCheckpoint pins the partitions in the block
+        # manager without ever shipping the (dimension-sized) snapshot to
+        # the driver, so this path stays dimension-size-safe.
+        return out.orderBy("cust_id").localCheckpoint(eager=True)
 
 
 
@@ -617,8 +619,17 @@ def mm_image_neardup(spark, sf_dir):
             )
         )
     media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
-    h = M.byte_histogram_counts(media, bins=16).withColumn(
-        "n2", S.dot_int(F.col("hist"), F.col("hist"))
+    # Materialize the tiny signature table ONCE on one partition: without
+    # this, the self-join's two sides each re-run the Arrow decode per
+    # task and Catalyst plans a CartesianProduct over 32x32 partitions
+    # (1024 tasks, each paying Python-worker startup — 35 s for 16 rows).
+    # After coalesce(1)+eager localCheckpoint+broadcast the plan is a
+    # single-task BroadcastNestedLoopJoin over the cached 16 rows.
+    h = (
+        M.byte_histogram_counts(media, bins=16)
+        .withColumn("n2", S.dot_int(F.col("hist"), F.col("hist")))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     a = h.select(
         F.col("media_id").alias("a_id"),
@@ -634,7 +645,7 @@ def mm_image_neardup(spark, sf_dir):
         F.col("a_n2").cast("double") * F.col("b_n2").cast("double")
     ) * F.lit(1000000) + F.lit(0.5)
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
         .filter(cos_scaled >= F.lit(NEARDUP_COS_E6_MIN))
         .select(
             "a_id", "b_id", F.floor(cos_scaled).cast("long").alias("cos_e6")

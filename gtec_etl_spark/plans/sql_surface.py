@@ -143,8 +143,11 @@ SCD2_SPARK_SQL = """
     ),
     batch AS (
       SELECT c_custkey AS cust_id,
-             concat(c_name, '-v2') AS name, c_mktsegment AS segment
-      FROM customer WHERE c_custkey % 7 = 0
+             CASE WHEN c_custkey % 7 = 0 THEN concat(c_name, '-v2')
+                  ELSE c_name END AS name,
+             CASE WHEN c_custkey % 13 = 0 THEN concat('SEG-', c_mktsegment)
+                  ELSE c_mktsegment END AS segment
+      FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0
       UNION ALL
       SELECT c_custkey + 1000000 AS cust_id,
              concat('new-', CAST(c_custkey AS STRING)) AS name,
@@ -154,7 +157,8 @@ SCD2_SPARK_SQL = """
     changed AS (
       SELECT b.cust_id, b.name, b.segment
       FROM batch b JOIN base d ON d.cust_id = b.cust_id
-      WHERE d.is_current AND d.name <> b.name
+      WHERE d.is_current AND (d.name IS DISTINCT FROM b.name
+                              OR d.segment IS DISTINCT FROM b.segment)
     ),
     brand_new AS (
       SELECT b.cust_id, b.name, b.segment

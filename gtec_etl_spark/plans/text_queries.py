@@ -1587,10 +1587,11 @@ def text_bpe_apply(spark, sf_dir):
             )
             .orderBy("doc_id")
         )
-        # Materialize before releasing the trained-vocab cache the plan
-        # references (same discipline as pq_kmeans_codebook).
-        out = per_doc.collect()
-        return spark.createDataFrame(out, per_doc.schema)
+        # Materialize on the EXECUTORS before releasing the trained-vocab
+        # cache the plan references (same eager-localCheckpoint discipline
+        # as the iterative graph operators): the per-document token table
+        # is corpus-proportional, so it must never transit the driver.
+        return per_doc.localCheckpoint(eager=True)
     finally:
         vocab.unpersist()
 

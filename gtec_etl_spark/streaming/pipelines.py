@@ -198,6 +198,53 @@ def read_documents_stream(
     return reader.option("pathGlobFilter", path_glob).parquet(sf_dir)
 
 
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    admitted_dir: str,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of the self-maintaining dedup ingest (the
+    foreachBatch body of run_dedup_ingest, module-level so restart/replay
+    semantics are directly testable). Idempotent AND replay-safe: the
+    admission filter reads the banded index through partition discovery
+    and keeps only deltas with `batch_id < current batch_id` — a replayed
+    batch therefore sees exactly the index its first attempt saw, never
+    its own first-attempt delta (which would turn every one of its
+    documents into a self-suspect and overwrite both outputs with empty
+    sets). Same strict-inequality discipline as
+    run_cdc_dimension_maintenance's `version < batch_id` guard."""
+    from pyspark.sql.utils import AnalysisException
+
+    from gtec_etl_spark.operators.dedup import minhash_bands_rowwise
+
+    s = batch_df.sparkSession
+    bands_df = minhash_bands_rowwise(batch_df, n_shingle, num_hashes, bands)
+    try:
+        index = (
+            s.read.parquet(index_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("band", "sig")
+        )
+    except AnalysisException:
+        index = s.createDataFrame([], bands_df.select("band", "sig").schema)
+    suspects = (
+        bands_df.join(index, ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    admitted = batch_df.join(suspects, "doc_id", "left_anti")
+    admitted.write.mode("overwrite").parquet(
+        f"{admitted_dir}/batch_id={batch_id}"
+    )
+    bands_df.join(suspects, "doc_id", "left_anti").select(
+        "doc_id", "band", "sig"
+    ).write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
+
+
 def run_dedup_ingest(
     docs_stream: DataFrame,
     index_dir: str,
@@ -223,7 +270,14 @@ def run_dedup_ingest(
     and its index delta to `batch_id=N` subdirectories with
     mode("overwrite"), so a replayed batch (checkpoint says it was
     in-flight) overwrites its own partition instead of duplicating it —
-    the standard idempotent-foreachBatch pattern.
+    the standard idempotent-foreachBatch pattern. REPLAY SAFETY requires
+    one more guard (mirroring run_cdc_dimension_maintenance's strict
+    `version < batch_id`): the index read filters to
+    `batch_id < current batch_id`, because a replayed batch N would
+    otherwise see its own first-attempt delta, match its own documents
+    as suspects, and overwrite admitted/batch_id=N and index/batch_id=N
+    with EMPTY sets — silent permanent loss on a crash between the
+    writes and the checkpoint commit.
 
     Scale: per-trigger cost is O(batch bands + matched buckets) for the
     semi-join (the index side is a parquet scan pruned to matching band
@@ -231,29 +285,12 @@ def run_dedup_ingest(
     is one partition directory per trigger — compact periodically with
     the K5 range-bucketed writer. Intra-batch duplicates are NOT removed
     here (the batch dedup operators compose in front when needed)."""
-    from pyspark.sql.utils import AnalysisException
-
-    from gtec_etl_spark.operators.dedup import minhash_bands_rowwise
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        bands_df = minhash_bands_rowwise(batch_df, n_shingle, num_hashes, bands)
-        try:
-            index = s.read.parquet(index_dir).select("band", "sig")
-        except AnalysisException:
-            index = s.createDataFrame([], bands_df.select("band", "sig").schema)
-        suspects = (
-            bands_df.join(index, ["band", "sig"], "left_semi")
-            .select("doc_id")
-            .distinct()
+        dedup_ingest_batch(
+            batch_df, batch_id, index_dir, admitted_dir,
+            n_shingle=n_shingle, num_hashes=num_hashes, bands=bands,
         )
-        admitted = batch_df.join(suspects, "doc_id", "left_anti")
-        admitted.write.mode("overwrite").parquet(
-            f"{admitted_dir}/batch_id={batch_id}"
-        )
-        bands_df.join(suspects, "doc_id", "left_anti").select(
-            "doc_id", "band", "sig"
-        ).write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
 
     q = (
         docs_stream.writeStream.foreachBatch(process)

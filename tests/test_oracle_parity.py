@@ -32,10 +32,27 @@ def spec_ids():
     return sorted(registry.specs().keys())
 
 
+# Full-registry plan guard (VERDICT r6 #3): no registered query may plan a
+# CartesianProduct — the per-name guards in test_plans.py only covered an
+# enumerated list, which is how mm_image_neardup shipped a 1024-task
+# cartesian in round 6. Any deliberate tiny-fixture exception must be
+# allowlisted HERE with a justification; currently there are none.
+# Limitation: queries returning an eagerly-materialized result (graph
+# iterations, localCheckpoint paths) expose only the post-materialization
+# plan — their internal shapes are pinned by dedicated tests instead.
+CARTESIAN_ALLOWLIST: frozenset[str] = frozenset()
+
+
 @pytest.mark.parametrize("name", spec_ids())
 def test_query_matches_oracle(spark, name):
     spec = registry.specs()[name]
     sdf = spec.fn(spark, SF_DIR)
+    if name not in CARTESIAN_ALLOWLIST:
+        plan = sdf._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (
+            f"{name}: CartesianProduct in executed plan — broadcast a side "
+            "or route pairs through a blocked/banded candidate generator"
+        )
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 

@@ -309,6 +309,10 @@ def test_cdc_upsert_collapses_log_before_merge(spark):
     plan = _formatted_plan(spark, "etl_cdc_upsert")
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
+    # The merge is split into broadcast-honored branches (BroadcastHashJoin
+    # has no full-outer support) — the dimension must never shuffle.
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_chunk_overlap_is_map_side_until_presentation_sort(spark):

@@ -347,6 +347,50 @@ def test_dedup_ingest_maintains_its_own_index(spark, tmp_path):
     assert ids == [1, 2, 4, 6]
 
 
+def test_dedup_ingest_replay_of_uncommitted_batch_is_lossless(spark, tmp_path):
+    """Crash-replay safety: if batch N's parquet writes landed but the
+    checkpoint commit did NOT (crash in between), the restarted stream
+    re-runs batch N with the SAME batch_id. The replayed batch must see
+    the index as of batch N-1 — not its own first-attempt delta — or every
+    one of its documents becomes a self-suspect and the replay overwrites
+    admitted/batch_id=N and index/batch_id=N with EMPTY sets (silent
+    permanent loss). Simulated by invoking the foreachBatch body twice
+    with the same batch_id, exactly what the checkpoint replays."""
+    from gtec_etl_spark.streaming.pipelines import dedup_ingest_batch
+
+    schema = "doc_id long, text string"
+    index_dir = str(tmp_path / "index")
+    admitted_dir = str(tmp_path / "admitted")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], schema
+    )
+    b1 = spark.createDataFrame(
+        [
+            (2, "one two three four five six seven"),
+            (3, "red orange yellow green blue indigo"),
+        ],
+        schema,
+    )
+    dedup_ingest_batch(b0, 0, index_dir, admitted_dir)
+    dedup_ingest_batch(b1, 1, index_dir, admitted_dir)  # first attempt
+    dedup_ingest_batch(b1, 1, index_dir, admitted_dir)  # crash replay
+
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()
+    )
+    assert admitted == [1, 2, 3], "replayed batch lost its own documents"
+    # The replayed index delta must also survive, so a LATER batch still
+    # rejects duplicates of batch 1's documents.
+    b2 = spark.createDataFrame(
+        [(4, "one two three four five six seven")], schema
+    )
+    dedup_ingest_batch(b2, 2, index_dir, admitted_dir)
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(admitted_dir).collect()
+    )
+    assert admitted == [1, 2, 3], "dup of a replayed batch's doc admitted"
+
+
 def test_cdc_dimension_maintenance_versions_and_final_state(spark, tmp_path):
     """Streaming CDC maintenance: two changelog files -> two micro-batches
     (maxFilesPerTrigger=1); the intermediate snapshot reflects batch A
