@@ -417,6 +417,78 @@ def src_dbgap_data_dict(spark, sf_dir):
     ).orderBy("var_id")
 
 
+VAR_REPORT_XML = os.path.join(
+    FIXTURES, "sources", "phs000001.v1.pht000001.v1.Example_Subject.var_report.xml"
+)
+
+
+@query(
+    "src_dbgap_var_report",
+    oracle=f"""
+    WITH doc AS (SELECT content FROM read_text('{VAR_REPORT_XML}')),
+    vars AS (
+      SELECT unnest(regexp_extract_all(content,
+        '<variable id="[\\s\\S]*?</variable>')) AS block
+      FROM doc
+    ),
+    subs AS (
+      SELECT block, sub
+      FROM vars, (VALUES ('total'), ('cases'), ('controls')) s(sub)
+    ),
+    x AS (
+      SELECT regexp_extract(block, '<variable id="([^"]*)"', 1) AS var_id,
+             regexp_extract(block, '<name>([^<]*)</name>', 1) AS var_name,
+             sub AS subsection,
+             regexp_extract(block,
+               '<' || sub || '>[\\s\\S]*?</' || sub || '>') AS sblock
+      FROM subs
+    )
+    SELECT var_id, var_name, subsection,
+           CAST(nullif(regexp_extract(sblock, ' n="([^"]*)"', 1), '')
+                AS BIGINT) AS n,
+           CAST(nullif(regexp_extract(sblock, ' nulls="([^"]*)"', 1), '')
+                AS BIGINT) AS nulls,
+           CAST(nullif(regexp_extract(sblock, ' mean="([^"]*)"', 1), '')
+                AS DOUBLE) AS mean,
+           CAST(nullif(regexp_extract(sblock, ' median="([^"]*)"', 1), '')
+                AS DOUBLE) AS median,
+           CAST(nullif(regexp_extract(sblock, ' min="([^"]*)"', 1), '')
+                AS DOUBLE) AS stat_min,
+           CAST(nullif(regexp_extract(sblock, ' max="([^"]*)"', 1), '')
+                AS DOUBLE) AS stat_max,
+           CAST(nullif(regexp_extract(sblock, ' sd="([^"]*)"', 1), '')
+                AS DOUBLE) AS sd,
+           CAST(len(regexp_extract_all(sblock, '<value ')) AS BIGINT)
+             AS n_enum_values
+    FROM x WHERE sblock <> '' ORDER BY var_id, subsection
+    """,
+    tags=("sources", "dbgap"),
+)
+def src_dbgap_var_report(spark, sf_dir):
+    """S7 dbGaP var_report XML with the CASES and CONTROLS subsections the
+    reference's subsection loop parses alongside total
+    (ccmm/dbgap/public_metadata.py:129-158 parse_var_report_subsection;
+    :199-204 routes <total>/<cases>/<controls> per variable): one row per
+    (variable, subsection) with the per-subsection n/nulls/mean/median/
+    min/max/sd stats and enum value count — so case/control-stratified
+    variable stats (the restricted-study synthesis input) are queryable
+    rows, not a dropped branch. Spark's native XML source scans
+    <variable> row tags distributed; the oracle re-parses the same
+    document with block + subsection regexes over read_text — an
+    independent parse path. (The reference leaves <subject_profile>
+    as a TODO, public_metadata.py:148-151 — same scope here.)"""
+    from gtec_etl_spark.sources.dbgap_xml import read_var_report
+
+    return (
+        read_var_report(spark, VAR_REPORT_XML)
+        .select(
+            "var_id", "var_name", "subsection", "n", "nulls", "mean",
+            "median", "stat_min", "stat_max", "sd", "n_enum_values",
+        )
+        .orderBy("var_id", "subsection")
+    )
+
+
 SOURCES_DIR = os.path.join(FIXTURES, "sources")
 RESTRICTED_TSV = os.path.join(FIXTURES, "sources", "restricted_subject.txt")
 

@@ -31,9 +31,26 @@ def _iter_payload(payload_dir: str):
             yield rel, full
 
 
-def make_bag(payload_dir: str, bag_path: str, bag_info: dict[str, str] | None = None) -> dict:
+def make_bag(
+    payload_dir: str,
+    bag_path: str,
+    bag_info: dict[str, str] | None = None,
+    remote_files: list[dict] | None = None,
+) -> dict:
     """Package `payload_dir` as a deterministic BagIt tar.gz at `bag_path`.
-    Returns a summary dict (n_files, payload_bytes, bag sha256)."""
+
+    `remote_files` mirrors the reference's --remote-file-manifest input
+    (make-crosscut-instance-bdbag.sh:147, remote-files.json:1-9): a list
+    of {url, length, filename, md5, sha256} entries for payload files
+    that are STAGED REMOTELY (cloud-held release artifacts). Each entry
+    lands in fetch.txt as the BagIt `url length data/filename` line and
+    its checksums join the payload manifests, so a holey bag can be
+    completed (`bdbag --resolve-fetch`) and then validates exactly like
+    a local one — without this a released bag referencing cloud payloads
+    cannot be reproduced.
+
+    Returns a summary dict (n_files incl. remote, payload_bytes local
+    only, bag sha256)."""
     manifests = {"md5": [], "sha256": []}
     n_bytes = 0
     for rel, full in _iter_payload(payload_dir):
@@ -46,6 +63,13 @@ def make_bag(payload_dir: str, bag_path: str, bag_info: dict[str, str] | None = 
         manifests["md5"].append(f"{h5.hexdigest()}  data/{rel}")
         manifests["sha256"].append(f"{h256.hexdigest()}  data/{rel}")
 
+    fetch_lines = []
+    for rf in sorted(remote_files or [], key=lambda r: r["filename"]):
+        path = f"data/{rf['filename']}"
+        fetch_lines.append(f"{rf['url']}\t{int(rf['length'])}\t{path}")
+        manifests["md5"].append(f"{rf['md5']}  {path}")
+        manifests["sha256"].append(f"{rf['sha256']}  {path}")
+
     meta = {
         "bagit.txt": "BagIt-Version: 0.97\nTag-File-Character-Encoding: UTF-8\n",
         "bag-info.txt": "".join(
@@ -54,6 +78,8 @@ def make_bag(payload_dir: str, bag_path: str, bag_info: dict[str, str] | None = 
         "manifest-md5.txt": "\n".join(manifests["md5"]) + "\n",
         "manifest-sha256.txt": "\n".join(manifests["sha256"]) + "\n",
     }
+    if fetch_lines:
+        meta["fetch.txt"] = "\n".join(fetch_lines) + "\n"
 
     def add_bytes(tar: tarfile.TarFile, name: str, data: bytes) -> None:
         info = tarfile.TarInfo(name)
@@ -85,14 +111,43 @@ def make_bag(payload_dir: str, bag_path: str, bag_info: dict[str, str] | None = 
 
 
 def verify_bag(bag_path: str) -> bool:
-    """Re-check every payload checksum inside a bag archive."""
+    """Re-check every LOCAL payload checksum inside a bag archive, and —
+    when the bag is holey (has fetch.txt) — check remote-entry
+    consistency: every fetch.txt path must be covered by the sha256
+    manifest (else a fetched file could never validate), must NOT also be
+    present in the archive payload (a path can't be both local and
+    remote), and must carry a well-formed `url<TAB>length<TAB>data/...`
+    line with a non-negative length."""
     with tarfile.open(bag_path, "r:gz") as tar:
+        members = set(tar.getnames())
         manifest = tar.extractfile("bag/manifest-sha256.txt").read().decode()
         expected = {}
         for line in manifest.strip().splitlines():
             digest, name = line.split("  ", 1)
             expected[f"bag/{name}"] = digest
+
+        remote = set()
+        if "bag/fetch.txt" in members:
+            fetch = tar.extractfile("bag/fetch.txt").read().decode()
+            for line in fetch.strip().splitlines():
+                parts = line.split("\t")
+                if len(parts) != 3:
+                    return False
+                url, length, path = parts
+                if not url or not path.startswith("data/"):
+                    return False
+                if not length.isdigit():  # non-negative integer
+                    return False
+                name = f"bag/{path}"
+                if name not in expected:  # unverifiable after fetch
+                    return False
+                if name in members:  # both local and remote
+                    return False
+                remote.add(name)
+
         for name, digest in expected.items():
+            if name in remote:
+                continue  # payload is remote — checksum applies post-fetch
             data = tar.extractfile(name).read()
             if hashlib.sha256(data).hexdigest() != digest:
                 return False

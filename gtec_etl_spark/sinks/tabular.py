@@ -122,14 +122,14 @@ def compact_parquet_dir(
 
     The byte-size listing is driver-side filesystem metadata — the same
     O(#files) listing any table-maintenance service (OPTIMIZE, compaction
-    daemons) performs; row data itself moves through one executor-side
+    daemons) performs, through the Hadoop FileSystem API so object-store
+    and HDFS sinks (s3a://, hdfs://) list correctly, not just local
+    paths; row data itself moves through one executor-side
     repartition."""
-    import glob as _glob
-    import os as _os
+    from gtec_etl_spark.fsutil import list_files_recursive
 
     total = sum(
-        _os.path.getsize(p)
-        for p in _glob.glob(_os.path.join(src, "**", "*.parquet"), recursive=True)
+        n for _p, n in list_files_recursive(spark, src, suffix=".parquet")
     )
     n_out = max(1, -(-total // target_bytes))
     df = spark.read.parquet(src)

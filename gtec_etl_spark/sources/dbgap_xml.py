@@ -53,32 +53,72 @@ def read_data_dict(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+VAR_REPORT_STAT_ATTRS = ("n", "nulls", "mean", "median", "min", "max", "sd")
+VAR_REPORT_SUBSECTIONS = ("total", "cases", "controls")
+
+
 def read_var_report(spark: SparkSession, path: str) -> DataFrame:
-    """S7: variable summary statistics (n, mean, median, min, max, sd) and
-    enum value counts from a var_report document."""
+    """S7: variable summary statistics (n, nulls, mean, median, min, max,
+    sd) and enum value counts from a var_report document, one row per
+    (variable, subsection) for subsection ∈ total | cases | controls —
+    the reference parses all three subsections per variable
+    (ccmm/dbgap/public_metadata.py:129-158, parse_var_report_subsection),
+    so case/control-stratified stats are first-class rows here, not a
+    dropped branch. Variables without a cases/controls subsection (the
+    common non-case-control study) simply emit no row for it.
+
+    `n`/`nulls` stay integral (BIGINT); the remaining stats are doubles.
+    enum value counts surface as n_enum_values (the per-subsection count
+    of <enum><value> entries) plus a nested enum_counts array when the
+    document carries any enum section."""
     df = spark.read.format("xml").option("rowTag", "variable").load(path)
-    stat = "total.stats.stat"
-    out = df.select(
-        F.col("_id").alias("var_id"),
-        F.col("name").alias("var_name"),
-        F.col(f"{stat}._n").cast("long").alias("n"),
-        F.col(f"{stat}._mean").cast("double").alias("mean"),
-        F.col(f"{stat}._median").cast("double").alias("median"),
-        F.col(f"{stat}._min").cast("double").alias("min"),
-        F.col(f"{stat}._max").cast("double").alias("max"),
-        F.col(f"{stat}._sd").cast("double").alias("sd"),
-        *(
-            [
+
+    def stat_col(sub: str, attr: str):
+        typ = "long" if attr in ("n", "nulls") else "double"
+        out_name = f"stat_{attr}" if attr in ("min", "max") else attr
+        if _has_nested_field(df.schema, [sub, "stats", "stat"]):
+            return (
+                F.col(f"{sub}.stats.stat._{attr}").cast(typ).alias(out_name)
+                if _has_nested_field(df.schema, [sub, "stats", "stat", f"_{attr}"])
+                else F.lit(None).cast(typ).alias(out_name)
+            )
+        return F.lit(None).cast(typ).alias(out_name)
+
+    def enum_cols(sub: str):
+        if _has_nested_field(df.schema, [sub, "stats", "enum"]):
+            return [
+                F.coalesce(F.size(f"{sub}.stats.enum.value"), F.lit(0))
+                .cast("long")
+                .alias("n_enum_values"),
                 F.expr(
-                    "transform(total.stats.enum.value,"
+                    f"transform({sub}.stats.enum.value,"
                     " v -> struct(v._VALUE AS label, v._count AS n))"
-                ).alias("enum_counts")
+                ).alias("enum_counts"),
             ]
-            if _has_nested_field(df.schema, ["total", "stats", "enum"])
-            else []
-        ),
-        F.col("_metadata.file_path").alias("source_file"),
-    )
+        return [
+            F.lit(0).cast("long").alias("n_enum_values"),
+            F.lit(None)
+            .cast("array<struct<label:string,n:bigint>>")
+            .alias("enum_counts"),
+        ]
+
+    parts = []
+    for sub in VAR_REPORT_SUBSECTIONS:
+        if sub not in {f.name for f in df.schema.fields}:
+            continue
+        parts.append(
+            df.filter(F.col(sub).isNotNull()).select(
+                F.col("_id").alias("var_id"),
+                F.col("name").alias("var_name"),
+                F.lit(sub).alias("subsection"),
+                *[stat_col(sub, a) for a in VAR_REPORT_STAT_ATTRS],
+                *enum_cols(sub),
+                F.col("_metadata.file_path").alias("source_file"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 

@@ -350,23 +350,25 @@ def run_cdc_dimension_maintenance(
     any snapshot store (Delta/Iceberg) vacuums. Readers get atomic
     version selection for free (a version directory appears only
     complete)."""
-    import glob as _glob
     import re as _re
 
+    from gtec_etl_spark.fsutil import list_child_dirs
     from gtec_etl_spark.operators import cdc
 
-    def _latest_version_below(batch_id: int) -> int | None:
+    def _latest_version_below(s: SparkSession, batch_id: int) -> int | None:
+        # Hadoop FileSystem listing, not glob: the snapshot dir is an
+        # object-store/HDFS URI in production, where os.path lists nothing.
         vs = [
             int(m.group(1))
-            for p in _glob.glob(f"{snapshot_dir}/version=*")
-            if (m := _re.search(r"version=(\d+)$", p))
+            for d in list_child_dirs(s, snapshot_dir)
+            if (m := _re.fullmatch(r"version=(\d+)", d))
         ]
         vs = [v for v in vs if v < batch_id]
         return max(vs) if vs else None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        prev = _latest_version_below(batch_id)
+        prev = _latest_version_below(s, batch_id)
         if prev is None:
             base = s.createDataFrame(
                 [], batch_df.drop("op", "seq").schema

@@ -229,6 +229,65 @@ def test_bag_determinism(tmp_path):
     assert verify_bag(str(tmp_path / "bag1.tgz"))
 
 
+def test_bag_remote_file_manifest_roundtrip(tmp_path):
+    """K4 remote-file manifest (make-crosscut-instance-bdbag.sh:139-148 +
+    remote-files.json:1-9): remote entries land in fetch.txt as
+    `url<TAB>length<TAB>data/path` lines, their checksums join the payload
+    manifests, determinism holds, and verify_bag enforces fetch/manifest
+    consistency. Fixture mirrors the reference's remote-files.json shape."""
+    import tarfile
+
+    payload = tmp_path / "payload"
+    payload.mkdir()
+    (payload / "local.txt").write_text("hello")
+    remote = [
+        {
+            "url": "https://example.org/release/v0.7/AGR_dump.jsonld.gz",
+            "length": 102550659,
+            "filename": "datasets/AGR_dump.jsonld.gz",
+            "md5": "a3b4abac87752573a96723a29aabe400",
+            "sha256": "cda2a7388b5ef127743f35c1a86de128d"
+                      "00ce83c7c759eacc7c25ba26e7f7503",
+        }
+    ]
+    s1 = make_bag(str(payload), str(tmp_path / "b1.tgz"), remote_files=remote)
+    s2 = make_bag(str(payload), str(tmp_path / "b2.tgz"), remote_files=remote)
+    assert s1["bag_sha256"] == s2["bag_sha256"]
+    assert verify_bag(str(tmp_path / "b1.tgz"))
+
+    with tarfile.open(str(tmp_path / "b1.tgz"), "r:gz") as tar:
+        fetch = tar.extractfile("bag/fetch.txt").read().decode()
+        man = tar.extractfile("bag/manifest-sha256.txt").read().decode()
+        assert fetch == (
+            "https://example.org/release/v0.7/AGR_dump.jsonld.gz"
+            "\t102550659\tdata/datasets/AGR_dump.jsonld.gz\n"
+        )
+        assert (
+            remote[0]["sha256"] + "  data/datasets/AGR_dump.jsonld.gz" in man
+        )
+        # The remote payload is NOT in the archive (holey bag).
+        assert "bag/data/datasets/AGR_dump.jsonld.gz" not in tar.getnames()
+
+    # Corrupt a LOCAL file's bytes inside the archive and confirm verify
+    # still catches it when remote entries are present (the checksum loop
+    # must skip remote paths but never local ones).
+    make_bag(str(payload), str(tmp_path / "b3.tgz"), remote_files=remote)
+    import gzip as _gzip
+    import hashlib as _hashlib
+    import io as _io
+
+    data = (tmp_path / "b3.tgz").read_bytes()
+    raw = _gzip.decompress(data)
+    h = _hashlib.sha256(b"hello").hexdigest().encode()
+    assert h in raw
+    raw_bad = raw.replace(b"hello", b"jello")
+    buf = _io.BytesIO()
+    with _gzip.GzipFile(filename="", fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(raw_bad)
+    (tmp_path / "b3.tgz").write_bytes(buf.getvalue())
+    assert not verify_bag(str(tmp_path / "b3.tgz"))
+
+
 def test_multi_study_all_public(spark, multi_study_frames):
     # No restricted subjects at all: every study is public-only and must
     # still get a synthetic subject (picked_consent NULL — there is no

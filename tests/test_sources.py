@@ -153,10 +153,10 @@ def test_dbgap_data_dict(spark, tmp_path):
 def test_dbgap_var_report_stats(spark, tmp_path):
     path = _write(tmp_path / "phs001.v1.pht001.v1.Subject.var_report.xml", VAR_REPORT)
     df = dbgap_xml.read_var_report(spark, path)
-    rows = {r["var_id"]: r for r in df.collect()}
-    r = rows["v1"]
+    rows = {(r["var_id"], r["subsection"]): r for r in df.collect()}
+    r = rows[("v1", "total")]
     assert (r["n"], r["mean"], r["median"], r["sd"]) == (100, 42.5, 41.0, 3.25)
-    enums = {e["label"]: e["n"] for e in rows["v2"]["enum_counts"]}
+    enums = {e["label"]: e["n"] for e in rows[("v2", "total")]["enum_counts"]}
     assert enums == {"GRU": 60, "HMB": 40}
 
 
@@ -166,8 +166,34 @@ def test_dbgap_var_report_without_enum_section(spark, tmp_path):
     )
     path = _write(tmp_path / "phs001.v1.pht001.v1.S.var_report.xml", no_enum)
     df = dbgap_xml.read_var_report(spark, path)
-    assert "enum_counts" not in df.columns
+    rows = df.collect()
+    assert all(r["enum_counts"] is None for r in rows)
     assert df.count() == 2
+
+
+def test_dbgap_var_report_cases_controls_subsections(spark, tmp_path):
+    """The reference parses per-variable stats for total AND cases AND
+    controls (public_metadata.py:129-158); each subsection present in the
+    document must yield its own stats row, and absent subsections must
+    yield none."""
+    cc = VAR_REPORT.replace(
+        "</total>\n </variable>\n <variable id=\"v2\">",
+        "</total>\n"
+        '   <cases><stats><stat n="60" mean="45.5"/></stats></cases>\n'
+        '   <controls><stats><stat n="40" mean="38.25"/></stats></controls>\n'
+        " </variable>\n <variable id=\"v2\">",
+    )
+    assert "<cases>" in cc  # the replace actually landed
+    path = _write(tmp_path / "phs001.v1.pht001.v1.Subject.var_report.xml", cc)
+    df = dbgap_xml.read_var_report(spark, path)
+    rows = {(r["var_id"], r["subsection"]): r for r in df.collect()}
+    assert rows[("v1", "cases")]["n"] == 60
+    assert rows[("v1", "cases")]["mean"] == 45.5
+    assert rows[("v1", "controls")]["n"] == 40
+    assert rows[("v1", "controls")]["mean"] == 38.25
+    assert rows[("v1", "total")]["n"] == 100
+    # v2 has only a <total> subsection -> exactly one row
+    assert [s for v, s in rows if v == "v2"] == ["total"]
 
 
 def test_study_directory_scan_and_substudies(spark, tmp_path):
