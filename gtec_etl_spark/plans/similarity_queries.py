@@ -782,27 +782,44 @@ DS_K, DS_ITERS, DS_SAMPLE, DS_KEEP = 8, 3, 512, 10
 _DS_DIM = PQ_M * PQ_SUBDIM
 
 
-def _fullvec_lloyds_ctes(where: str = "") -> str:
+def _fullvec_lloyds_ctes(where: str = "", scaled: bool = False) -> str:
     """WITH-chain through cb{DS_ITERS}: full-vector k-means trained by
     DS_ITERS unrolled Lloyd's CTE stages (the single-subspace analogue of
     _lloyds_unrolled_sql) over `h` = embeddings filtered by `where`.
-    Shared head of the diversity-sampling and trained-IVF oracles."""
+    Shared head of the diversity-sampling and trained-IVF oracles.
+
+    scaled=True swaps the pinned K={DS_K} for the K ~ sqrt(N) production
+    regime (kk CTE + LIMIT subqueries): K = max(16, floor(sqrt(count))),
+    training sample = max({DS_SAMPLE}, 8K) — the SAME integer formulas the
+    Spark twin computes driver-side, so the two engines train identical
+    codebooks at any corpus size."""
     sq_s = _sqdist_int_sql("s.qe", "cb.c", _DS_DIM)
     w = f" WHERE {where}" if where else ""
+    if scaled:
+        kk = """,
+    kk AS (
+      SELECT GREATEST(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                               AS BIGINT)) AS k
+      FROM h
+    )"""
+        k_lim = "(SELECT k FROM kk)"
+        s_lim = f"(SELECT GREATEST({DS_SAMPLE}, 8 * k) FROM kk)"
+    else:
+        kk, k_lim, s_lim = "", str(DS_K), str(DS_SAMPLE)
     parts = [
         f"""
     WITH h AS (
       SELECT vec_id, {_quantize_sql('embedding')} AS qe,
              {hash60_sql("CAST(vec_id AS VARCHAR)")} AS hh
       FROM embeddings{w}
-    ),
+    ){kk},
     ds AS (SELECT unnest(generate_series(1, {_DS_DIM})) AS i),
     seeds AS (
       SELECT vec_id, hh, qe, row_number() OVER (ORDER BY hh, vec_id) - 1 AS r
-      FROM h ORDER BY hh, vec_id LIMIT {DS_K}
+      FROM h ORDER BY hh, vec_id LIMIT {k_lim}
     ),
     cb0 AS (SELECT r, qe AS c FROM seeds),
-    samp AS (SELECT vec_id, qe FROM h ORDER BY hh, vec_id LIMIT {DS_SAMPLE})"""
+    samp AS (SELECT vec_id, qe FROM h ORDER BY hh, vec_id LIMIT {s_lim})"""
     ]
     for i in range(1, DS_ITERS + 1):
         prev = f"cb{i - 1}"
@@ -963,17 +980,18 @@ def _dot_int_sql(a: str, b: str, n: int) -> str:
     )
 
 
-def _semdedup_sql() -> str:
+def _semdedup_sql(scaled: bool = False) -> str:
     """DuckDB oracle for sim_semdedup: shared Lloyd's head, nearest-centroid
     assignment carrying the quantized vector, within-cluster pairwise
-    integer-cosine, earliest-id witness per removed vector."""
+    integer-cosine, earliest-id witness per removed vector. scaled=True
+    uses the K ~ sqrt(N) head (sim_semdedup_scaled's regime)."""
     sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
     dot_ab = _dot_int_sql("a.qe", "b.qe", _DS_DIM)
     cos = (
         f"CAST({dot_ab} AS DOUBLE)"
         f" / sqrt(CAST(a.na2 AS DOUBLE) * CAST(b.na2 AS DOUBLE))"
     )
-    return _fullvec_lloyds_ctes() + f""",
+    return _fullvec_lloyds_ctes(scaled=scaled) + f""",
     assign AS (
       SELECT vec_id, r AS cluster, qe FROM (
         SELECT h.vec_id AS vec_id, cb.r AS r, h.qe AS qe,
@@ -1035,10 +1053,48 @@ def sim_semdedup(spark, sf_dir):
     LLM-pipeline extension per the brief, complementing
     dedup_embedding_cosine (label-blocked exact pass) with the trained-
     cluster-blocked variant that works without labels."""
+    return _semdedup_plan(spark, sf_dir, DS_K, DS_SAMPLE)
+
+
+@query(
+    "sim_semdedup_scaled",
+    oracle=_semdedup_sql(scaled=True),
+    tags=("similarity", "dedup", "scale"),
+)
+def sim_semdedup_scaled(spark, sf_dir):
+    """SemDeDup in the K ~ sqrt(N) PRODUCTION regime (Abbas et al. 2023
+    §3's cluster-count scaling): identical pipeline to sim_semdedup, but
+    K = max(16, floor(sqrt(N))) and training sample = max({DS_SAMPLE},
+    8K) are derived from the corpus size, so expected cluster size —
+    and with it the within-cluster pairwise cost Σ|cluster|² ≈ N²/K —
+    stays O(N^1.5) instead of O(N²/const): the linearity knob
+    SEMDEDUP_K.json measures (K=8→64 at 20k vectors halves the wall and
+    caps the largest cluster 3284→695). sim_semdedup keeps the pinned
+    K={DS_K} as the oracle-exactness twin; THIS is the variant a 100 TB
+    corpus runs.
+
+    Fully oracled, not rows-only: DuckDB computes the same K via a kk
+    CTE + LIMIT subqueries, so codebooks — and therefore every emitted
+    (cluster, vec_id, dup_of, cos_e6) row — are bit-identical
+    cross-engine at any scale. The two driver-side scalars (count →
+    K, sample) are the only non-distributed values; both are O(1)."""
+    import math
+
+    emb0 = catalog.table(spark, sf_dir, "embeddings")
+    n = emb0.count()
+    k = max(16, math.isqrt(n))
+    sample = max(DS_SAMPLE, 8 * k)
+    return _semdedup_plan(spark, sf_dir, k, sample)
+
+
+def _semdedup_plan(spark, sf_dir, k: int, sample: int):
+    """Shared SemDeDup pipeline body (train k centroids on a
+    `sample`-vector hash-ordered sample, assign, within-cluster pairwise
+    cosine >= SEMDEDUP_TAU, earliest-id witness)."""
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
     )
-    cb = _fullvec_centroids(emb)
+    cb = _fullvec_centroids(emb, k=k, sample=sample)
 
     assigned = (
         emb.select("vec_id", "qe")
