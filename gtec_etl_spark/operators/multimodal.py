@@ -314,19 +314,21 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _decode_png(content: bytes) -> tuple[int, int, bytes]:
     """Pure-Python PNG decoder on stdlib zlib — no PIL: 8-bit depth,
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced, all five scanline filters (None/Sub/Up/Average/
-    Paeth). Alpha drops; RGB collapses with the same BT.601 integer luma
-    as the netpbm path. Interlaced (Adam7), 16-bit, and palette images
-    stay beyond the boundary (NotImplementedError). The per-pixel
-    unfilter loop is Python — fine for fixture-scale images; a PIL
-    deployment takes the fast path in _decode_one first."""
+    color types 0 (gray), 2 (RGB), 3 (palette, via the PLTE chunk),
+    4 (gray+alpha), 6 (RGBA), non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth). Alpha drops; RGB — direct or through
+    the palette lookup — collapses with the same BT.601 integer luma as
+    the netpbm path. Interlaced (Adam7) and 16-bit images stay beyond
+    the boundary (NotImplementedError). The per-pixel unfilter loop is
+    Python — fine for fixture-scale images; a PIL deployment takes the
+    fast path in _decode_one first."""
     import zlib
 
     if content[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, w, h, depth, ctype, interlace = 8, None, None, None, None, None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(content):
         ln = int.from_bytes(content[pos : pos + 4], "big")
         typ = content[pos + 4 : pos + 8]
@@ -336,19 +338,26 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or ctype not in _PNG_NCH:
+    if depth != 8 or interlace != 0 or (ctype not in _PNG_NCH and ctype != 3):
         raise NotImplementedError(
             f"PNG depth={depth} colortype={ctype} interlace={interlace}:"
             " outside the pure-Python boundary (8-bit, non-interlaced,"
-            " gray/RGB/alpha only; palette needs PLTE handling)"
+            " gray/RGB/palette/alpha only)"
         )
-    nch = _PNG_NCH[ctype]
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
+        nch = 1  # each raster byte is a palette index
+    else:
+        nch = _PNG_NCH[ctype]
     raw = zlib.decompress(bytes(idat))
     stride = w * nch
     if len(raw) != h * (stride + 1):
@@ -383,26 +392,48 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
         out[y] = cur
         prev = cur
     px = out.reshape(h * w, nch).astype(np.int64)
-    if ctype in (0, 4):
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        idx = px[:, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of PLTE range")
+        rgb = pal[idx]
+        g = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+    elif ctype in (0, 4):
         g = px[:, 0]
     else:
         g = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
     return w, h, g.astype(np.uint8).tobytes()
 
 
-# Color type per media_id % 4: gray, RGB, gray+alpha, RGBA.
-PNG_CYCLE = (0, 2, 4, 6)
+# Color type per media_id % 5: gray, RGB, gray+alpha, RGBA, palette.
+PNG_CYCLE = (0, 2, 4, 6, 3)
+
+# Palette PNGs use a deterministic 64-entry palette whose RGB bytes come
+# from the same LCG stream at seed+PNG_PAL_SEED_OFF (so golden fixtures
+# can regenerate it without the encoder).
+PNG_PAL_SIZE = 64
+PNG_PAL_SEED_OFF = 9973
 
 
 def fake_png(width: int, height: int, seed: int, ctype: int = 2) -> bytes:
     """Deterministic REAL PNG file from the shared LCG value stream. Rows
     cycle through all five filter types (y % 5) so every unfilter branch
     is exercised; chunks carry correct CRCs, so any PNG reader opens
-    these."""
+    these. ctype 3 emits an indexed-color image with a {PNG_PAL_SIZE}-
+    entry PLTE chunk."""
     import zlib
 
-    nch = _PNG_NCH[ctype]
-    vals = netpbm_values(width, height * nch, seed, 1, 255)  # w*h*nch bytes
+    plte = b""
+    if ctype == 3:
+        nch = 1
+        vals = netpbm_values(width, height, seed, 1, PNG_PAL_SIZE - 1)
+        plte = bytes(
+            netpbm_values(PNG_PAL_SIZE, 1, seed + PNG_PAL_SEED_OFF, 3, 255)
+        )
+    else:
+        nch = _PNG_NCH[ctype]
+        vals = netpbm_values(width, height * nch, seed, 1, 255)  # w*h*nch
     stride = width * nch
     rowsrc = [vals[y * stride : (y + 1) * stride] for y in range(height)]
     filtered = bytearray()
@@ -436,6 +467,7 @@ def fake_png(width: int, height: int, seed: int, ctype: int = 2) -> bytes:
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if ctype == 3 else b"")
         + chunk(b"IDAT", zlib.compress(bytes(filtered)))
         + chunk(b"IEND", b"")
     )

@@ -397,13 +397,14 @@ def stream_dedup_admission(spark, sf_dir):
 def mm_decode_png(spark, sf_dir):
     """COMPRESSED real image format through the media pipeline with no
     image library: deterministic PNG files (gray / RGB / gray+alpha /
-    RGBA, rows cycling all five scanline filters) decoded by the
-    pure-stdlib zlib decoder (operators/multimodal.py:_decode_png) inside
-    the Arrow-batched mapInPandas pass — round-6 extension of the codec
-    boundary past the uncompressed netpbm family; NotImplementedError now
-    remains only for palette/16-bit/interlaced PNG and DCT formats (JPEG).
-    Oracle = golden fixture recomputed independently from the LCG value
-    stream WITHOUT the encoder or decoder
+    RGBA / palette-PLTE, rows cycling all five scanline filters) decoded
+    by the pure-stdlib zlib decoder
+    (operators/multimodal.py:_decode_png) inside the Arrow-batched
+    mapInPandas pass — round-6 extended the codec boundary past the
+    uncompressed netpbm family, round-7 past indexed color;
+    NotImplementedError now remains only for 16-bit/interlaced PNG and
+    DCT formats (JPEG). Oracle = golden fixture recomputed independently
+    from the LCG value stream WITHOUT the encoder or decoder
     (tools/make_multimodal_golden.py:decode_png_golden)."""
     from pyspark.sql import functions as F
 
@@ -415,7 +416,10 @@ def mm_decode_png(spark, sf_dir):
         M.decode_image(media)
         .select(
             "media_id",
-            F.element_at(ctypes, (F.col("media_id") % 4 + 1).cast("int"))
+            F.element_at(
+                ctypes,
+                (F.col("media_id") % len(M.PNG_CYCLE) + 1).cast("int"),
+            )
             .cast("long")
             .alias("color_type"),
             "width",

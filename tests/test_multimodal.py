@@ -128,6 +128,31 @@ def test_png_roundtrip_all_color_types_and_filters():
         assert (got == want).all()
 
 
+def test_png_palette_roundtrip():
+    """Palette (color type 3) PNGs: the decoder must route each index
+    byte through the PLTE chunk and collapse the looked-up RGB with the
+    shared BT.601 luma — verified against the raw LCG index + palette
+    streams computed without any codec."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    w, h, seed = 23, 19, 11
+    dw, dh, gray = M._decode_png(M.fake_png(w, h, seed, ctype=3))
+    assert (dw, dh) == (w, h)
+    idx = np.array(
+        M.netpbm_values(w, h, seed, 1, M.PNG_PAL_SIZE - 1), dtype=np.int64
+    )
+    pal = np.array(
+        M.netpbm_values(M.PNG_PAL_SIZE, 1, seed + M.PNG_PAL_SEED_OFF, 3, 255),
+        dtype=np.int64,
+    ).reshape(-1, 3)
+    rgb = pal[idx]
+    want = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+    got = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+    assert (got == want).all()
+
+
 def test_png_boundary_rejects_unsupported():
     import struct
     import zlib
@@ -147,9 +172,13 @@ def test_png_boundary_rejects_unsupported():
             + struct.pack(">I", crc)
         )
 
-    for depth, ctype, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+    for depth, ctype, interlace in ((16, 2, 0), (8, 2, 1)):
         with pytest.raises(NotImplementedError):
             M._decode_png(png_with_ihdr(depth, ctype, interlace))
+    # Palette is now INSIDE the boundary — but a palette image without
+    # its PLTE chunk is malformed, not unsupported.
+    with pytest.raises(ValueError):
+        M._decode_png(png_with_ihdr(8, 3, 0))
 
 
 def test_wav_roundtrip_vs_stdlib_wave():

@@ -148,22 +148,34 @@ def decode_png_golden(n: int = 12, width: int = 23, height: int = 19) -> pa.Tabl
     0 for gray/gray+alpha, BT.601 integer luma for RGB/RGBA) WITHOUT going
     through the engine's PNG encoder/decoder (the zlib round-trip is
     exactly what the query is testing)."""
-    cycle = (0, 2, 4, 6)
-    nch_of = {0: 1, 2: 3, 4: 2, 6: 4}
+    cycle = (0, 2, 4, 6, 3)  # PNG_CYCLE incl. palette, independently
+    nch_of = {0: 1, 2: 3, 4: 2, 6: 4, 3: 1}
+    pal_size, pal_seed_off = 64, 9973  # PNG_PAL_* constants, independently
+
+    def lcg(seed: int, count: int, mod: int) -> np.ndarray:
+        x = (seed * 2654435761) % (2**32)
+        vals = np.empty(count, dtype=np.int64)
+        for i in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % mod
+        return vals
+
     rows = []
     for mid in range(n):
-        ctype = cycle[mid % 4]
+        ctype = cycle[mid % len(cycle)]
         nch = nch_of[ctype]
-        x = (mid * 2654435761) % (2**32)
-        vals = np.empty(width * height * nch, dtype=np.int64)
-        for i in range(len(vals)):
-            x = (1103515245 * x + 12345) % (2**31)
-            vals[i] = x % 256
-        px = vals.reshape(width * height, nch)
-        if ctype in (0, 4):
-            g = px[:, 0]
+        if ctype == 3:
+            idx = lcg(mid, width * height, pal_size)
+            pal = lcg(mid + pal_seed_off, pal_size * 3, 256).reshape(-1, 3)
+            rgb = pal[idx]
+            g = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
         else:
-            g = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
+            vals = lcg(mid, width * height * nch, 256)
+            px = vals.reshape(width * height, nch)
+            if ctype in (0, 4):
+                g = px[:, 0]
+            else:
+                g = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
         rows.append(
             {
                 "media_id": mid,
