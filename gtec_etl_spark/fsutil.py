@@ -41,6 +41,16 @@ def list_files_recursive(
     return out
 
 
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete `path` on its own filesystem; False if it did
+    not exist. Used by retention passes (snapshot vacuum) — same
+    scheme-dispatch argument as the listings above."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))
+
+
 def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
     """Immediate child directory NAMES (final path component) of `path`;
     empty if the path does not exist."""

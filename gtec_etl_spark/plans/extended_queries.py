@@ -548,3 +548,113 @@ def q42_unpivot_part_metrics(spark, sf_dir):
         .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
         .orderBy("p_partkey", "metric")
     )
+
+
+GRID_N, GRID_CELL, GRID_R2 = 1024, 64, 4096  # cell >= radius => 3x3 probe
+
+
+@query(
+    "q43_spatial_grid_join",
+    oracle=f"""
+    WITH cpts AS (
+      SELECT c_custkey AS cust_id,
+             (c_custkey * 7919) % {GRID_N} AS cx,
+             (c_custkey * 104729) % {GRID_N} AS cy
+      FROM customer
+    ),
+    spts AS (
+      SELECT s_suppkey AS supp_id,
+             (s_suppkey * 12007) % {GRID_N} AS sx,
+             (s_suppkey * 30011) % {GRID_N} AS sy
+      FROM supplier
+    ),
+    near AS (
+      SELECT c.cust_id, s.supp_id,
+             (c.cx - s.sx) * (c.cx - s.sx)
+             + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+      FROM cpts c JOIN spts s
+        ON (c.cx - s.sx) * (c.cx - s.sx)
+           + (c.cy - s.sy) * (c.cy - s.sy) <= {GRID_R2}
+    )
+    SELECT cust_id,
+           CAST(count(*) AS BIGINT) AS n_near,
+           CAST(min(struct_pack(d := d2, s := supp_id)).s AS BIGINT)
+             AS nearest_supp,
+           CAST(min(d2) AS BIGINT) AS nearest_d2
+    FROM near GROUP BY cust_id ORDER BY cust_id
+    """,
+    tags=("extended", "join", "scale"),
+)
+def q43_spatial_grid_join(spark, sf_dir):
+    """Grid-blocked SPATIAL radius join: each customer point matched to
+    every supplier point within Euclidean distance sqrt({GRID_R2}) on a
+    {GRID_N}x{GRID_N} integer plane (coordinates derived from the keys by
+    fixed multiplicative hashing, so both engines construct identical
+    point sets) — per customer: neighbor count, nearest supplier
+    (ties by id), exact integer squared distance.
+
+    Plan — the spatial-join analogue of q41's prefix blocking: points
+    bucket into {GRID_CELL}-pixel grid cells (cell edge >= radius, so
+    every qualifying pair is within one cell of 3x3 neighborhood); the
+    SMALLER side (suppliers — the build side of any density-skewed
+    spatial join) explodes to its 9 candidate cells, the equi-join on
+    cell id replaces the quadratic distance cross-join, and the exact
+    integer predicate filters candidates. Candidate count is
+    sum-over-cells |C_cell| x |S_3x3-neighborhood| — linear in points at
+    fixed density, the bound an R-tree gives without needing one
+    distributed. The oracle IS the naive quadratic join (tractable at
+    oracle scale), so the blocked plan's exactness — no pair lost at
+    cell boundaries — is hash-checked, not asserted. Same two-level
+    pattern as the Z-order layout (sinks/tabular.py:write_zordered):
+    space-filling locality turned into an equi-key."""
+    cust = catalog.table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") * 7919) % GRID_N).alias("cx"),
+        ((F.col("c_custkey") * 104729) % GRID_N).alias("cy"),
+    )
+    supp = catalog.table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        ((F.col("s_suppkey") * 12007) % GRID_N).alias("sx"),
+        ((F.col("s_suppkey") * 30011) % GRID_N).alias("sy"),
+    )
+    c_cells = cust.withColumn(
+        "cell",
+        (F.col("cx") / GRID_CELL).cast("long") * (GRID_N // GRID_CELL)
+        + (F.col("cy") / GRID_CELL).cast("long"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1),"
+        " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    s_cells = (
+        supp.select("*", offsets.alias("o"))
+        .select(
+            "supp_id",
+            "sx",
+            "sy",
+            (
+                ((F.col("sx") / GRID_CELL).cast("long") + F.col("o.dx"))
+                * (GRID_N // GRID_CELL)
+                + ((F.col("sy") / GRID_CELL).cast("long") + F.col("o.dy"))
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    near = (
+        c_cells.join(s_cells, "cell")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= GRID_R2)
+    )
+    return (
+        near.groupBy("cust_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min_by(
+                F.col("supp_id"), F.struct(F.col("d2"), F.col("supp_id"))
+            ).alias("nearest_supp"),
+            F.min("d2").cast("long").alias("nearest_d2"),
+        )
+        .orderBy("cust_id")
+    )

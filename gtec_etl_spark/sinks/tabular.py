@@ -140,6 +140,36 @@ def compact_parquet_dir(
     return n_out
 
 
+def vacuum_snapshots(spark, snapshot_dir: str, keep_latest: int = 2) -> list[int]:
+    """Retention-prune a versioned snapshot store (the `version=N`
+    directories run_cdc_dimension_maintenance writes): delete every
+    version except the newest `keep_latest`, returning the versions
+    removed — the VACUUM half of the snapshot-store contract
+    (Delta/Iceberg expire_snapshots), without which the store grows one
+    full dimension copy per maintained batch forever.
+
+    Listing and deletion go through the Hadoop FileSystem API (fsutil),
+    so the pass works against the object-store/HDFS URIs a production
+    snapshot store lives on. Readers are safe by construction: they pick
+    the newest complete version directory, which is never in the delete
+    set (keep_latest >= 1 enforced)."""
+    import re
+
+    from gtec_etl_spark.fsutil import delete_path, list_child_dirs
+
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    versions = sorted(
+        int(m.group(1))
+        for d in list_child_dirs(spark, snapshot_dir)
+        if (m := re.fullmatch(r"version=(\d+)", d))
+    )
+    doomed = versions[:-keep_latest]
+    for v in doomed:
+        delete_path(spark, f"{snapshot_dir}/version={v}")
+    return doomed
+
+
 def z_value(x, y, bits: int = 8):
     """Morton (Z-order) interleave of two already-normalized non-negative
     integer columns in [0, 2^bits): x's bit i lands at output bit 2i+1,

@@ -261,3 +261,28 @@ def test_compact_parquet_dir_multi_file_split(spark, tmp_path):
     files = glob.glob(dst + "/*.parquet")
     assert n_out > 1 and len(files) == n_out
     assert spark.read.parquet(dst).count() == 2000
+
+
+def test_vacuum_snapshots_keeps_newest(spark, tmp_path):
+    """Snapshot retention: vacuum removes every version except the newest
+    keep_latest; the surviving newest version stays fully readable, and
+    a second vacuum is a no-op. keep_latest < 1 is rejected (readers pick
+    the newest version — it must never be in the delete set)."""
+    import pytest
+
+    from gtec_etl_spark.sinks.tabular import vacuum_snapshots
+
+    snap = str(tmp_path / "snap")
+    for v in (0, 1, 3, 7):
+        spark.createDataFrame(
+            [(v, f"name{v}")], "cust_id long, name string"
+        ).coalesce(1).write.parquet(f"{snap}/version={v}")
+
+    removed = vacuum_snapshots(spark, snap, keep_latest=2)
+    assert removed == [0, 1]
+    left = sorted(p.name for p in (tmp_path / "snap").iterdir())
+    assert left == ["version=3", "version=7"]
+    assert spark.read.parquet(f"{snap}/version=7").collect()[0]["name"] == "name7"
+    assert vacuum_snapshots(spark, snap, keep_latest=2) == []
+    with pytest.raises(ValueError):
+        vacuum_snapshots(spark, snap, keep_latest=0)
