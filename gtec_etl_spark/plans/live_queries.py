@@ -320,6 +320,117 @@ def stream_stream_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      ) AS m
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    WHERE c.click_ts <= (SELECT m - INTERVAL 3 HOUR FROM mx)
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "live"),
+)
+def stream_stream_left_join(spark, sf_dir):
+    """Stream-stream event-time LEFT OUTER join as a real streaming job —
+    the semantics milestone beyond stream_stream_join's inner form:
+    unmatched clicks must be emitted with null purchase columns, which
+    the engine can only do once the watermark proves no purchase can
+    still arrive (outer rows materialize on STATE EXPIRY, not on data).
+    Same interval condition and 2-hour watermarks as the inner twin, so
+    the state store evicts both sides identically.
+
+    Determinism cutoff: rows near the stream's end sit in state when a
+    finite replay terminates — their no-match verdict is not yet proven,
+    and Spark's contract says they 'may or may not' have been emitted.
+    Both the engine output and the oracle therefore restrict to clicks
+    with click_ts <= GLOBAL-watermark-basis - 3 hours, where the basis
+    is the MIN of the two sides' own max event times (each stream's
+    watermark derives from ITS OWN max minus the 2-hour delay, and the
+    join's global watermark is their minimum — using the overall max
+    over-estimates it whenever the lagging side's tail is older) minus
+    (watermark delay + join interval + slack): every such click's
+    outcome is provably final at termination, making the replay's
+    emitted set equal the batch left join under the same cutoff —
+    exactly what the oracle states. The cutoff is an output-surface
+    bound, not a semantics change (the production continuous stream has
+    no end)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        clicks = (
+            P.read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "2 hours")
+        )
+        purchases = (
+            P.read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts"
+                " AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+            "leftOuter",
+        )
+        out = P.run_to_memory(joined)
+    ev = catalog.table(spark, sf_dir, "events")
+    cutoff = (
+        ev.filter(F.col("event_type") == "click")
+        .agg(F.max("ts").alias("__cm"))
+        .crossJoin(
+            ev.filter(F.col("event_type") == "purchase").agg(
+                F.max("ts").alias("__pm")
+            )
+        )
+        .select(
+            (F.least("__cm", "__pm") - F.expr("interval 3 hours")).alias(
+                "__cut"
+            )
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("click_ts") <= F.col("__cut"))
+        .select(
+            "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 from gtec_etl_spark.plans.dedup_queries import _minhash_ctes  # noqa: E402
 
 

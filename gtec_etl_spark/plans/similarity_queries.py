@@ -1495,3 +1495,132 @@ def sim_ivfpq_adc_topk(spark, sf_dir):
         .orderBy("adc_dist_q", "vec_id")
         .limit(10)
     )
+
+
+KNN_K = 5
+
+
+def _knn_graph_sql() -> str:
+    """DuckDB oracle for sim_knn_graph: shared Lloyd's head, nearest-
+    centroid assignment carrying the quantized vector, within-cluster
+    pairwise integer cosine, top-{KNN_K} per vector by (cos_e6 DESC, id)."""
+    sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
+    dot_ab = _dot_int_sql("a.qe", "b.qe", _DS_DIM)
+    cos = (
+        f"CAST({dot_ab} AS DOUBLE)"
+        f" / sqrt(CAST(a.na2 AS DOUBLE) * CAST(b.na2 AS DOUBLE))"
+    )
+    return _fullvec_lloyds_ctes() + f""",
+    assign AS (
+      SELECT vec_id, r AS cluster, qe FROM (
+        SELECT h.vec_id AS vec_id, cb.r AS r, h.qe AS qe,
+               row_number() OVER (
+                 PARTITION BY h.vec_id ORDER BY {sq_h}, cb.r
+               ) AS rn
+        FROM h CROSS JOIN cb{DS_ITERS} cb
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT vec_id, cluster, qe,
+             {_dot_int_sql('qe', 'qe', _DS_DIM)} AS na2
+      FROM assign
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             CAST(floor({cos} * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+      FROM m a JOIN m b
+        ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cos_e6 FROM (
+      SELECT vec_id, neighbor_id, cos_e6,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_e6 DESC, neighbor_id
+             ) AS rk
+      FROM pairs
+    ) WHERE rk <= {KNN_K} AND vec_id < 200
+    ORDER BY vec_id, rank
+    """
+
+
+@query(
+    "sim_knn_graph",
+    oracle=_knn_graph_sql(),
+    tags=("similarity", "graph", "scale"),
+)
+def sim_knn_graph(spark, sf_dir):
+    """Approximate k-NN GRAPH construction ({KNN_K} neighbors per vector,
+    IVF-cell-blocked): the batch primitive under SemDeDup-style cluster
+    dedup, graph-based label propagation, and kNN-classifier curation —
+    every vector's top-{KNN_K} cluster-mates by integer cosine,
+    emitted as (vec_id, neighbor_id, rank, cos_e6) edges (output surface
+    bounded to vec_id < 200 per the fingerprint-row convention; the graph
+    is built corpus-wide).
+
+    Scale design: candidate edges exist only WITHIN a trained IVF cell
+    (the sim_semdedup blocking argument: Σ|cell|² with K ~ sqrt(N) cells
+    keeps candidate count ~O(N^1.5), never all-pairs); the top-k is a
+    window partitioned by vec_id — millions of independent partitions,
+    no global sort. Recall is the standard IVF trade: multi-probe
+    (sim_ivf_multiprobe's pattern) widens candidate cells without
+    changing this plan's shape. Cosine ranks by the exact integer
+    cos_e6 (one int64 dot + one IEEE divide), so ordering — and
+    therefore the emitted graph — is bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    cb = _fullvec_centroids(emb)
+    assigned = (
+        emb.select("vec_id", "qe")
+        .crossJoin(F.broadcast(cb))
+        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("r"), F.col("qe")),
+                F.struct(F.col("__d"), F.col("r")),
+            ).alias("__a")
+        )
+        .select(
+            "vec_id",
+            F.col("__a.r").alias("cluster"),
+            F.col("__a.qe").alias("qe"),
+        )
+        .withColumn("na2", S.dot_int(F.col("qe"), F.col("qe")))
+    )
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id"),
+        F.col("qe").alias("a_qe"),
+        F.col("na2").alias("a_na2"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qe").alias("b_qe"),
+        F.col("na2").alias("b_na2"),
+    )
+    cos = S.dot_int(F.col("a_qe"), F.col("b_qe")).cast("double") / F.sqrt(
+        F.col("a_na2").cast("double") * F.col("b_na2").cast("double")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.floor(cos * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("rank") <= KNN_K) & (F.col("vec_id") < 200))
+        .select("vec_id", "neighbor_id", "rank", "cos_e6")
+        .orderBy("vec_id", "rank")
+    )
