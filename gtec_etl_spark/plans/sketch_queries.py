@@ -1,0 +1,190 @@
+"""Sketch-operator query pack: fixed-size mergeable summaries — the
+100 TB answer to "count/track everything" when exact state would be
+unbounded. First member: count-min-sketch heavy hitters.
+
+Everything here uses the engine's deterministic hash60 primitives
+(functions/hashing.py), so the sketches — normally an approximate,
+implementation-defined structure — are BIT-IDENTICAL across engines and
+go through the full hash-compare oracle gate, not a tolerance contract:
+the approximation error is part of the checked output.
+
+No reference counterpart — LLM-pipeline / charter extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtec_etl_spark import catalog
+from gtec_etl_spark.functions.hashing import hash60, hash60_sql
+from gtec_etl_spark.plans.registry import query
+
+CMS_D, CMS_W, CMS_TOPK = 4, 512, 20
+
+_CMS_COL = hash60_sql("CONCAT(CAST(d.di AS VARCHAR), ':', {tok})")
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT tok FROM toks WHERE len(tok) > 0),
+    keyed AS (
+      SELECT d.di AS di,
+             {_CMS_COL.format(tok="t.tok")} % {CMS_W} AS col
+      FROM t, (VALUES (0), (1), (2), (3)) d(di)
+    ),
+    sketch AS (
+      SELECT di, col, CAST(count(*) AS BIGINT) AS cnt
+      FROM keyed GROUP BY di, col
+    ),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+      FROM t GROUP BY tok ORDER BY exact_n DESC, tok LIMIT {CMS_TOPK}
+    )
+    SELECT e.tok AS token, e.exact_n AS exact_n,
+           CAST(min(s.cnt) AS BIGINT) AS est_n,
+           CAST(min(s.cnt) - e.exact_n AS BIGINT) AS overcount
+    FROM exact e, (VALUES (0), (1), (2), (3)) d(di)
+    JOIN sketch s
+      ON s.di = d.di
+     AND s.col = {_CMS_COL.format(tok="e.tok")} % {CMS_W}
+    GROUP BY e.tok, e.exact_n
+    ORDER BY exact_n DESC, token
+    """,
+    tags=("sketch", "text", "scale"),
+)
+def sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the corpus token stream: build
+    a {CMS_D}x{CMS_W} CMS (row di counts tokens at column
+    hash60(di:token) mod {CMS_W}), then report the top-{CMS_TOPK} exact
+    tokens with their exact count, their CMS estimate
+    (min over the {CMS_D} rows), and the overcount — which the CMS
+    guarantee bounds below eps·N and never negative; because the hash
+    functions are the engine's deterministic hash60 family, the sketch
+    and therefore the ERROR ITSELF is bit-identical cross-engine and
+    rides the exact-hash oracle gate (no tolerance needed). The exact
+    side exists to exhibit the contract at test scale; at 100 TB only
+    the sketch path runs.
+
+    Scale design — why a sketch at all: exact per-token counts keep
+    |vocab| state (unbounded, Zipf-tailed); the CMS is a FIXED
+    {CMS_D}x{CMS_W} integer grid built with one map-side explode + one
+    bounded groupBy whose result ({CMS_D * CMS_W} rows max) BROADCASTS
+    into the probe join — the same partial-aggregate shape as any
+    map-side combine, with state independent of corpus size. Sketches
+    from shards/days merge by cell-wise addition (count-min is a
+    monoid), the property that makes it streaming- and
+    partition-friendly."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+    )
+
+    def cms_col(tok_col):
+        return [
+            (
+                hash60(F.concat(F.lit(f"{di}:"), tok_col)) % CMS_W
+            ).alias(f"c{di}")
+            for di in range(CMS_D)
+        ]
+
+    keyed = toks.select(
+        F.posexplode(F.array(*cms_col(F.col("tok")))).alias("di", "col")
+    )
+    sketch = keyed.groupBy("di", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.posexplode(F.array(*cms_col(F.col("tok")))).alias("di", "col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["di", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            F.col("tok").alias("token"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "token")
+    )
+
+
+LC_M = 65536  # linear-counting bitmap width
+
+
+@query(
+    "sketch_linear_distinct",
+    oracle=f"""
+    WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+    occ AS (
+      SELECT CAST(count(DISTINCT {hash60_sql("CAST(k AS VARCHAR)")} % {LC_M})
+                  AS BIGINT) AS occupied
+      FROM keys
+    ),
+    exact AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_n FROM keys)
+    SELECT e.exact_n AS exact_n, o.occupied AS occupied,
+           CAST(floor(
+             -{LC_M} * ln(CAST({LC_M} - LEAST(o.occupied, {LC_M} - 1)
+                               AS DOUBLE) / {LC_M})
+             + 0.5
+           ) AS BIGINT) AS est_n
+    FROM exact e CROSS JOIN occ o
+    """,
+    tags=("sketch", "scale"),
+)
+def sketch_linear_distinct(spark, sf_dir):
+    """Linear-counting distinct sketch over the part keys of lineitem: a
+    {LC_M}-cell occupancy bitmap (cell = hash60(key) mod {LC_M}) whose
+    zero-cell fraction inverts to the cardinality estimate
+    est = -m·ln((m - occupied)/m) — reported next to the exact distinct
+    so the estimate's error is itself part of the hash-checked output.
+    The single transcendental (one ln on one value, quantized to a whole
+    count immediately) follows the repo's float-parity discipline; the
+    hash is the deterministic hash60 family, so occupancy is
+    bit-identical cross-engine.
+
+    Scale design: the sketch state is {LC_M} bits REGARDLESS of corpus
+    size — the occupancy count is one map-side-combined distinct over a
+    bounded domain (cells), vs count(DISTINCT key)'s unbounded
+    shuffle-heavy state; shard bitmaps OR-merge (a monoid), the same
+    merge story as the CMS. The exact twin exists to exhibit the error
+    contract at test scale; HLL (Spark's approx_count_distinct) is the
+    production swap-in when cardinalities approach m·ln(m)."""
+    keys = catalog.table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    occ = keys.select(
+        (hash60(F.col("k").cast("string")) % LC_M).alias("cell")
+    ).agg(F.count_distinct("cell").cast("long").alias("occupied"))
+    exact = keys.agg(F.count_distinct("k").cast("long").alias("exact_n"))
+    return exact.crossJoin(occ).select(
+        "exact_n",
+        "occupied",
+        F.floor(
+            -F.lit(LC_M)
+            * F.log(
+                (F.lit(LC_M) - F.least(F.col("occupied"), F.lit(LC_M - 1)))
+                .cast("double")
+                / F.lit(LC_M)
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("est_n"),
+    )

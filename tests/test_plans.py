@@ -334,3 +334,34 @@ def test_ivfpq_broadcasts_and_takes_ordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_triangle_count_broadcasts_degrees_no_global_sort(spark):
+    """graph_triangle_count: the degree table must broadcast into the
+    orientation (never shuffle the edge list against |V| rows twice), the
+    triangle closure must stay a LeftSemi join, and nothing cartesian."""
+    plan = _formatted_plan(spark, "graph_triangle_count")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spatial_grid_join_is_equi_join_on_cell(spark):
+    """q43_spatial_grid_join: the radius join must execute as an EQUI join
+    on the grid cell (the blocked plan), never a nested-loop over the
+    distance predicate; the 9-cell probe is a Generate (explode) on the
+    supplier side."""
+    plan = _formatted_plan(spark, "q43_spatial_grid_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_knn_graph_broadcasts_centroids_cell_scoped_pairs(spark):
+    """sim_knn_graph: centroid assignment broadcasts the trained codebook;
+    the only data-sized equi-join keys on the cell; top-k is a window
+    partitioned by vec_id (no global sort of the pair set)."""
+    plan = _formatted_plan(spark, "sim_knn_graph")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan

@@ -110,6 +110,14 @@ QUERIES = [
     # scale; approx_percentile is the documented 100 TB swap-in).
     "ev_top_paths",
     "prof_equidepth_histogram",
+    # Round-7: K~sqrt(N) SemDeDup (the linearity knob itself — this curve
+    # must beat the pinned-K twin's 9.8), oriented triangle counting
+    # (wedge fan bounded O(sqrt(E))), grid-blocked spatial join (linear
+    # at fixed density), and the IVF-blocked kNN graph.
+    "sim_semdedup_scaled",
+    "graph_triangle_count",
+    "q43_spatial_grid_join",
+    "sim_knn_graph",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
@@ -125,6 +133,9 @@ QUERIES = [
     # Round-6: streaming CDC maintenance — three triggers whose cost
     # tracks wave size; the bootstrap wave scales with the dimension.
     "stream_cdc_snapshot",
+    # Round-7: the left-outer stream-stream join (state-expiry outer
+    # emission; cost tracks the interval state like the inner twin).
+    "stream_stream_left_join",
 ]
 
 
