@@ -658,3 +658,185 @@ def q43_spatial_grid_join(spark, sf_dir):
         )
         .orderBy("cust_id")
     )
+
+
+@query(
+    "q44_quality_expectations",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders_custkey_not_null' AS expectation,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders_orderkey_unique',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_custkey_in_customer',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+      UNION ALL
+      SELECT 'orders_status_accepted_values',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_quantity_in_range',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    )
+    ORDER BY expectation
+    """,
+    tags=("extended", "quality", "scale"),
+)
+def q44_quality_expectations(spark, sf_dir):
+    """Declarative data-quality EXPECTATIONS (the dbt-test / Great
+    Expectations / Deequ contract surface) evaluated as one pass per
+    table: not-null, uniqueness, referential integrity
+    (orders.o_custkey ⊆ customer.c_custkey), accepted values, and range
+    — each emitting (expectation, n_checked, n_violations). This is the
+    relational generalization of the S1 validated-TSV reader's
+    constraint checks (sources/validated.py): the same
+    fail-with-evidence posture, applied to warehouse tables.
+
+    Scale: every expectation is a single aggregate over one scan (the
+    uniqueness check is count - count(distinct), a partial-aggregable
+    pair — no self-join; the referential check is one keyed left join
+    whose null-probe count is the violation count, broadcast when the
+    dimension fits). Checks over the same table share a scan via the
+    union of aggregates, and nothing returns row-level data — constant
+    output regardless of corpus size, which is what lets a 100 TB
+    pipeline run its contract on every load."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    customer = catalog.table(spark, sf_dir, "customer")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+
+    e1 = orders.agg(
+        F.lit("orders_custkey_not_null").alias("expectation"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    e2 = orders.agg(
+        F.lit("orders_orderkey_unique").alias("expectation"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    e3 = (
+        orders.join(
+            customer.select(F.col("c_custkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .agg(
+            F.lit("orders_custkey_in_customer").alias("expectation"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    e4 = orders.agg(
+        F.lit("orders_status_accepted_values").alias("expectation"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
+    e5 = lineitem.agg(
+        F.lit("lineitem_quantity_in_range").alias("expectation"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
+    return (
+        e1.unionByName(e2)
+        .unionByName(e3)
+        .unionByName(e4)
+        .unionByName(e5)
+        .orderBy("expectation")
+    )
+
+
+INC_AGG_CUT = "1997-01-01"
+INC_AGG_END = "1997-03-01"
+
+
+@query(
+    "etl_incremental_agg",
+    oracle=f"""
+    SELECT o_custkey AS cust_id,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderdate < DATE '{INC_AGG_END}' AND o_custkey < 500
+    GROUP BY o_custkey
+    ORDER BY cust_id
+    """,
+    tags=("incremental", "etl", "scale"),
+)
+def etl_incremental_agg(spark, sf_dir):
+    """Incremental AGGREGATE maintenance (materialized-view delta
+    refresh): a per-customer (count, integer-cents sum) aggregate table
+    'stored' as of {INC_AGG_CUT} is brought current by merging ONLY the
+    delta window [{INC_AGG_CUT}, {INC_AGG_END}) — never rescanning
+    history. The merge is the partial-aggregate monoid: union the stored
+    partials with the delta's partials and re-aggregate by key (counts
+    add, cents add; integer cents per the float-parity discipline). The
+    oracle is the FULL recompute over all orders before {INC_AGG_END},
+    so the hash gate proves delta-merge == rescan — the algebraic
+    property incremental view maintenance rests on (output surface
+    bounded to cust_id < 500 per the fingerprint convention).
+
+    Scale: the delta is date-partition-pruned (PushedFilters on
+    o_orderdate), its aggregate is delta-sized, and the merge shuffles
+    only (stored partials ∪ delta partials) on the key — at 100 TB the
+    stored side is a parquet table hash-partitioned on cust_id, making
+    the refresh cost O(delta + |keys touched|), independent of history
+    length. The same shape maintains any commutative-monoid aggregate
+    (sums, counts, min/max, sketches — see plans/sketch_queries.py)."""
+    orders = catalog.table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 500
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def partial(df):
+        return df.groupBy(F.col("o_custkey").alias("cust_id")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    stored = partial(orders.filter(F.col("o_orderdate") < INC_AGG_CUT))
+    delta = partial(
+        orders.filter(
+            (F.col("o_orderdate") >= INC_AGG_CUT)
+            & (F.col("o_orderdate") < INC_AGG_END)
+        )
+    )
+    return (
+        stored.unionByName(delta)
+        .groupBy("cust_id")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("cust_id")
+    )
