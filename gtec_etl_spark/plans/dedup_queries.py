@@ -816,3 +816,83 @@ def dedup_paragraph_chunks(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_lsh_verify",
+    oracle=f"""
+    WITH {_minhash_ctes(16, 4)},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_common
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common * 10000
+                // (sa.n + sb.n - i.n_common) AS BIGINT) AS jaccard_bp
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 10000 // (sa.n + sb.n - i.n_common) >= 8000
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "scale"),
+)
+def dedup_lsh_verify(spark, sf_dir):
+    """The CANDIDATE-THEN-VERIFY near-dup pipeline production dedup
+    actually ships (Lee et al. 2022 §4; every MinHash system since
+    AltaVista): LSH banding proposes candidate pairs sub-quadratically,
+    then an EXACT Jaccard pass over just those pairs kills the false
+    positives banding admits — output is only pairs with true
+    Jaccard >= 0.8 (integer basis points, engine-exact division).
+    Completes the family: dedup_minhash_lsh emits raw candidates,
+    dedup_ngram_jaccard verifies ALL shared-shingle pairs (uncapped),
+    this verifies ONLY the banded candidates.
+
+    Scale: verification cost is O(candidate pairs x avg shingles), not
+    O(corpus²) — the exact-intersection join fans each candidate pair
+    through its left doc's shingles and probes (doc_b, shingle), all
+    keyed equi-joins on uniform hashes; the candidate set is the
+    banding's output, already bounded by signature collisions. False
+    negatives remain the LSH recall trade (tune bands/rows), false
+    positives are now zero — the asymmetric guarantee curation wants."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    cand = D.lsh_candidate_pairs(sigs, 16, 4).select("doc_a", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr(
+                "CAST(n_common * 10000 div (na + nb - n_common) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= 8000)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1830,3 +1830,117 @@ def text_chunk_overlap(spark, sf_dir):
             )
         ).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+TFIDF_TOPK = 5
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    t AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM t GROUP BY tok
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM t),
+    idf AS (
+      SELECT tok,
+             CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000 + 0.5)
+                  AS BIGINT) AS idf_e6
+      FROM df CROSS JOIN nd
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, idf.idf_e6,
+             tf.tf * idf.idf_e6 AS score_e6
+      FROM tf JOIN idf ON idf.tok = tf.tok
+    )
+    SELECT doc_id, tok AS term, CAST(rk AS BIGINT) AS rank,
+           tf, idf_e6, score_e6
+    FROM (
+      SELECT doc_id, tok, tf, idf_e6, score_e6,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_e6 DESC, tok
+             ) AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOPK} AND doc_id < 200
+    ORDER BY doc_id, rank
+    """,
+    tags=("text", "scale"),
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF distinctive-term extraction: each document's top-{TFIDF_TOPK}
+    terms by tf x ln(N/df) — the classic feature-extraction /
+    keyword-summarization pass (the per-document complement of
+    text_bm25_topk's per-query ranking). Parity discipline: idf is
+    quantized to integer micro-units IMMEDIATELY after the single ln per
+    DISTINCT TERM (vocabulary-many transcendentals, not corpus-many),
+    and the score is then a pure int64 product tf x idf_e6 — ranking and
+    emitted values are bit-identical cross-engine. Output surface
+    bounded to doc_id < 200 per the fingerprint convention.
+
+    Scale: one tokenize-explode feeds BOTH aggregations (tf by
+    (doc, term), df by term — partial-agg map-side combines); idf is a
+    vocabulary-sized table that joins tf broadcast when the vocabulary
+    fits (the text_lm_familiarity model-join shape); top-k is a window
+    partitioned by doc_id — per-document independent sorts, no global
+    ordering anywhere."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    nd = toks.agg(F.count_distinct("doc_id").alias("n"))
+    idf = (
+        df.crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            F.floor(
+                F.log(F.col("n").cast("double") / F.col("df"))
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_e6"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "idf_e6",
+        (F.col("tf") * F.col("idf_e6")).alias("score_e6"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("rank") <= TFIDF_TOPK) & (F.col("doc_id") < 200))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "rank",
+            "tf",
+            "idf_e6",
+            "score_e6",
+        )
+        .orderBy("doc_id", "rank")
+    )
