@@ -30,6 +30,17 @@ def get_spark(app_name: str = "gtec_etl_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom filters (semi-join reduction) are on by default but
+        # gated by a 10 MB creation-side estimate — far below any join
+        # whose probe side is worth pruning. Raising the gate lets a
+        # shuffle join build a bloom from a GB-scale side and drop probe
+        # rows BEFORE the exchange: measured 2x on the triangle-closure
+        # semi join at 10x data (834M wedge rows pruned pre-shuffle,
+        # 87 s -> 45 s), the same setting a real cluster runs with.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "512MB",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # No nanosAsLong legacy conf: the events table's ts unit is detected

@@ -118,6 +118,16 @@ QUERIES = [
     "graph_triangle_count",
     "q43_spatial_grid_join",
     "sim_knn_graph",
+    # Round-7 second wave: constant-state sketches (curves should be
+    # ~scan-bound), the declarative quality contract (one agg per scan),
+    # the delta-refresh aggregate (cost ~ delta + keys), the
+    # candidate-then-verify LSH pipeline, and TF-IDF extraction.
+    "sketch_cms_heavy_hitters",
+    "sketch_linear_distinct",
+    "q44_quality_expectations",
+    "etl_incremental_agg",
+    "dedup_lsh_verify",
+    "text_tfidf_topterms",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
