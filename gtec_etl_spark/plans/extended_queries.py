@@ -840,3 +840,144 @@ def etl_incremental_agg(spark, sf_dir):
         )
         .orderBy("cust_id")
     )
+
+
+@query(
+    "q45_waiting_suppliers",
+    oracle="""
+    SELECT l1.l_suppkey AS supp_id,
+           CAST(count(*) AS BIGINT) AS n_waiting_orders
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY l1.l_suppkey
+    HAVING count(*) >= 2
+    ORDER BY n_waiting_orders DESC, supp_id
+    """,
+    tags=("extended", "subquery", "scale"),
+)
+def q45_waiting_suppliers(spark, sf_dir):
+    """The TPC-H Q21 'suppliers who kept orders waiting' SHAPE (adapted
+    to this corpus's reduced lineitem schema — returnflag stands in for
+    the receipt-vs-commit lateness columns it lacks): for finished
+    orders, count per supplier the RETURNED lineitems where at least one
+    OTHER supplier participated in the order (EXISTS) but NO other
+    supplier also had a return (NOT EXISTS) — i.e., this supplier alone
+    spoiled a multi-supplier order. The
+    classic double-correlated-subquery stress: both subqueries correlate
+    on l_orderkey with an inequality on the non-correlated column.
+
+    Plan: Catalyst decorrelates the EXISTS into a left-semi and the
+    NOT EXISTS into a left-anti, both equi-keyed on l_orderkey with the
+    supplier-inequality as join residual — three scans of lineitem, all
+    shuffled on the SAME key (exchange reuse), never a per-row re-scan;
+    the tests pin semi+anti presence. At 100 TB the three lineitem scans
+    share the order-key partitioning end-to-end."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    orders = catalog.table(spark, sf_dir, "orders")
+    l1 = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey", "l_linenumber")
+    )
+    others = li.select(
+        F.col("l_orderkey"),
+        F.col("l_suppkey").alias("o_supp"),
+        F.col("l_returnflag").alias("o_rf"),
+    )
+    with_other = l1.join(
+        others,
+        (l1["l_orderkey"] == others["l_orderkey"])
+        & (F.col("o_supp") != l1["l_suppkey"]),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        others.filter(F.col("o_rf") == "R"),
+        (with_other["l_orderkey"] == others["l_orderkey"])
+        & (F.col("o_supp") != with_other["l_suppkey"]),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy(F.col("l_suppkey").alias("supp_id"))
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .filter(F.col("n_waiting_orders") >= 2)
+        .orderBy(F.col("n_waiting_orders").desc(), "supp_id")
+    )
+
+
+@query(
+    "q46_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nation_id,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_bal_cents
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_nationkey
+    ORDER BY nation_id
+    """,
+    tags=("extended", "subquery", "scale"),
+)
+def q46_dormant_rich_customers(spark, sf_dir):
+    """The TPC-H Q22 'global sales opportunity' SHAPE: customers whose
+    balance exceeds the positive-balance average (scalar subquery) and
+    who never placed an order (NOT EXISTS), grouped by nation (standing
+    in for the phone country code this corpus's customer schema lacks)
+    — count and integer-cents balance total per nation.
+
+    Plan: the scalar average is a 1-row aggregate broadcast into the
+    filter (no second full scan at the consumer — the
+    dedup_apply_keep_canonical pattern); the NOT EXISTS decorrelates to
+    a left-anti against the orders key projection. Both the anti join
+    and the final groupBy are keyed shuffles; cents quantization keeps
+    the cross-engine sum exact (the q17 discipline)."""
+    cust = catalog.table(spark, sf_dir, "customer")
+    orders = catalog.table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+    )
+    dormant = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        dormant.groupBy(F.col("c_nationkey").alias("nation_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("total_bal_cents"),
+        )
+        .orderBy("nation_id")
+    )

@@ -365,3 +365,23 @@ def test_knn_graph_broadcasts_centroids_cell_scoped_pairs(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_semi_anti_one_key(spark):
+    """q45: both correlated subqueries decorrelate to semi/anti joins on
+    the order key — never a per-row re-scan, never cartesian."""
+    df = registry.specs()["q45_waiting_suppliers"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dormant_rich_scalar_broadcast_anti(spark):
+    """q46: the scalar average reaches the filter via a broadcast (1-row
+    nested loop), the NOT EXISTS is a left-anti; no second full customer
+    scan for the average's consumer."""
+    plan = _formatted_plan(spark, "q46_dormant_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
