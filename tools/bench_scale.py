@@ -128,6 +128,11 @@ QUERIES = [
     "etl_incremental_agg",
     "dedup_lsh_verify",
     "text_tfidf_topterms",
+    # Round-7 third wave: the Q21-shape double-correlated subquery
+    # (three lineitem scans sharing one order-key partitioning) and the
+    # Q22-shape scalar-broadcast + anti join.
+    "q45_waiting_suppliers",
+    "q46_dormant_rich_customers",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
