@@ -1500,17 +1500,18 @@ def sim_ivfpq_adc_topk(spark, sf_dir):
 KNN_K = 5
 
 
-def _knn_graph_sql() -> str:
+def _knn_graph_sql(scaled: bool = False) -> str:
     """DuckDB oracle for sim_knn_graph: shared Lloyd's head, nearest-
     centroid assignment carrying the quantized vector, within-cluster
-    pairwise integer cosine, top-{KNN_K} per vector by (cos_e6 DESC, id)."""
+    pairwise integer cosine, top-{KNN_K} per vector by (cos_e6 DESC, id).
+    scaled=True uses the K ~ sqrt(N) head (sim_knn_graph_scaled)."""
     sq_h = _sqdist_int_sql("h.qe", "cb.c", _DS_DIM)
     dot_ab = _dot_int_sql("a.qe", "b.qe", _DS_DIM)
     cos = (
         f"CAST({dot_ab} AS DOUBLE)"
         f" / sqrt(CAST(a.na2 AS DOUBLE) * CAST(b.na2 AS DOUBLE))"
     )
-    return _fullvec_lloyds_ctes() + f""",
+    return _fullvec_lloyds_ctes(scaled=scaled) + f""",
     assign AS (
       SELECT vec_id, r AS cluster, qe FROM (
         SELECT h.vec_id AS vec_id, cb.r AS r, h.qe AS qe,
@@ -1565,12 +1566,38 @@ def sim_knn_graph(spark, sf_dir):
     changing this plan's shape. Cosine ranks by the exact integer
     cos_e6 (one int64 dot + one IEEE divide), so ordering — and
     therefore the emitted graph — is bit-identical cross-engine."""
+    return _knn_graph_plan(spark, sf_dir, DS_K, DS_SAMPLE)
+
+
+@query(
+    "sim_knn_graph_scaled",
+    oracle=_knn_graph_sql(scaled=True),
+    tags=("similarity", "graph", "scale"),
+)
+def sim_knn_graph_scaled(spark, sf_dir):
+    """sim_knn_graph in the K ~ sqrt(N) PRODUCTION regime — the same
+    cell-count scaling as sim_semdedup_scaled (K = max(16,
+    floor(sqrt(N))), sample = max({DS_SAMPLE}, 8K)), so within-cell
+    candidate count stays ~O(N^1.5) instead of N²/const as the corpus
+    grows; sim_knn_graph keeps the pinned K={DS_K} as the
+    oracle-exactness twin. Fully hash-checked: the DuckDB head computes
+    the same K via the kk CTE + LIMIT subqueries."""
+    import math
+
+    n = catalog.table(spark, sf_dir, "embeddings").count()
+    k = max(16, math.isqrt(n))
+    return _knn_graph_plan(spark, sf_dir, k, max(DS_SAMPLE, 8 * k))
+
+
+def _knn_graph_plan(spark, sf_dir, k: int, sample: int):
+    """Shared kNN-graph pipeline body (train k cells, assign,
+    within-cell pairwise cosine, per-vector top-{KNN_K})."""
     from pyspark.sql import Window
 
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
     )
-    cb = _fullvec_centroids(emb)
+    cb = _fullvec_centroids(emb, k=k, sample=sample)
     assigned = (
         emb.select("vec_id", "qe")
         .crossJoin(F.broadcast(cb))
