@@ -133,6 +133,7 @@ QUERIES = [
     # Q22-shape scalar-broadcast + anti join.
     "q45_waiting_suppliers",
     "q46_dormant_rich_customers",
+    "sim_knn_graph_scaled",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
