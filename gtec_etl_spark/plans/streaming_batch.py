@@ -475,3 +475,70 @@ def ev_top_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(PATH_TOPK)
     )
+
+
+ACTIVE_WIN_DAYS = 7
+
+
+@query(
+    "ev_trailing_distinct_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    cov AS (
+      SELECT DISTINCT ud.user_id, days.d AS wd
+      FROM ud JOIN days
+        ON days.d >= ud.d
+       AND days.d < ud.d + INTERVAL {ACTIVE_WIN_DAYS} DAY
+    )
+    SELECT wd AS window_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM cov GROUP BY wd ORDER BY window_day
+    """,
+    tags=("streaming", "window", "scale"),
+)
+def ev_trailing_distinct_users(spark, sf_dir):
+    """Trailing {ACTIVE_WIN_DAYS}-day DISTINCT active users per day — the
+    rolling-DAU/WAU metric every product pipeline computes, and a shape
+    nothing else in the registry covers: COUNT(DISTINCT) over a sliding
+    time frame, which SQL window frames cannot express (no DISTINCT in
+    windowed aggregates) and a naive per-day subquery re-scans the
+    corpus once per day.
+
+    Plan — the OFFSET-EXPAND trick: collapse events to distinct
+    (user, day) pairs ONCE (the only corpus-sized aggregation), explode
+    each pair to the {ACTIVE_WIN_DAYS} window-days it contributes to
+    (a {ACTIVE_WIN_DAYS}x map-side fan-out of the already-collapsed
+    table, not of raw events), keep window-days that exist in the data
+    (broadcast semi-join against the tiny day spine), and count distinct
+    per window-day. Every shuffle is keyed; cost is
+    O(events + {ACTIVE_WIN_DAYS}·|user-days|) regardless of window
+    length's effect on a self-join formulation (the oracle IS that
+    range-join formulation, so the equivalence is hash-checked). At
+    100 TB the (user, day) collapse is the same cardinality the warehouse
+    already materializes as its activity table."""
+    ev = catalog.table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = ud.select("d").distinct()
+    offsets = F.explode(
+        F.sequence(F.lit(0), F.lit(ACTIVE_WIN_DAYS - 1))
+    ).alias("off")
+    cov = (
+        ud.select("user_id", "d", offsets)
+        .select(
+            "user_id", F.date_add(F.col("d"), F.col("off")).alias("wd")
+        )
+        .join(
+            F.broadcast(days.select(F.col("d").alias("wd"))), "wd", "left_semi"
+        )
+    )
+    return (
+        cov.groupBy(F.col("wd").alias("window_day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("window_day")
+    )

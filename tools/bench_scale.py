@@ -134,6 +134,9 @@ QUERIES = [
     "q45_waiting_suppliers",
     "q46_dormant_rich_customers",
     "sim_knn_graph_scaled",
+    # Round-7: trailing-window distinct (offset-expand over the
+    # collapsed user-day table — cost ~ 7x activity table, not events).
+    "ev_trailing_distinct_users",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
