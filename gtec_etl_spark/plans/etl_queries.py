@@ -73,7 +73,7 @@ def ref_q2_dataset_variables(spark, sf_dir):
         .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
         .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .select(F.col("p_name").alias("var_name"), F.col("p_partkey").alias("var_id"))
         .distinct()
         .orderBy("var_name", "var_id")
@@ -237,7 +237,9 @@ def ref_q2_all_studies(spark, sf_dir):
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(t["part"].select("p_partkey", "p_name")),
+            # part is sf-scaled: no hint — AQE broadcasts at test scale,
+            # shuffles at 100 TB (the forced-broadcast audit's class).
+            t["part"].select("p_partkey", "p_name"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .select(
@@ -350,9 +352,11 @@ def ref_q6_tabular_dump(spark, sf_dir):
     deterministic multi-key ordering.
 
     This is the flagship query (entry()). At 100 TB the fact-fact joins
-    (orders⋈lineitem) shuffle on the join key once; all dimension joins are
-    broadcast; no driver-side materialization happens here — the dump is a
-    distributed DataFrame the caller writes out partitioned.
+    (orders⋈lineitem) shuffle on the join key once; the fixed-size dims
+    (nation/region) are broadcast by hint, while the sf-scaled part and
+    supplier lookups carry NO hint — AQE broadcasts them at test scale and
+    shuffles at 100 TB; no driver-side materialization happens here — the
+    dump is a distributed DataFrame the caller writes out partitioned.
     """
     t = catalog.load_tables(spark, sf_dir)
     return (
@@ -361,8 +365,10 @@ def ref_q6_tabular_dump(spark, sf_dir):
         .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
         .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"), "left")
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"), "left")
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"), "left")
+        # part/supplier are sf-scaled: no forced broadcast — AQE picks
+        # broadcast at test scale, shuffle at 100 TB from measured size.
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"), "left")
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"), "left")
         .select(
             F.col("r_name").alias("program"),
             F.col("n_name").alias("study"),

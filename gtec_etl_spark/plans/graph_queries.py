@@ -185,8 +185,11 @@ def graph_triangle_count(spark, sf_dir):
     wedges close into triangles via one left-semi join against the
     oriented edge list. Edge build co-self-joins lineitem on its own
     order key (one exchange, reused by both sides); the degree table is
-    |V| rows and broadcasts into the orientation. Every shuffle keys on
-    node or edge — nothing all-pairs, nothing driver-side."""
+    |V| rows — corpus-scaled, so it gets NO broadcast hint: both
+    orientation joins are keyed on a/b and AQE picks broadcast vs
+    shuffle from the measured size (at 100 TB |V| is 1e8-1e9 rows and a
+    forced broadcast would be a driver-OOM scale-killer). Every shuffle
+    keys on node or edge — nothing all-pairs, nothing driver-side."""
     lineitem = catalog.table(spark, sf_dir, "lineitem")
     l1 = lineitem.select("l_orderkey", F.col("l_partkey").alias("a"))
     l2 = lineitem.select("l_orderkey", F.col("l_partkey").alias("b"))
@@ -207,11 +210,11 @@ def graph_triangle_count(spark, sf_dir):
     )
     ori = (
         pe.join(
-            F.broadcast(deg.select(F.col("node").alias("a"), F.col("d").alias("da"))),
+            deg.select(F.col("node").alias("a"), F.col("d").alias("da")),
             "a",
         )
         .join(
-            F.broadcast(deg.select(F.col("node").alias("b"), F.col("d").alias("db"))),
+            deg.select(F.col("node").alias("b"), F.col("d").alias("db")),
             "b",
         )
         .select(

@@ -86,9 +86,12 @@ def q01_pricing_summary(spark, sf_dir):
     tags=("join",),
 )
 def q02_regional_revenue(spark, sf_dir):
-    """Five-way star join (P4 title-disjunction filter + J-chain). The three
-    dimension tables are broadcast — only the lineitem⋈orders join shuffles,
-    and AQE coalesces the post-shuffle partitions."""
+    """Five-way star join (P4 title-disjunction filter + J-chain). The two
+    fixed-size dimension tables (nation 25 rows, region 5) are broadcast;
+    the customer-derived dim is corpus-scaled so it carries NO hint — AQE
+    picks broadcast at test scale and shuffle at 100 TB from measured size.
+    Only the lineitem⋈orders join necessarily shuffles, and AQE coalesces
+    the post-shuffle partitions."""
     t = catalog.load_tables(spark, sf_dir)
     dims = (
         t["customer"]
@@ -100,7 +103,7 @@ def q02_regional_revenue(spark, sf_dir):
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(

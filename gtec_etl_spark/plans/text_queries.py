@@ -1889,10 +1889,11 @@ def text_tfidf_topterms(spark, sf_dir):
 
     Scale: one tokenize-explode feeds BOTH aggregations (tf by
     (doc, term), df by term — partial-agg map-side combines); idf is a
-    vocabulary-sized table that joins tf broadcast when the vocabulary
-    fits (the text_lm_familiarity model-join shape); top-k is a window
-    partitioned by doc_id — per-document independent sorts, no global
-    ordering anywhere."""
+    vocabulary-sized (corpus-growing, Heaps-law) table so its join onto
+    tf carries NO broadcast hint — both sides are already keyed on term
+    and AQE broadcasts only while the vocabulary measures small; top-k is
+    a window partitioned by doc_id — per-document independent sorts, no
+    global ordering anywhere."""
     from pyspark.sql import Window
 
     docs = catalog.table(spark, sf_dir, "documents")
@@ -1921,7 +1922,7 @@ def text_tfidf_topterms(spark, sf_dir):
             .alias("idf_e6"),
         )
     )
-    scored = tf.join(F.broadcast(idf), "tok").select(
+    scored = tf.join(idf, "tok").select(
         "doc_id",
         "tok",
         "tf",

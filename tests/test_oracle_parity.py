@@ -42,6 +42,36 @@ def spec_ids():
 # plan — their internal shapes are pinned by dedicated tests instead.
 CARTESIAN_ALLOWLIST: frozenset[str] = frozenset()
 
+# Full-registry forced-broadcast guard (VERDICT r7 #1/#7): no registered
+# query may `F.broadcast` a subtree that scans an sf-scaled table without a
+# limit / global aggregate bounding its cardinality — the class that let
+# graph_triangle_count ship a forced |V|-row degree-table broadcast in
+# round 7 (fine at sf1, driver-OOM at 100 TB). The audit reads the ANALYZED
+# plan, so it flags exactly the hint-forced class; stats/AQE-chosen
+# broadcasts (which re-decide per run) pass. Queries whose broadcast side
+# is bounded by CONSTRUCTION in a way the plan cannot prove are declared
+# here, each with its boundedness argument:
+BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
+    "etl_cdc_upsert": "batch side is ingest-interval-bounded in production; the fixture synthesizes it from customer",
+    "etl_scd2_merge": "batch side is ingest-interval-bounded in production; the fixture synthesizes it from customer",
+    "ev_anomaly_mad": "per-event-type robust stats — key domain is the fixed event-type enum",
+    "ev_trailing_distinct_users": "day spine keyed by calendar day — bounded by the time range, not the corpus",
+    "q06_derived_key_join": "customer filtered to derived_key < 100 — fixed key range, <=100 rows at any sf",
+    "sim_topk_bruteforce": "single query vector selected by key equality",
+    "sim_ivf_probe": "K-row centroid table (fixed K) + single query vector",
+    "sim_ivf_multiprobe": "K-row centroid table (fixed K) + single query vector",
+    "sim_ivf_trained_rerank": "K-row trained centroids (fixed K) + single query vector",
+    "sim_pq_adc_topk": "M*K-row PQ codebook (fixed M,K) + M*K-row query LUT",
+    "sim_pq_trained_codebook": "M*K-row trained codebook (fixed M,K)",
+    "sim_ivfpq_adc_topk": "K centroids + M*K residual codebook (fixed) + query LUT",
+    "sketch_cms_heavy_hitters": "CMS grid keyed by (row, col mod W) — fixed D*W cells",
+    "text_bm25_topk": "idf restricted to the fixed literal query-term set",
+    "text_data_card": "per-source/lang summary — fixed enum key domain",
+    "text_dsir_select": "importance weights keyed by hash bucket mod B — fixed B buckets",
+    "text_dsir_weights": "importance weights keyed by hash bucket mod B — fixed B buckets",
+    "text_mixture_rebalance": "per-source sampling rates — fixed source enum",
+}
+
 
 @pytest.mark.parametrize("name", spec_ids())
 def test_query_matches_oracle(spark, name):
@@ -52,6 +82,18 @@ def test_query_matches_oracle(spark, name):
         assert "CartesianProduct" not in plan, (
             f"{name}: CartesianProduct in executed plan — broadcast a side "
             "or route pairs through a blocked/banded candidate generator"
+        )
+    if name not in BROADCAST_BOUNDED_BY_CONSTRUCTION:
+        from gtec_etl_spark.plan_audit import audit_forced_broadcasts
+
+        violations = audit_forced_broadcasts(
+            sdf._jdf.queryExecution().analyzed().toString()
+        )
+        assert not violations, (
+            f"{name}: forced broadcast of a corpus-scaled side — drop the "
+            f"F.broadcast hint (AQE decides from measured size) or declare "
+            f"the boundedness argument in BROADCAST_BOUNDED_BY_CONSTRUCTION: "
+            f"{violations}"
         )
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
