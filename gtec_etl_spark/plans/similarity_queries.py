@@ -1091,70 +1091,115 @@ def _semdedup_plan(spark, sf_dir, k: int, sample: int):
     """Shared SemDeDup pipeline body (train k centroids on a
     `sample`-vector hash-ordered sample, assign, within-cluster pairwise
     cosine >= SEMDEDUP_TAU, earliest-id witness)."""
+    import numpy as np
+    import pandas as pd
+
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
     )
     cb = _fullvec_centroids(emb, k=k, sample=sample)
 
-    assigned = (
-        emb.select("vec_id", "qe")
-        .crossJoin(F.broadcast(cb))
-        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("r"), F.col("qe")),
-                F.struct(F.col("__d"), F.col("r")),
-            ).alias("__a")
-        )
-        .select(
-            "vec_id",
-            F.col("__a.r").alias("cluster"),
-            F.col("__a.qe").alias("qe"),
-        )
-        .withColumn("na2", S.dot_int(F.col("qe"), F.col("qe")))
+    # Nearest-centroid assignment as an Arrow kernel over embedding
+    # batches (r8, VERDICT r7 #2): the former broadcast-crossJoin argmin
+    # materialized N*K rows each carrying a 64-long array through a
+    # min_by payload — 26 of the 38 s at sf1 was THIS stage, not the
+    # pairwise one. The codebook is already a collected K-row local
+    # relation, so it rides into the closure as a K x dim float64 matrix.
+    # Exactness: ||x-c||^2 = na2 - 2*x.c + nc2 where every term — and
+    # every partial sum — is an integer < 2^53 (|element| <= ~1e6,
+    # 64-dim dot <= 6.4e13), so float64 BLAS reproduces the integer
+    # sqdist bit-exactly in any summation order; rows are ordered by r,
+    # so np.argmin's first-minimum rule IS the (__d, r) tie-break.
+    cb_rows = sorted(cb.collect(), key=lambda row: row["r"])
+    C = np.array([row["c"] for row in cb_rows], dtype=np.float64)
+    r_ids = np.array([row["r"] for row in cb_rows], dtype=np.int32)
+    nc2 = np.einsum("ij,ij->i", C, C)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            na2 = np.einsum("ij,ij->i", X, X)
+            d = na2[:, None] - 2.0 * (X @ C.T) + nc2[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": r_ids[d.argmin(axis=1)],
+                    "qe": pdf["qe"],
+                }
+            )
+
+    assigned = emb.select("vec_id", "qe").mapInPandas(
+        assign_batches, "vec_id long, cluster int, qe array<long>"
     )
-    a = assigned.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("a_id"),
-        F.col("qe").alias("a_qe"),
-        F.col("na2").alias("a_na2"),
-    )
-    b = assigned.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("b_id"),
-        F.col("qe").alias("b_qe"),
-        F.col("na2").alias("b_na2"),
-    )
-    cos = S.dot_int(F.col("a_qe"), F.col("b_qe")).cast("double") / F.sqrt(
-        F.col("a_na2").cast("double") * F.col("b_na2").cast("double")
-    )
-    edges = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= F.lit(SEMDEDUP_TAU))
-        .select(
-            "cluster",
-            F.col("b_id").alias("vec_id"),
-            F.col("a_id").alias("dup_of"),
-            F.floor(F.col("__cos") * F.lit(1000000.0) + F.lit(0.5))
-            .cast("long")
-            .alias("cos_e6"),
-        )
-    )
+    # Within-cluster pairwise cosine as ONE Arrow gram-matrix kernel per
+    # cluster (r8, VERDICT r7 #2): the former cluster self-join re-evaluated
+    # a 64-term zip_with fold per pair — ~30 of the 38 s at sf1 was this
+    # constant. Exactness survives BLAS reordering because every quantity
+    # up to the dot is an INTEGER exactly representable in float64
+    # (|x|<=1e6 per element, 64-dim dot <= 6.4e13 < 2^53 — every partial
+    # sum is an exact integer regardless of add order), and the divide /
+    # sqrt / floor tail is the same IEEE op sequence as the oracle's.
+    # The witness reduction (earliest dup_of per vec_id) happens in-kernel:
+    # all of a vector's candidate pairs live in its one cluster, so the
+    # per-column argmax over the sorted-id mask IS the global min dup_of.
+    import numpy as np
+    import pandas as pd
+
+    tau = SEMDEDUP_TAU
+
+    def cluster_dups(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster": [], "vec_id": [], "dup_of": [], "cos_e6": []}
+            ).astype({"cluster": "int32", "vec_id": "int64",
+                      "dup_of": "int64", "cos_e6": "int64"})
+        M = np.stack(pdf["qe"].to_numpy()[order]).astype(np.float64)
+        na2 = np.einsum("ij,ij->i", M, M)  # exact: integer-valued < 2^53
+        out_v, out_w, out_c = [], [], []
+        chunk = 2048  # bounds the gram slab to chunk*n float64s
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            G = M[lo:hi] @ M.T  # exact integer dots in float64
+            cos = G / np.sqrt(np.outer(na2[lo:hi], na2))
+            mask = cos >= tau
+            # only a < b (ids sorted ascending == row index order)
+            mask &= np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+            hit = mask.any(axis=0)
+            cols = np.nonzero(hit)[0]
+            wit = mask[:, cols].argmax(axis=0)  # first True row = min dup_of
+            out_v.append(ids[cols])
+            out_w.append(ids[lo + wit])
+            out_c.append(
+                np.floor(cos[wit, cols] * 1000000.0 + 0.5).astype(np.int64)
+            )
+        if not out_v:
+            vs = np.array([], dtype=np.int64)
+            ws = vs
+            cs = vs
+        else:
+            vs = np.concatenate(out_v)
+            ws = np.concatenate(out_w)
+            cs = np.concatenate(out_c)
+        res = pd.DataFrame({"vec_id": vs, "dup_of": ws, "cos_e6": cs})
+        # a vec_id can surface in several row-chunks: keep the earliest
+        # witness (chunks scan rows in ascending id order, so the first
+        # occurrence is the minimum dup_of)
+        res = res.groupby("vec_id", as_index=False).first()
+        res.insert(0, "cluster", np.int32(key[0]))
+        return res
+
     return (
-        edges.groupBy("cluster", "vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("dup_of"), F.col("cos_e6")), F.col("dup_of")
-            ).alias("__w")
-        )
-        .select(
-            "cluster",
-            "vec_id",
-            F.col("__w.dup_of").alias("dup_of"),
-            F.col("__w.cos_e6").alias("cos_e6"),
+        assigned.select("cluster", "vec_id", "qe")
+        .groupBy("cluster")
+        .applyInPandas(
+            cluster_dups,
+            "cluster int, vec_id long, dup_of long, cos_e6 long",
         )
         .orderBy("cluster", "vec_id")
     )

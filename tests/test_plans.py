@@ -267,12 +267,17 @@ def test_paragraph_chunks_no_window_over_chunk(spark):
     assert plan.count("Arguments: hashpartitioning") <= 3
 
 
-def test_semdedup_broadcasts_centroids_pairs_cluster_scoped(spark):
-    """sim_semdedup: centroid assignment is a broadcast nested loop over
-    the collected codebook (no shuffle); the only sort-merge/shuffled
-    equi-join is the within-cluster self-join on the cluster key."""
+def test_semdedup_arrow_kernels_no_joins(spark):
+    """sim_semdedup (r8 shape): centroid assignment is a mapInPandas
+    Arrow kernel over embedding batches (the collected codebook rides in
+    the closure — NO N*K crossJoin) and the within-cluster pairwise pass
+    is one FlatMapGroupsInPandas per cluster — no join operator at all,
+    and exactly one shuffle (the groupBy-cluster exchange)."""
     plan = _formatted_plan(spark, "sim_semdedup")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_lm_familiarity_single_count_model_join(spark):
