@@ -372,14 +372,25 @@ def test_knn_graph_broadcasts_centroids_cell_scoped_pairs(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_waiting_suppliers_semi_anti_one_key(spark):
-    """q45: both correlated subqueries decorrelate to semi/anti joins on
-    the order key — never a per-row re-scan, never cartesian."""
+def test_waiting_suppliers_single_summary_join(spark):
+    """q45 (r8 shape): both correlated subqueries collapse into ONE
+    per-(order, supplier) rollup + a second order-key hash aggregate —
+    lineitem is read once, with NO Expand (a COUNT(DISTINCT) pair would
+    double the shuffled rows), NO window sort, and no semi/anti probes
+    (which can never share their exchange: a right-only residual always
+    pushes below the shuffle). The only join left is the tiny winner
+    set against orders."""
     df = registry.specs()["q45_waiting_suppliers"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "Expand" not in plan
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    # lineitem scanned exactly once; one join (winners x orders)
+    assert plan.count("Scan parquet") == 2  # lineitem + orders
+    assert sum(
+        line.count("Join") for line in plan.splitlines() if "Join" in line
+    ) == 1
 
 
 def test_dormant_rich_scalar_broadcast_anti(spark):
