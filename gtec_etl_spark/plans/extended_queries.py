@@ -937,16 +937,21 @@ def q45_waiting_suppliers(spark, sf_dir):
     "q46_dormant_rich_customers",
     oracle="""
     WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+      SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey AS nation_id,
            CAST(count(*) AS BIGINT) AS n_custs,
            CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS total_bal_cents
     FROM customer, avg_bal
-    WHERE c_acctbal > ab
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > total_cents
       AND NOT EXISTS (
-        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
       )
     GROUP BY c_nationkey
     ORDER BY nation_id
@@ -956,27 +961,40 @@ def q45_waiting_suppliers(spark, sf_dir):
 def q46_dormant_rich_customers(spark, sf_dir):
     """The TPC-H Q22 'global sales opportunity' SHAPE: customers whose
     balance exceeds the positive-balance average (scalar subquery) and
-    who never placed an order (NOT EXISTS), grouped by nation (standing
-    in for the phone country code this corpus's customer schema lacks)
-    — count and integer-cents balance total per nation.
+    who placed no RECENT order (NOT EXISTS over a filtered orders
+    subset — every customer in this corpus has SOME order, so the
+    unfiltered variant returned 0 rows at every driver SF and the gate
+    was vacuous; the 2000-01-01 cutoff yields 5 / 55 / 646 dormant-rich
+    customers at sf0.001 / 0.01 / 0.1, ADVICE r7), grouped by nation
+    (standing in for the phone country code this corpus's customer
+    schema lacks) — count and integer-cents balance total per nation.
 
-    Plan: the scalar average is a 1-row aggregate broadcast into the
+    Plan: the scalar threshold is a 1-row aggregate broadcast into the
     filter (no second full scan at the consumer — the
-    dedup_apply_keep_canonical pattern); the NOT EXISTS decorrelates to
-    a left-anti against the orders key projection. Both the anti join
-    and the final groupBy are keyed shuffles; cents quantization keeps
-    the cross-engine sum exact (the q17 discipline)."""
+    dedup_apply_keep_canonical pattern); the threshold compare is pure
+    BIGINT (`c_cents * n_pos > total_cents`) so no cross-engine
+    float-summation order can flip a boundary row — a double avg()
+    raced DuckDB's summation order before (the q17 discipline, now that
+    the gate exercises real rows). The NOT EXISTS decorrelates to a
+    left-anti against the date-filtered orders key projection (filter
+    pushed below the shuffle). Both the anti join and the final groupBy
+    are keyed shuffles."""
     cust = catalog.table(spark, sf_dir, "customer")
     orders = catalog.table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("ab")
+        F.sum(cents).cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
     )
     rich = (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        cust.withColumn("c_cents", cents)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_cents") * F.col("n_pos") > F.col("total_cents"))
     )
     dormant = rich.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")),
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        ).select(F.col("o_custkey").alias("c_custkey")),
         "c_custkey",
         "left_anti",
     )
