@@ -177,7 +177,10 @@ def sketch_linear_distinct(spark, sf_dir):
     The single transcendental (one ln on one value, quantized to a whole
     count immediately) follows the repo's float-parity discipline; the
     hash is the deterministic hash60 family, so occupancy is
-    bit-identical cross-engine.
+    bit-identical cross-engine. The one remaining exposure — a 1-ulp
+    libm ln divergence flipping the floor if -m*ln(f)+0.5 sits on an
+    integer boundary — is guarded by tests/test_float_guards.py
+    (boundary clearance > 1e-6 asserted per corpus, ADVICE r7).
 
     Scale design: the sketch state is {LC_M} bits REGARDLESS of corpus
     size — the occupancy count is one map-side-combined distinct over a

@@ -1884,8 +1884,13 @@ def text_tfidf_topterms(spark, sf_dir):
     quantized to integer micro-units IMMEDIATELY after the single ln per
     DISTINCT TERM (vocabulary-many transcendentals, not corpus-many),
     and the score is then a pure int64 product tf x idf_e6 — ranking and
-    emitted values are bit-identical cross-engine. Output surface
-    bounded to doc_id < 200 per the fingerprint convention.
+    emitted values are bit-identical cross-engine. Residual exposure
+    (ADVICE r7): libm ln is not required to be correctly rounded, so a
+    1-ulp JVM-vs-DuckDB divergence could flip idf_e6 IF ln(n/df)*1e6+0.5
+    sat essentially on an integer boundary; tests/test_float_guards.py
+    asserts every distinct (n, df) on the test corpora clears the
+    boundary by > 1e-6 (>100x the worst 1-ulp perturbation). Output
+    surface bounded to doc_id < 200 per the fingerprint convention.
 
     Scale: one tokenize-explode feeds BOTH aggregations (tf by
     (doc, term), df by term — partial-agg map-side combines); idf is a

@@ -116,6 +116,14 @@ def read_var_report(spark: SparkSession, path: str) -> DataFrame:
                 F.col("_metadata.file_path").alias("source_file"),
             )
         )
+    if not parts:
+        found = sorted(f.name for f in df.schema.fields)
+        raise ValueError(
+            "read_var_report: document at %r has none of the var_report "
+            "subsections %s — found top-level fields %s. Was a data_dict "
+            "passed by mistake? Use read_data_dict for those."
+            % (path, "/".join(VAR_REPORT_SUBSECTIONS), found)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1,0 +1,93 @@
+"""Ulp-boundary guards for the repo's single-transcendental parity paths
+(ADVICE r7): `floor(ln(x) * 1e6 + 0.5)` (and the linear-counting
+`floor(-m*ln(f) + 0.5)`) rely on DuckDB's and the JVM's libm agreeing on
+ln to well under the quantization step. IEEE does not require correctly
+rounded ln, so a 1-ulp divergence is possible — it only MATTERS if the
+pre-floor value sits essentially ON a rounding boundary, where a 1-ulp
+nudge flips the quantized integer and the ranked/hashed output becomes
+flaky rather than wrong.
+
+These tests enumerate every ln argument the gated queries evaluate on
+the test corpora and assert the pre-floor value is not within EPS of an
+integer boundary. A 1-ulp ln error perturbs ln(x)*1e6 by at most
+~|ln(x)|*1e6 * 2^-52 ≈ 4e-9 for the magnitudes seen here, so EPS=1e-6
+gives > 100x margin while being loose enough that a random corpus
+essentially never trips it spuriously (P ~ 2e-6 per distinct value).
+If a future corpus DOES trip this, the fix is to perturb the quantizer
+(e.g. +0.5000001) in BOTH engines, not to loosen EPS.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+EPS = 1e-6
+
+SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+
+def boundary_distance(pre_floor: float) -> float:
+    """Distance of the pre-floor value from the nearest flip point."""
+    frac = pre_floor - math.floor(pre_floor)
+    return min(frac, 1.0 - frac)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_tfidf_idf_not_on_rounding_boundary(sf_dir):
+    """Every distinct (n, df) pair of text_tfidf_topterms: the quantized
+    idf_e6 = floor(ln(n/df)*1e6 + 0.5) must not sit on a flip point."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    pairs = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ),
+        t AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM t)
+        SELECT DISTINCT n, df FROM df CROSS JOIN nd
+        """
+    ).fetchall()
+    assert pairs
+    worst = min(
+        boundary_distance(math.log(n / df) * 1_000_000 + 0.5)
+        for n, df in pairs
+    )
+    assert worst > EPS, (
+        f"idf_e6 flip-point distance {worst:.3e} at {sf_dir} — quantized "
+        f"idf is ulp-flaky on this corpus; perturb the quantizer in both "
+        f"engines (see module docstring)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_linear_counting_estimate_not_on_rounding_boundary(sf_dir):
+    """sketch_linear_distinct's single ln: est = floor(-m*ln((m-occ)/m)
+    + 0.5) must not sit on a flip point for the corpus's occupancy."""
+    from gtec_etl_spark.functions.hashing import hash60_sql
+    from gtec_etl_spark.plans.sketch_queries import LC_M
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    occupied = con.execute(
+        f"""
+        SELECT count(DISTINCT ({hash60_sql('CAST(l_partkey AS VARCHAR)')})
+                     % {LC_M})
+        FROM lineitem
+        """
+    ).fetchone()[0]
+    f = (LC_M - min(occupied, LC_M - 1)) / LC_M
+    dist = boundary_distance(-LC_M * math.log(f) + 0.5)
+    assert dist > EPS, (
+        f"linear-counting flip-point distance {dist:.3e} at {sf_dir} "
+        f"(occupied={occupied}, m={LC_M})"
+    )

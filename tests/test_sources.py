@@ -196,6 +196,18 @@ def test_dbgap_var_report_cases_controls_subsections(spark, tmp_path):
     assert [s for v, s in rows if v == "v2"] == ["total"]
 
 
+def test_dbgap_var_report_rejects_data_dict_with_clear_error(spark, tmp_path):
+    """ADVICE r7: a document with NONE of the total/cases/controls
+    subsections (e.g. a data_dict passed by mistake) must raise a
+    descriptive ValueError naming the missing subsections, not an
+    IndexError on parts[0]."""
+    import pytest
+
+    path = _write(tmp_path / "phs001.v1.pht001.v1.Subject.data_dict.xml", DATA_DICT)
+    with pytest.raises(ValueError, match="total/cases/controls"):
+        dbgap_xml.read_var_report(spark, path)
+
+
 def test_study_directory_scan_and_substudies(spark, tmp_path):
     for name in [
         "phs001.v1.pht001.v1.Subject.data_dict.xml",
