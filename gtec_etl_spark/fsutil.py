@@ -51,6 +51,52 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jpath, True))
 
 
+def list_child_files(spark: SparkSession, path: str) -> list[str]:
+    """Immediate child FILE names (final path component) of `path`,
+    including dot-prefixed sidecars (.crc); empty if the path does not
+    exist. The commit-step companion of list_child_dirs."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isFile()
+    ]
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename `src` to `dst` on src's own filesystem; returns the
+    FileSystem.rename result (False if src is missing or dst exists).
+    On object stores this is the store's copy+delete, on HDFS/local a
+    metadata move — either way the scheme-dispatched call the driver-side
+    commit step needs (os.replace silently no-ops for s3a:// URIs)."""
+    fs, jsrc = _fs_and_path(spark, src)
+    jvm = spark._jvm
+    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def delete_checksum_sidecars(spark: SparkSession, path: str) -> None:
+    """Delete `.name.crc` sidecars under `path`. Hadoop's LOCAL
+    filesystem is a ChecksumFileSystem whose listings HIDE the sidecars
+    (and whose renames silently move them), so a stable-name commit step
+    leaves stale-looking `.part-00000.ext.crc` files that break
+    whole-directory release checksums; they are reachable only through
+    getRawFileSystem(). Object stores and HDFS are not checksum-wrapped
+    (no getRawFileSystem / no sidecars) — a no-op there."""
+    fs, jpath = _fs_and_path(spark, path)
+    try:
+        raw = fs.getRawFileSystem()
+    except Exception:  # not a FilterFileSystem: nothing to clean
+        return
+    if not raw.exists(jpath):
+        return
+    for st in raw.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith(".") and name.endswith(".crc"):
+            raw.delete(st.getPath(), False)
+
+
 def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
     """Immediate child directory NAMES (final path component) of `path`;
     empty if the path does not exist."""

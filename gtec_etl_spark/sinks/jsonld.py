@@ -121,4 +121,4 @@ def write_documents(
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").text(path)
-    finalize_deterministic_dir(path, "txt")
+    finalize_deterministic_dir(docs.sparkSession, path, "txt")

@@ -105,6 +105,31 @@ def test_tsv_dump_roundtrip(spark, tmp_path):
     assert back.columns == df.columns
 
 
+def test_tsv_dump_finalize_is_scheme_dispatched(spark, tmp_path):
+    """VERDICT r7 #6: the stable-name commit step must go through the
+    Hadoop FileSystem API, not glob/os.replace — pinned by writing the
+    dump to an explicit file:// URI, which os.path/glob cannot list but
+    scheme-dispatched Path.getFileSystem resolves (the same way an
+    s3a:// sink path would)."""
+    from gtec_etl_spark.plans.etl_queries import ref_q6_tabular_dump
+
+    df = ref_q6_tabular_dump(spark, SF_DIR).limit(50)
+    out_local = str(tmp_path / "uri_dump")
+    write_tsv_dump(
+        df,
+        "file://" + out_local,
+        ["program", "study", "subject_name", "sample_id", "file_id"],
+        single_file=True,
+    )
+    names = sorted(p.name for p in (tmp_path / "uri_dump").iterdir())
+    assert names == ["part-00000.tsv"]  # finalized: no _SUCCESS/.crc/UUID
+    # idempotent on an already-finalized dir (rename-to-self is a no-op)
+    from gtec_etl_spark.sinks.tabular import finalize_deterministic_dir
+
+    finalize_deterministic_dir(spark, "file://" + out_local, "tsv")
+    assert sorted(p.name for p in (tmp_path / "uri_dump").iterdir()) == names
+
+
 def test_binary_content_hashes_match_hashlib(spark):
     """Spark-side manifest hashing (k4_bag_manifest's engine half) is the
     raw-byte digest for ANY payload, including non-UTF-8 bytes the
