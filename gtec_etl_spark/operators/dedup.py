@@ -52,7 +52,20 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text", id_col: str =
     Guarded against short docs — Spark's sequence(1, 0) yields a
     *descending* [1, 0], not an empty array, so docs with < n words get an
     explicit empty shingle set (explode then drops them).
+
+    Parallelism guard (same as substring_dedup_spans, where it was
+    measured 15.9s -> 2.4s at 10x data): the shingle explode fans out
+    ~|doc| rows per document BEFORE any shuffle, so its CPU cost is
+    pinned to the SCAN's partition count — a compact corpus parquet
+    that fits a couple of maxPartitionBytes partitions runs the whole
+    map side on a couple of cores. Repartition the raw docs up to
+    default parallelism when the scan is narrower; a real 100 TB scan
+    already exceeds core count, making this a no-op.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, F.col(id_col))
+
     words = F.split(F.lower(F.col(text_col)), " ")
     with_words = docs.select(F.col(id_col), words.alias("w"))
     shingle_arr = F.when(F.size("w") < n, F.array().cast("array<string>")).otherwise(

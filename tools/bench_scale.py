@@ -137,6 +137,17 @@ QUERIES = [
     # Round-7: trailing-window distinct (offset-expand over the
     # collapsed user-day table — cost ~ 7x activity table, not events).
     "ev_trailing_distinct_users",
+    # Round-8 sweep (VERDICT r7 #5): every scale-tagged registry entry
+    # gets a curve — these six were tagged but uncurved.
+    "dedup_incremental_apply",
+    "k5_range_bucket_layout",
+    "q39_salted_skew_join",
+    "sim_ivf_trained_rerank",
+    "text_contamination_check",
+    "text_dsir_select",
+    # Round-8: HyperLogLog distinct — constant 256-register state, the
+    # curve should be scan-bound like the other sketches.
+    "sketch_hll_distinct",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
