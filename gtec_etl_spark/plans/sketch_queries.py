@@ -211,3 +211,144 @@ def sketch_linear_distinct(spark, sf_dir):
         .cast("long")
         .alias("est_n"),
     )
+
+
+# HyperLogLog geometry: m = 2^HLL_P registers indexed by the hash's top
+# HLL_P bits; rho = leading-zero rank within the remaining HLL_W bits.
+# The harmonic sum is kept EXACT by integer-scaling each 2^-M_j term to
+# 2^(53-M_j) (M_j <= 53, so every term is a BIGINT and the register sum
+# fits 2^61 < int64) — no float summation order anywhere; the single
+# alpha*m^2*2^53 / s_int multiply-divide is IEEE-identical cross-engine
+# on the identical s_int operand. ALPHA is computed once here and
+# embedded as the SAME repr-literal in both plans.
+HLL_P, HLL_W = 8, 52
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_SCALE = float(HLL_M * HLL_M * (1 << 53))
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT {hash60_sql("CAST(l_partkey AS VARCHAR)")} AS h FROM lineitem
+    ),
+    b AS (
+      SELECT h >> {HLL_W} AS bucket,
+             CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W} - length(bin(h & {(1 << HLL_W) - 1})) + 1
+             END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT bucket, CAST(max(rho) AS BIGINT) AS mj FROM b GROUP BY bucket
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER))
+                  AS BIGINT) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs
+    ),
+    agg AS (
+      SELECT s_present + ({HLL_M} - n_present) * {1 << 53} AS s_int,
+             {HLL_M} - n_present AS n_zero
+      FROM s
+    ),
+    est AS (
+      SELECT s_int, CAST(n_zero AS BIGINT) AS n_zero,
+             {HLL_ALPHA!r} * {HLL_SCALE!r} / CAST(s_int AS DOUBLE) AS raw
+      FROM agg
+    ),
+    exact AS (
+      SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_n
+      FROM lineitem
+    )
+    SELECT e.exact_n AS exact_n, s.n_zero AS n_zero,
+           CAST(s.s_int AS BIGINT) AS s_int,
+           CAST(floor(CASE WHEN s.raw <= {2.5 * HLL_M} AND s.n_zero > 0
+                           THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                             / s.n_zero)
+                           ELSE s.raw END + 0.5) AS BIGINT) AS est_n
+    FROM exact e CROSS JOIN est s
+    """,
+    tags=("sketch", "scale"),
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct sketch over lineitem part keys: {HLL_M}
+    registers (top-{HLL_P} hash bits), register j holding the max
+    leading-zero rank rho of the remaining {HLL_W} bits, inverted
+    through the bias-corrected harmonic mean alpha_m*m^2/sum(2^-M_j) —
+    with Flajolet's linear-counting fallback below 2.5m (the sf0.001
+    corpus lands in the fallback, sf0.01+ in the raw regime, so BOTH
+    branches ride the gate). Reported next to the exact distinct so the
+    sketch error is itself hash-checked.
+
+    Cross-engine exactness (the reason this can ride the hash gate at
+    all): the harmonic sum is integer-scaled — each 2^-M_j becomes the
+    BIGINT 2^(53-M_j), summed exactly in int64 (max 2^61) in ANY order;
+    both engines then cast the identical s_int once and perform one
+    multiply-divide by the repr-embedded alpha*m^2*2^53 literal (IEEE
+    ops on identical operands are bit-identical). rho itself is pure
+    integer/string work: length(bin(w)) = bit_length(w) in both
+    engines. The fallback's single ln is quantized immediately and
+    guarded against rounding-boundary flakiness in
+    tests/test_float_guards.py, like sketch_linear_distinct's.
+
+    Scale design: THE production distinct counter — {HLL_M} bytes of
+    state regardless of corpus size (vs linear counting's m·ln(m)
+    ceiling and count(DISTINCT)'s unbounded shuffle state); register
+    vectors from shards/days/streams merge by elementwise max (a
+    monoid, same merge story as the CMS). The register build is one
+    map-side-combined groupBy over a {HLL_M}-value domain; everything
+    after is a 1-row reduction. Spark's own approx_count_distinct is
+    the same algorithm (HLL++) without the cross-engine determinism
+    this gate needs."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    h = hash60(F.col("l_partkey").cast("string")).alias("h")
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_W) - 1))
+    regs = (
+        li.select(h)
+        .select(
+            F.shiftright(F.col("h"), HLL_W).alias("bucket"),
+            F.when(w == 0, F.lit(HLL_W + 1))
+            .otherwise(F.lit(HLL_W) - F.length(F.bin(w)) + 1)
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    s = regs.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    ).select(
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 53)
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_zero"),
+    )
+    est = s.select(
+        "s_int",
+        "n_zero",
+        (F.lit(HLL_ALPHA) * F.lit(HLL_SCALE) / F.col("s_int").cast("double")).alias(
+            "raw"
+        ),
+    )
+    exact = li.agg(F.count_distinct("l_partkey").cast("long").alias("exact_n"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_n",
+        "n_zero",
+        F.col("s_int").cast("long").alias("s_int"),
+        F.floor(
+            F.when(
+                (F.col("raw") <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
+                F.lit(HLL_M)
+                * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+            ).otherwise(F.col("raw"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("est_n"),
+    )

@@ -68,6 +68,54 @@ def test_tfidf_idf_not_on_rounding_boundary(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_hll_fallback_not_on_rounding_boundary(sf_dir):
+    """sketch_hll_distinct's only transcendental — the small-range
+    linear-counting fallback m*ln(m/n_zero) — must not sit on a flip
+    point when the corpus takes that branch (sf0.001 does; the raw
+    harmonic-mean branch is integer-exact by construction and needs no
+    guard)."""
+    from gtec_etl_spark.functions.hashing import hash60_sql
+    from gtec_etl_spark.plans.sketch_queries import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SCALE,
+        HLL_W,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    h = hash60_sql("CAST(l_partkey AS VARCHAR)")
+    mask = (1 << HLL_W) - 1
+    s_present, n_present = con.execute(
+        f"""
+        WITH b AS (
+          SELECT ({h}) >> {HLL_W} AS bucket,
+                 CASE WHEN (({h}) & {mask}) = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W} - length(bin(({h}) & {mask})) + 1
+                 END AS rho
+          FROM lineitem
+        ),
+        regs AS (SELECT bucket, max(rho) AS mj FROM b GROUP BY bucket)
+        SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER))
+                    AS BIGINT),
+               count(*)
+        FROM regs
+        """
+    ).fetchone()
+    s_int = s_present + (HLL_M - n_present) * (1 << 53)
+    n_zero = HLL_M - n_present
+    raw = HLL_ALPHA * HLL_SCALE / float(s_int)
+    if raw <= 2.5 * HLL_M and n_zero > 0:
+        dist = boundary_distance(HLL_M * math.log(HLL_M / n_zero) + 0.5)
+        assert dist > EPS, (
+            f"HLL fallback flip-point distance {dist:.3e} at {sf_dir} "
+            f"(n_zero={n_zero})"
+        )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_linear_counting_estimate_not_on_rounding_boundary(sf_dir):
     """sketch_linear_distinct's single ln: est = floor(-m*ln((m-occ)/m)
     + 0.5) must not sit on a flip point for the corpus's occupancy."""
