@@ -3,12 +3,16 @@
 Model: media are opaque `binary` columns with a typed metadata struct,
 processed by Arrow-batched pandas iterators (mapInPandas). The Spark-side
 plumbing — schemas, batch iteration, partitioning, output shapes — is real
-and tested; the actual codec step is STUBBED because image/audio libraries
-are not in this container:
+and tested; the codec layer is dependency-free pure Python/numpy, built
+out frontier by frontier (r6 netpbm, r6 PNG, r7 palette PNG, r8
+16-bit/Adam7 PNG + baseline JPEG in operators/jpeg.py):
 
-- `decode_image` understands a deterministic FAKEIMG container (tests use
-  it) and falls back to PIL when importable; any other payload raises
-  NotImplementedError — the clearly-marked stub boundary.
+- `decode_image` understands the deterministic FAKEIMG test container,
+  netpbm P2/P3/P5/P6, PNG (8/16-bit, gray/RGB/palette/alpha,
+  none/Adam7 interlace), and baseline JPEG (SOF0, any DHT/DQT,
+  4:4:4/4:2:0, restart markers), falling back to PIL when importable;
+  what remains beyond the boundary raises NotImplementedError
+  (sub-byte-depth PNG; progressive/arithmetic/12-bit JPEG).
 - `byte_histogram_features` is a REAL feature extractor (numpy over raw
   bytes) producing an embedding column that feeds the similarity operators.
 
@@ -181,6 +185,10 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         return _decode_netpbm(content)
     if content[:8] == PNG_MAGIC:
         return _decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from gtec_etl_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     try:
         import io
 
@@ -191,7 +199,8 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
     except ImportError:
         raise NotImplementedError(
             "decoding this format requires PIL (not in this container); "
-            "supported without dependencies: FAKEIMG, netpbm P2/P3/P5/P6"
+            "supported without dependencies: FAKEIMG, netpbm P2/P3/P5/P6, "
+            "PNG (8/16-bit, Adam7), baseline JPEG"
         )
 
 
@@ -312,16 +321,92 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step). Passes whose
+# sub-image is empty for a given (w, h) contribute zero raster bytes.
+ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, p: int, nrow: int, hp: int, bpp: int):
+    """Unfilter `hp` scanlines of `nrow` bytes each from `raw[p:]`
+    (PNG filters operate BYTEWISE with pixel offset `bpp` = bytes per
+    pixel, which is what makes the same loop serve 8- and 16-bit
+    rasters). Returns (rows ndarray (hp, nrow) uint8, new position)."""
+    out = np.empty((hp, nrow), dtype=np.uint8)
+    prev = [0] * nrow
+    for y in range(hp):
+        f = raw[p]
+        p += 1
+        line = raw[p : p + nrow]
+        p += nrow
+        cur = [0] * nrow
+        for i in range(nrow):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            x = line[i]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x + a
+            elif f == 2:
+                v = x + b
+            elif f == 3:
+                v = x + (a + b) // 2
+            elif f == 4:
+                v = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"PNG filter {f}")
+            cur[i] = v & 0xFF
+        out[y] = cur
+        prev = cur
+    return out, p
+
+
+def _rows_to_luma(rows, wp: int, hp: int, nch: int, depth: int, ctype: int, plte):
+    """Collapse unfiltered raster rows (hp, wp*nch*depth/8 bytes) to an
+    (hp, wp) uint8 luma grid: BT.601 integer luma for color, palette
+    lookup for indexed, high-byte collapse for 16-bit (luma computed at
+    full 16-bit precision first)."""
+    if depth == 16:
+        s = rows.reshape(hp, wp, nch, 2).astype(np.int64)
+        px = (s[..., 0] << 8) | s[..., 1]
+    else:
+        px = rows.reshape(hp, wp, nch).astype(np.int64)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of PLTE range")
+        rgb = pal[idx]
+        g = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+    elif ctype in (0, 4):
+        g = px[..., 0]
+    else:
+        g = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    if depth == 16:
+        g >>= 8
+    return g.astype(np.uint8)
+
+
 def _decode_png(content: bytes) -> tuple[int, int, bytes]:
-    """Pure-Python PNG decoder on stdlib zlib — no PIL: 8-bit depth,
-    color types 0 (gray), 2 (RGB), 3 (palette, via the PLTE chunk),
-    4 (gray+alpha), 6 (RGBA), non-interlaced, all five scanline filters
-    (None/Sub/Up/Average/Paeth). Alpha drops; RGB — direct or through
-    the palette lookup — collapses with the same BT.601 integer luma as
-    the netpbm path. Interlaced (Adam7) and 16-bit images stay beyond
-    the boundary (NotImplementedError). The per-pixel unfilter loop is
-    Python — fine for fixture-scale images; a PIL deployment takes the
-    fast path in _decode_one first."""
+    """Pure-Python PNG decoder on stdlib zlib — no PIL: 8- and 16-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette, via the PLTE
+    chunk), 4 (gray+alpha), 6 (RGBA), non-interlaced AND Adam7
+    interlaced, all five scanline filters (None/Sub/Up/Average/Paeth).
+    Alpha drops; RGB — direct or through the palette lookup — collapses
+    with the same BT.601 integer luma as the netpbm path (16-bit luma is
+    computed at full precision, then high-byte collapsed). Sub-byte
+    depths (1/2/4-bit) stay beyond the boundary (NotImplementedError).
+    The per-pixel unfilter loop is Python — fine for fixture-scale
+    images; a PIL deployment takes the fast path in _decode_one first."""
     import zlib
 
     if content[:8] != PNG_MAGIC:
@@ -346,11 +431,16 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0 or (ctype not in _PNG_NCH and ctype != 3):
+    if (
+        depth not in (8, 16)
+        or interlace not in (0, 1)
+        or (ctype not in _PNG_NCH and ctype != 3)
+        or (ctype == 3 and depth == 16)  # spec: palette depth <= 8
+    ):
         raise NotImplementedError(
             f"PNG depth={depth} colortype={ctype} interlace={interlace}:"
-            " outside the pure-Python boundary (8-bit, non-interlaced,"
-            " gray/RGB/palette/alpha only)"
+            " outside the pure-Python boundary (8/16-bit,"
+            " none/Adam7-interlaced, gray/RGB/palette/alpha only)"
         )
     if ctype == 3:
         if plte is None or len(plte) % 3:
@@ -358,52 +448,28 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
         nch = 1  # each raster byte is a palette index
     else:
         nch = _PNG_NCH[ctype]
+    bpp = nch * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = [0] * stride
-    p = 0
-    for y in range(h):
-        f = raw[p]
-        p += 1
-        line = raw[p : p + stride]
-        p += stride
-        cur = [0] * stride
-        for i in range(stride):
-            a = cur[i - nch] if i >= nch else 0
-            b = prev[i]
-            c = prev[i - nch] if i >= nch else 0
-            x = line[i]
-            if f == 0:
-                v = x
-            elif f == 1:
-                v = x + a
-            elif f == 2:
-                v = x + b
-            elif f == 3:
-                v = x + (a + b) // 2
-            elif f == 4:
-                v = x + _paeth(a, b, c)
-            else:
-                raise ValueError(f"PNG filter {f}")
-            cur[i] = v & 0xFF
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h * w, nch).astype(np.int64)
-    if ctype == 3:
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
-        idx = px[:, 0]
-        if int(idx.max(initial=0)) >= len(pal):
-            raise ValueError("palette index out of PLTE range")
-        rgb = pal[idx]
-        g = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
-    elif ctype in (0, 4):
-        g = px[:, 0]
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG raster size mismatch")
+        rows, _ = _unfilter(raw, 0, w * bpp, h, bpp)
+        g = _rows_to_luma(rows, w, h, nch, depth, ctype, plte)
     else:
-        g = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]) // 1000
-    return w, h, g.astype(np.uint8).tobytes()
+        g = np.zeros((h, w), dtype=np.uint8)
+        p = 0
+        for x0, y0, xs, ys in ADAM7:
+            wp = (w - x0 + xs - 1) // xs
+            hp = (h - y0 + ys - 1) // ys
+            if wp <= 0 or hp <= 0:
+                continue
+            rows, p = _unfilter(raw, p, wp * bpp, hp, bpp)
+            g[y0:h:ys, x0:w:xs] = _rows_to_luma(
+                rows, wp, hp, nch, depth, ctype, plte
+            )
+        if p != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    return w, h, g.tobytes()
 
 
 # Color type per media_id % 5: gray, RGB, gray+alpha, RGBA, palette.
@@ -416,14 +482,28 @@ PNG_PAL_SIZE = 64
 PNG_PAL_SEED_OFF = 9973
 
 
-def fake_png(width: int, height: int, seed: int, ctype: int = 2) -> bytes:
+def fake_png(
+    width: int,
+    height: int,
+    seed: int,
+    ctype: int = 2,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
     """Deterministic REAL PNG file from the shared LCG value stream. Rows
     cycle through all five filter types (y % 5) so every unfilter branch
     is exercised; chunks carry correct CRCs, so any PNG reader opens
     these. ctype 3 emits an indexed-color image with a {PNG_PAL_SIZE}-
-    entry PLTE chunk."""
+    entry PLTE chunk. depth=16 draws two LCG bytes per sample
+    (big-endian); interlace=1 emits the Adam7 pass order, each pass
+    independently filtered (filter cycling restarts per pass). Default
+    (8, 0) output is byte-identical to the pre-r8 encoder — golden
+    fixtures do not move."""
     import zlib
 
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise ValueError(f"fake_png: unsupported depth={depth} ctype={ctype}")
+    bps = depth // 8
     plte = b""
     if ctype == 3:
         nch = 1
@@ -433,37 +513,56 @@ def fake_png(width: int, height: int, seed: int, ctype: int = 2) -> bytes:
         )
     else:
         nch = _PNG_NCH[ctype]
-        vals = netpbm_values(width, height * nch, seed, 1, 255)  # w*h*nch
-    stride = width * nch
+        vals = netpbm_values(width, height * nch * bps, seed, 1, 255)
+    bpp = nch * bps
+    stride = width * bpp
     rowsrc = [vals[y * stride : (y + 1) * stride] for y in range(height)]
-    filtered = bytearray()
-    prev = [0] * stride
-    for y, row in enumerate(rowsrc):
-        f = y % 5
-        filtered.append(f)
-        for i in range(stride):
-            a = row[i - nch] if i >= nch else 0
-            b = prev[i]
-            c = prev[i - nch] if i >= nch else 0
-            x = row[i]
-            if f == 0:
-                v = x
-            elif f == 1:
-                v = x - a
-            elif f == 2:
-                v = x - b
-            elif f == 3:
-                v = x - (a + b) // 2
-            else:
-                v = x - _paeth(a, b, c)
-            filtered.append(v & 0xFF)
-        prev = row
+
+    def filter_rows(rows: list) -> bytearray:
+        out = bytearray()
+        prev = [0] * len(rows[0])
+        for y, row in enumerate(rows):
+            f = y % 5
+            out.append(f)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                x = row[i]
+                if f == 0:
+                    v = x
+                elif f == 1:
+                    v = x - a
+                elif f == 2:
+                    v = x - b
+                elif f == 3:
+                    v = x - (a + b) // 2
+                else:
+                    v = x - _paeth(a, b, c)
+                out.append(v & 0xFF)
+            prev = row
+        return out
+
+    if interlace == 0:
+        filtered = filter_rows(rowsrc)
+    else:
+        filtered = bytearray()
+        for x0, y0, xs, ys in ADAM7:
+            sub = []
+            for y in range(y0, height, ys):
+                r = []
+                for x in range(x0, width, xs):
+                    r.extend(rowsrc[y][x * bpp : (x + 1) * bpp])
+                if r:
+                    sub.append(r)
+            if sub:
+                filtered += filter_rows(sub)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(typ + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, interlace)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -487,6 +586,37 @@ def png_media_table(
                 "image",
                 bytearray(fake_png(width, height, seed=i, ctype=ctype)),
                 ("image/png", f"mem://png/{i}.png"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# JPEG layout per media_id % 4: gray, 4:4:4, 4:2:0, 4:2:0 + restart
+# markers every 2 MCUs.
+JPEG_CYCLE = (
+    {"gray": True},
+    {"subsample": 1},
+    {"subsample": 2},
+    {"subsample": 2, "restart_interval": 2},
+)
+
+
+def jpeg_media_table(
+    spark, n: int = 12, width: int = 24, height: int = 17
+) -> DataFrame:
+    """Deterministic media table of REAL baseline JPEG payloads cycling
+    through JPEG_CYCLE layouts by media_id (operators/jpeg.py)."""
+    from gtec_etl_spark.operators.jpeg import fake_jpeg
+
+    rows = []
+    for i in range(n):
+        kw = JPEG_CYCLE[i % len(JPEG_CYCLE)]
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(fake_jpeg(width, height, seed=i, **kw)),
+                ("image/jpeg", f"mem://jpeg/{i}.jpg"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -52,13 +52,20 @@ def test_frame_sample_expands_rows(spark):
 
 
 def test_stub_boundary_raises_on_real_formats(spark):
-    # JPEG (DCT-compressed) is the boundary now that netpbm AND png decode
-    # dependency-free; a JFIF header must still hit the PIL-or-error stub.
-    fake_jpeg = bytearray(b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 64)
-    media = spark.createDataFrame(
-        [(1, "image", fake_jpeg, ("image/jpeg", "mem://x"))], M.MEDIA_SCHEMA
+    # r8: baseline JPEG decodes dependency-free; PROGRESSIVE (SOF2) is
+    # the boundary now and must surface the NotImplementedError through
+    # the Arrow pipeline, not garbage pixels.
+    import struct
+
+    sof2 = bytearray(
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 4, 4) + bytes([1, 1, 0x11, 0])
     )
-    with pytest.raises(PythonException, match="NotImplementedError|FAKEIMG"):
+    media = spark.createDataFrame(
+        [(1, "image", sof2, ("image/jpeg", "mem://x"))], M.MEDIA_SCHEMA
+    )
+    with pytest.raises(PythonException, match="NotImplementedError|SOF2"):
         M.decode_image(media).collect()
 
 
@@ -172,13 +179,154 @@ def test_png_boundary_rejects_unsupported():
             + struct.pack(">I", crc)
         )
 
-    for depth, ctype, interlace in ((16, 2, 0), (8, 2, 1)):
+    # r8: 16-bit and Adam7 moved INSIDE the boundary; what remains out
+    # is sub-byte depth and the spec-invalid 16-bit palette.
+    for depth, ctype, interlace in ((4, 0, 0), (1, 3, 0), (16, 3, 0), (8, 2, 2)):
         with pytest.raises(NotImplementedError):
             M._decode_png(png_with_ihdr(depth, ctype, interlace))
-    # Palette is now INSIDE the boundary — but a palette image without
+    # Palette is INSIDE the boundary — but a palette image without
     # its PLTE chunk is malformed, not unsupported.
     with pytest.raises(ValueError):
         M._decode_png(png_with_ihdr(8, 3, 0))
+
+
+def test_png_16bit_roundtrip():
+    """16-bit rasters: filters operate BYTEWISE with the doubled pixel
+    stride; luma is computed at full 16-bit precision then high-byte
+    collapsed — verified against the raw LCG byte stream without any
+    codec."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    for ctype in (0, 2, 4, 6):
+        w, h, seed = 21, 17, 50 + ctype
+        dw, dh, gray = M._decode_png(
+            M.fake_png(w, h, seed, ctype, depth=16)
+        )
+        assert (dw, dh) == (w, h)
+        nch = M._PNG_NCH[ctype]
+        raw = np.array(
+            M.netpbm_values(w, h * nch * 2, seed, 1, 255), dtype=np.int64
+        ).reshape(h * w, nch, 2)
+        v16 = (raw[:, :, 0] << 8) | raw[:, :, 1]
+        want = (
+            v16[:, 0]
+            if ctype in (0, 4)
+            else (299 * v16[:, 0] + 587 * v16[:, 1] + 114 * v16[:, 2]) // 1000
+        ) >> 8
+        got = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+        assert (got == want).all()
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: seven independently-filtered passes scattered back into
+    the full grid must reproduce exactly the image the non-interlaced
+    encoding of the SAME pixel stream decodes to — including edge sizes
+    where some passes are empty (1x1, 3x2, 8x8, 9x10)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    for w, h in ((1, 1), (3, 2), (8, 8), (9, 10), (23, 19)):
+        for ctype in (0, 2, 3, 6):
+            seed = 7 * w + h + ctype
+            plain = M._decode_png(M.fake_png(w, h, seed, ctype))
+            inter = M._decode_png(M.fake_png(w, h, seed, ctype, interlace=1))
+            assert plain == inter, (w, h, ctype)
+
+
+def test_png_16bit_adam7_combined():
+    """Depth 16 AND interlace together (the stride math compounds)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    for w, h in ((5, 3), (16, 11)):
+        plain = M._decode_png(M.fake_png(w, h, 9, 2, depth=16))
+        inter = M._decode_png(M.fake_png(w, h, 9, 2, depth=16, interlace=1))
+        assert plain == inter
+
+
+def test_jpeg_roundtrip_near_lossless_all_layouts():
+    """q=1 (flat DC 1 / AC 2 quant) keeps the DCT round-trip within +-2
+    of the source LCG plane for every layout — gray, 4:4:4, 4:2:0, and
+    4:2:0 with restart markers (which also exercises DC-predictor
+    resets and run resplitting)."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import jpeg as J
+    from gtec_etl_spark.operators import multimodal as M
+
+    w, h, seed = 24, 17, 42
+    want = np.array(
+        M.netpbm_values(w, h, seed, 1, 255), dtype=np.int64
+    ).reshape(h, w)
+    for kw in M.JPEG_CYCLE:
+        dw, dh, luma = J.decode_jpeg(J.fake_jpeg(w, h, seed, **kw))
+        assert (dw, dh) == (w, h)
+        got = np.frombuffer(luma, dtype=np.uint8).astype(np.int64).reshape(h, w)
+        assert np.abs(got - want).max() <= 2, kw
+
+
+def test_jpeg_lossy_quality_degrades_gracefully():
+    """Higher quant scale stays decodable and close-ish (sanity that the
+    size-category/entropy paths hold for larger coefficients too)."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import jpeg as J
+    from gtec_etl_spark.operators import multimodal as M
+
+    w, h, seed = 16, 16, 7
+    want = np.array(
+        M.netpbm_values(w, h, seed, 1, 255), dtype=np.int64
+    ).reshape(h, w)
+    _, _, luma = J.decode_jpeg(J.fake_jpeg(w, h, seed, gray=True, q=8))
+    got = np.frombuffer(luma, dtype=np.uint8).astype(np.int64).reshape(h, w)
+    assert np.abs(got - want).mean() < 16
+
+
+def test_jpeg_boundary_rejects_progressive():
+    """SOF2 (progressive) raises NotImplementedError, not garbage."""
+    import struct
+
+    import pytest
+
+    from gtec_etl_spark.operators import jpeg as J
+
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", 4, 4)
+        + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(sof2)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_odd_sizes_and_edge_padding():
+    """Non-multiple-of-8 (and of-16 for 4:2:0) dimensions: the decoder
+    crops the padded MCU grid back to the declared size, and in-crop
+    pixels of edge blocks (whose DCT saw replicated padding) still
+    round-trip within the q=1 bound."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import jpeg as J
+    from gtec_etl_spark.operators import multimodal as M
+
+    for w, h in ((1, 1), (7, 5), (9, 9), (17, 23)):
+        want = np.array(
+            M.netpbm_values(w, h, 3, 1, 255), dtype=np.int64
+        ).reshape(h, w)
+        for kw in ({"gray": True}, {"subsample": 2}):
+            dw, dh, luma = J.decode_jpeg(J.fake_jpeg(w, h, 3, **kw))
+            assert (dw, dh) == (w, h)
+            got = (
+                np.frombuffer(luma, dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(h, w)
+            )
+            assert np.abs(got - want).max() <= 2, (w, h, kw)
 
 
 def test_wav_roundtrip_vs_stdlib_wave():
