@@ -497,6 +497,49 @@ def stream_dedup_admission(spark, sf_dir):
 
 
 @query(
+    "mm_decode_jpeg",
+    oracle=f"""
+    SELECT media_id, layout, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_jpeg.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_jpeg(spark, sf_dir):
+    """DCT-compressed real image format through the media pipeline with
+    no image library: deterministic baseline JPEG files (grayscale /
+    4:4:4 / 4:2:0 / 4:2:0-with-restart-markers, cycling by media_id)
+    decoded by the pure numpy/stdlib SOF0 decoder (operators/jpeg.py:
+    segment parse, canonical Huffman from the file's own DHT,
+    byte-unstuffed entropy runs, dequant + IDCT) inside the Arrow-
+    batched mapInPandas pass — round 8 closes the last declared codec
+    frontier (r6 netpbm -> r6 PNG -> r7 palette -> r8 16-bit/Adam7 PNG
+    + JPEG). The remaining NotImplementedError boundary is progressive
+    (SOF2) / arithmetic / 12-bit JPEG and sub-byte PNG. Oracle = golden
+    fixture recomputing the lossy DCT math in pure numpy WITHOUT the
+    codec's bitstream layer (tools/make_multimodal_golden.py:
+    decode_jpeg_golden), so Huffman/stuffing/restart handling is what
+    the hash gate actually checks."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.jpeg_media_table(spark, n=12, width=24, height=17)
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % len(M.JPEG_CYCLE)).cast("long").alias("layout"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_decode_png",
     oracle=f"""
     SELECT media_id, color_type, width, height, n_pixels, mean_intensity
@@ -512,9 +555,10 @@ def mm_decode_png(spark, sf_dir):
     by the pure-stdlib zlib decoder
     (operators/multimodal.py:_decode_png) inside the Arrow-batched
     mapInPandas pass — round-6 extended the codec boundary past the
-    uncompressed netpbm family, round-7 past indexed color;
-    NotImplementedError now remains only for 16-bit/interlaced PNG and
-    DCT formats (JPEG). Oracle = golden fixture recomputed independently
+    uncompressed netpbm family, round-7 past indexed color, round-8
+    past 16-bit depth and Adam7 interlacing (and past JPEG entirely,
+    see mm_decode_jpeg); NotImplementedError now remains only for
+    sub-byte PNG depths. Oracle = golden fixture recomputed independently
     from the LCG value stream WITHOUT the encoder or decoder
     (tools/make_multimodal_golden.py:decode_png_golden)."""
     from pyspark.sql import functions as F

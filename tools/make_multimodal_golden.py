@@ -189,6 +189,66 @@ def decode_png_golden(n: int = 12, width: int = 23, height: int = 19) -> pa.Tabl
     return pa.Table.from_pylist(rows)
 
 
+def decode_jpeg_golden(n: int = 12, width: int = 24, height: int = 17) -> pa.Table:
+    """Expected output of mm_decode_jpeg. The entropy layer (markers,
+    Huffman, byte stuffing, restart intervals) is what the query tests,
+    so the golden recomputes the LOSSY math only — LCG luma plane ->
+    edge-replicated pad to the MCU grid -> per-block orthonormal DCT ->
+    flat quant round-trip (rint(c/q)*q, DC 1 / AC 2) -> IDCT -> crop ->
+    rint+clip — without touching the codec module's bitstream reader or
+    writer. Layout cycle mirrors JPEG_CYCLE: gray, 4:4:4, 4:2:0,
+    4:2:0+DRI — chroma never reaches the luma output, so only the MCU
+    geometry (8 vs 16) differs across layouts."""
+    T = np.zeros((8, 8))
+    for k in range(8):
+        for m in range(8):
+            c = (1 / np.sqrt(2)) if k == 0 else 1.0
+            T[k, m] = 0.5 * c * np.cos((2 * m + 1) * k * np.pi / 16)
+    qtab = np.full((8, 8), 2.0)
+    qtab[0, 0] = 1.0
+    # mcu luma tile size per JPEG_CYCLE index: gray/444 -> 8, 4:2:0 -> 16
+    tile_of = (8, 8, 16, 16)
+
+    def lcg(seed: int, count: int) -> np.ndarray:
+        x = (seed * 2654435761) % (2**32)
+        vals = np.empty(count, dtype=np.float64)
+        for i in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % 256
+        return vals
+
+    rows = []
+    for mid in range(n):
+        tile = tile_of[mid % 4]
+        pw = -(-width // tile) * tile
+        ph = -(-height // tile) * tile
+        plane = lcg(mid, width * height).reshape(height, width)
+        pad = np.zeros((ph, pw))
+        pad[:height, :width] = plane
+        if width < pw:
+            pad[:height, width:] = plane[:, -1:]
+        if height < ph:
+            pad[height:, :] = pad[height - 1 : height, :]
+        recon = np.zeros_like(pad)
+        for r0 in range(0, ph, 8):
+            for c0 in range(0, pw, 8):
+                blk = pad[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                coef = np.rint((T @ blk @ T.T) / qtab) * qtab
+                recon[r0 : r0 + 8, c0 : c0 + 8] = T.T @ coef @ T + 128.0
+        g = np.clip(np.rint(recon[:height, :width]), 0, 255).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": mid,
+                "layout": mid % 4,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(g.reshape(-1).mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def decode_wav_golden(
     n: int = 12, n_frames: int = 480, sample_rate: int = 8000
 ) -> pa.Table:
@@ -292,6 +352,9 @@ def main() -> None:
     )
     pq.write_table(
         decode_png_golden(), os.path.join(OUT_DIR, "mm_decode_png.parquet")
+    )
+    pq.write_table(
+        decode_jpeg_golden(), os.path.join(OUT_DIR, "mm_decode_jpeg.parquet")
     )
     pq.write_table(
         decode_wav_golden(), os.path.join(OUT_DIR, "mm_decode_wav.parquet")
