@@ -352,3 +352,158 @@ def sketch_hll_distinct(spark, sf_dir):
         .cast("long")
         .alias("est_n"),
     )
+
+
+
+# Bloom-filter geometry: BLOOM_M bits as BLOOM_M/32 32-bit words (32-bit
+# words keep every shifted bit positive in both engines' signed int64),
+# BLOOM_K probe positions per key from the same universal-hash mixing
+# family as the CMS rows — one md5 per DISTINCT key, integer mixing after.
+BLOOM_M, BLOOM_K = 8192, 3
+BLOOM_PARAMS = minhash_params(BLOOM_K)
+_BLOOM_VALUES = ", ".join(
+    f"({ki}, {a}, {b})" for ki, (a, b) in enumerate(BLOOM_PARAMS)
+)
+
+
+@query(
+    "sketch_bloom_join",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    bh AS (SELECT k, {hash60_sql("CAST(k AS VARCHAR)")} AS h FROM build),
+    words AS (
+      SELECT p // 32 AS wi,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                  AS BIGINT) AS w
+      FROM (
+        SELECT ((d.a * (bh.h % {MINHASH_P}) + d.b) % {MINHASH_P})
+                 % {BLOOM_M} AS p
+        FROM bh, (VALUES {_BLOOM_VALUES}) d(ki, a, b)
+      ) GROUP BY 1
+    ),
+    pk AS (
+      SELECT k, {hash60_sql("CAST(k AS VARCHAR)")} AS h
+      FROM (SELECT DISTINCT o_custkey AS k FROM orders)
+    ),
+    ppos AS (
+      SELECT pk.k,
+             ((d.a * (pk.h % {MINHASH_P}) + d.b) % {MINHASH_P})
+               % {BLOOM_M} AS p
+      FROM pk, (VALUES {_BLOOM_VALUES}) d(ki, a, b)
+    ),
+    key_pass AS (
+      SELECT ppos.k,
+             CAST(min(CASE WHEN (COALESCE(w.w, 0)
+                                 >> CAST(ppos.p % 32 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS pass
+      FROM ppos LEFT JOIN words w ON w.wi = ppos.p // 32
+      GROUP BY ppos.k
+    ),
+    labeled AS (
+      SELECT o.o_orderkey, kp.pass,
+             CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS true_match
+      FROM orders o
+      JOIN key_pass kp ON kp.k = o.o_custkey
+      LEFT JOIN build b ON b.k = o.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(pass) AS BIGINT) AS n_pass_bloom,
+           CAST(sum(true_match) AS BIGINT) AS n_true_match,
+           CAST(sum(pass) - sum(true_match) AS BIGINT) AS n_false_pos
+    FROM labeled
+    """,
+    tags=("sketch", "scale"),
+)
+def sketch_bloom_join(spark, sf_dir):
+    """Bloom-filter semi-join pruning — the runtime-filter pattern every
+    distributed engine uses to cut shuffle volume on selective joins,
+    made explicit and deterministic: the build side (BUILDING-segment
+    customer keys) folds into a {BLOOM_M}-bit filter stored as
+    {BLOOM_M // 32} 32-bit words; every probe-side orders row is checked
+    against the filter's {BLOOM_K} positions BEFORE any exact match.
+    Output is the pruning contract itself, hash-gated: probe rows, bloom
+    passers, true matches, and false positives (the bloom guarantee: no
+    false NEGATIVES, so n_pass >= n_true always — and the FP count is
+    bit-identical cross-engine because the hash60/mixing family is).
+
+    Plan: one md5 per DISTINCT key on each side (the CMS r8 lesson —
+    never per occurrence); the word table is an aggregate over a domain
+    bounded by {BLOOM_M // 32} regardless of corpus, broadcast into
+    {BLOOM_K} probe-side lookups; the per-key verdict then joins back to
+    orders on the key. Spark's own runtime bloom (session.py pins
+    creationSideThreshold) does this adaptively; this operator is the
+    portable, oracle-checkable form.
+
+    Scale: filter state is {BLOOM_M} bits REGARDLESS of build-side row
+    count (size m to keys/10 bits for ~1% FP at scale); words OR-merge
+    across shards (a monoid, like every sketch here). At 100 TB the win
+    is shipping 1 KB instead of shuffling the probe side: only bloom
+    passers reach the exact join."""
+    cust = catalog.table(spark, sf_dir, "customer")
+    orders = catalog.table(spark, sf_dir, "orders")
+    build = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bh = build.select("k", hash60(F.col("k").cast("string")).alias("h"))
+    pos_cols = [
+        (minhash_perm(F.col("h"), a, b) % BLOOM_M).alias(f"p{ki}")
+        for ki, (a, b) in enumerate(BLOOM_PARAMS)
+    ]
+    words = (
+        bh.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .groupBy((F.col("p") / 32).cast("long").alias("wi"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+            ).alias("w")
+        )
+    )
+    pk = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .select("k", hash60(F.col("k").cast("string")).alias("h"))
+    )
+    probe_pos = pk.select(
+        "k", F.posexplode(F.array(*pos_cols)).alias("ki", "p")
+    )
+    key_pass = (
+        probe_pos.join(
+            F.broadcast(words),
+            (F.col("p") / 32).cast("long") == F.col("wi"),
+            "left",
+        )
+        .select(
+            "k",
+            F.when(
+                F.expr(
+                    "(shiftright(COALESCE(w, 0), CAST(p % 32 AS INT)) & 1) = 1"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("bit_set"),
+        )
+        .groupBy("k")
+        .agg(F.min("bit_set").cast("long").alias("pass"))
+    )
+    labeled = (
+        orders.select(F.col("o_custkey").alias("k"), "o_orderkey")
+        .join(key_pass, "k")
+        .join(
+            build.select(F.col("k"), F.lit(1).alias("tm")),
+            "k",
+            "left",
+        )
+        .select("pass", F.coalesce(F.col("tm"), F.lit(0)).alias("true_match"))
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum("pass").cast("long").alias("n_pass_bloom"),
+        F.sum("true_match").cast("long").alias("n_true_match"),
+        (F.sum("pass") - F.sum("true_match")).cast("long").alias("n_false_pos"),
+    )

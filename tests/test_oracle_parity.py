@@ -64,6 +64,7 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "sim_pq_adc_topk": "M*K-row PQ codebook (fixed M,K) + M*K-row query LUT",
     "sim_pq_trained_codebook": "M*K-row trained codebook (fixed M,K)",
     "sim_ivfpq_adc_topk": "K centroids + M*K residual codebook (fixed) + query LUT",
+    "sketch_bloom_join": "bitmap words keyed by position>>5 — fixed BLOOM_M/32 = 256 rows regardless of build-side size",
     "sketch_cms_heavy_hitters": "CMS grid keyed by (row, col mod W) — fixed D*W cells",
     "text_bm25_topk": "idf restricted to the fixed literal query-term set",
     "text_data_card": "per-source/lang summary — fixed enum key domain",
