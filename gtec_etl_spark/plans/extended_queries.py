@@ -1010,3 +1010,82 @@ def q46_dormant_rich_customers(spark, sf_dir):
         )
         .orderBy("nation_id")
     )
+
+
+INC_JOIN_DIM_MOD = 17  # c_custkey % MOD == 3 plays the late-arriving dim delta
+
+
+@query(
+    "etl_incremental_join",
+    oracle=f"""
+    SELECT c.c_nationkey AS nation_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate < DATE '{INC_AGG_END}'
+    GROUP BY 1 ORDER BY nation_id
+    """,
+    tags=("incremental", "etl", "scale"),
+)
+def etl_incremental_join(spark, sf_dir):
+    """Incremental JOIN-view maintenance — the delta-join algebra that
+    keeps a materialized A JOIN B current without rescanning it:
+      (A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ (A∪ΔA)⋈ΔB.
+    Here A = orders before {INC_AGG_CUT} (the stored view's fact side),
+    ΔA = the [{INC_AGG_CUT}, {INC_AGG_END}) date window, B = the
+    customer dimension without the 1/{INC_JOIN_DIM_MOD} late-arriving
+    slice, ΔB = that slice. Each of the three terms contributes PARTIAL
+    per-nation aggregates (count + integer cents, the float-parity
+    discipline), merged by the same monoid re-aggregation as
+    etl_incremental_agg — extending incremental maintenance from
+    single-table aggregates to joins. The oracle is the FULL recompute
+    of (A∪ΔA)⋈(B∪ΔB), so the hash gate proves the delta algebra
+    equals the rescan.
+
+    Scale: ΔA is date-partition-pruned; ΔB is dimension-delta-sized and
+    its term joins the full fact side — the one genuinely expensive
+    term, and exactly the cost any engine pays when a dim row arrives
+    late (mitigations at 100 TB: key-bucketed fact layout so the ΔB keys
+    prune file groups, or an AQE-chosen broadcast of the small ΔB —
+    both sides here are unhinted, corpus-scaled). The stored A⋈B term
+    stands in for reading the materialized view's own partials; nothing
+    rescans history twice."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    cust = catalog.table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    a_old = orders.filter(F.col("o_orderdate") < INC_AGG_CUT)
+    a_delta = orders.filter(
+        (F.col("o_orderdate") >= INC_AGG_CUT)
+        & (F.col("o_orderdate") < INC_AGG_END)
+    )
+    a_new = orders.filter(F.col("o_orderdate") < INC_AGG_END)
+    is_dim_delta = F.col("c_custkey") % INC_JOIN_DIM_MOD == 3
+    b_old = cust.filter(~is_dim_delta)
+    b_delta = cust.filter(is_dim_delta)
+
+    def partial(o, c):
+        return (
+            o.select(F.col("o_custkey").alias("c_custkey"), cents.alias("cents"))
+            .join(c.select("c_custkey", "c_nationkey"), "c_custkey")
+            .groupBy(F.col("c_nationkey").alias("nation_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("total_cents"),
+            )
+        )
+
+    stored = partial(a_old, b_old)       # the materialized view's partials
+    t_fact = partial(a_delta, b_old)     # ΔA ⋈ B
+    t_dim = partial(a_new, b_delta)      # (A ∪ ΔA) ⋈ ΔB
+    return (
+        stored.unionByName(t_fact)
+        .unionByName(t_dim)
+        .groupBy("nation_id")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("nation_id")
+    )
