@@ -148,6 +148,11 @@ QUERIES = [
     # Round-8: HyperLogLog distinct — constant 256-register state, the
     # curve should be scan-bound like the other sketches.
     "sketch_hll_distinct",
+    # Round-8: bloom semi-join pruning (256-word filter, one md5 per
+    # distinct key per side) and delta-join view maintenance (three
+    # partial-aggregate join terms; cost ~ deltas + one fact-side pass).
+    "sketch_bloom_join",
+    "etl_incremental_join",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
