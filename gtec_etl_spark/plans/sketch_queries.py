@@ -507,3 +507,260 @@ def sketch_bloom_join(spark, sf_dir):
         F.sum("true_match").cast("long").alias("n_true_match"),
         (F.sum("pass") - F.sum("true_match")).cast("long").alias("n_false_pos"),
     )
+
+
+KMV_K = 256  # k-minimum-values sketch size
+_H60_SPACE = float(1 << 60)  # hash60 value space, as the repr-embedded literal
+
+
+@query(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE year(o_orderdate) = 1996
+    ),
+    b AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE year(o_orderdate) = 1997
+    ),
+    ah AS (SELECT k, {hash60_sql("CAST(k AS VARCHAR)")} AS h FROM a),
+    bh AS (SELECT k, {hash60_sql("CAST(k AS VARCHAR)")} AS h FROM b),
+    uh AS (SELECT k, h FROM (SELECT * FROM ah UNION SELECT * FROM bh)),
+    sk AS (SELECT k, h FROM uh ORDER BY h LIMIT {KMV_K}),
+    kth AS (
+      SELECT CAST(max(h) AS BIGINT) AS kth, CAST(count(*) AS BIGINT) AS n
+      FROM sk
+    ),
+    rho AS (
+      SELECT CAST(count(*) AS BIGINT) AS rho FROM sk
+      WHERE k IN (SELECT k FROM a) AND k IN (SELECT k FROM b)
+    ),
+    est AS (
+      SELECT CASE WHEN n < {KMV_K} THEN n
+             ELSE CAST(floor(({KMV_K} - 1) * {_H60_SPACE!r}
+                             / CAST(kth AS DOUBLE) + 0.5) AS BIGINT)
+             END AS est_union
+      FROM kth
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT k FROM a INTERSECT SELECT k FROM b)) AS exact_inter,
+           (SELECT CAST(count(*) AS BIGINT) FROM uh) AS exact_union,
+           e.est_union AS est_union,
+           CAST(r.rho * e.est_union // {KMV_K} AS BIGINT) AS est_inter
+    FROM est e CROSS JOIN rho r
+    """,
+    tags=("sketch", "scale"),
+)
+def sketch_kmv_set_ops(spark, sf_dir):
+    """K-minimum-values set-operation sketch (Beyer et al. / theta-sketch
+    family): the {KMV_K} smallest hash60 values of a key set estimate its
+    cardinality as (k-1)*HASH_SPACE/kth_min — and, unlike HLL, KMV
+    sketches COMPOSE across set algebra: the union sketch is the k
+    smallest of the merged sketches, and intersection follows from the
+    inclusion fraction rho/k of union-sketch members present in both
+    sides. Estimated here: customers active in 1996 vs 1997 — exact
+    |A|, |B|, |A∩B|, |A∪B| reported alongside so the sketch error is
+    itself hash-checked (the family discipline).
+
+    Cross-engine exactness: hashes are the deterministic hash60 family;
+    the k-smallest set is an ORDER BY h LIMIT k (TakeOrderedAndProject —
+    distributed per-partition top-k, no global sort); the single
+    float step (k-1)*2^60/kth is one multiply-divide on identical
+    operands quantized immediately (kth < 2^60 casts to double with
+    IEEE round-to-even identically in both engines); the intersection
+    estimate rho*est_union/k is then pure integer arithmetic. Exact
+    small-set regime (n < k: the sketch IS the set) branches on an
+    integer compare.
+
+    Scale: sketch state is {KMV_K} (hash, key) pairs per set REGARDLESS
+    of cardinality; shard sketches merge by union-then-keep-k-smallest
+    (a monoid — same merge story as every sketch here); membership
+    provenance (which side a union-sketch member came from) is two
+    semi-joins against the key sets, each probing only {KMV_K} rows.
+    This is the sketch to reach for when the question is overlap —
+    train/eval leakage rates, cross-snapshot churn — not just counts."""
+    orders = catalog.table(spark, sf_dir, "orders")
+
+    def keys(year):
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    a, b = keys(1996), keys(1997)
+
+    def hashed(df):
+        return df.select("k", hash60(F.col("k").cast("string")).alias("h"))
+
+    uh = hashed(a).unionByName(hashed(b)).distinct()
+    sk = uh.orderBy("h").limit(KMV_K)
+    kth = sk.agg(
+        F.max("h").cast("long").alias("kth"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rho = (
+        sk.join(a, "k", "left_semi")
+        .join(b, "k", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    est = kth.select(
+        F.when(F.col("n") < KMV_K, F.col("n"))
+        .otherwise(
+            F.floor(
+                F.lit(float(KMV_K - 1))
+                * F.lit(_H60_SPACE)
+                / F.col("kth").cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("est_union")
+    )
+    exact_a = a.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+    exact_b = b.agg(F.count(F.lit(1)).cast("long").alias("exact_b"))
+    exact_inter = (
+        a.join(b, "k", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    exact_union = uh.agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+    return (
+        exact_a.crossJoin(exact_b)
+        .crossJoin(exact_inter)
+        .crossJoin(exact_union)
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(rho))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            "exact_union",
+            "est_union",
+            F.expr(f"CAST(rho * est_union div {KMV_K} AS BIGINT)").alias(
+                "est_inter"
+            ),
+        )
+    )
+
+
+SQ_B = 8          # number of range buckets (boundaries 1..B-1 emitted)
+SQ_MOD, SQ_HIT = 1000, 20  # deterministic 2% Bernoulli sample by key hash
+
+
+@query(
+    "sketch_sampled_quantiles",
+    oracle=f"""
+    WITH vals AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    n_full AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    samp AS (
+      SELECT k, cents FROM vals
+      WHERE {hash60_sql("CAST(k AS VARCHAR)")} % {SQ_MOD} < {SQ_HIT}
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM samp),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, k) AS rn FROM samp
+    ),
+    bounds AS (
+      SELECT i.i AS i, r.cents AS bound_cents
+      FROM (SELECT unnest(generate_series(1, {SQ_B - 1})) AS i) i
+      JOIN ns ON TRUE
+      JOIN ranked r ON r.rn = (i.i * ns.n) // {SQ_B}
+    ),
+    audit AS (
+      SELECT b.i, b.bound_cents,
+             CAST(sum(CASE WHEN v.cents <= b.bound_cents
+                      THEN 1 ELSE 0 END) AS BIGINT) AS full_rank
+      FROM bounds b CROSS JOIN vals v
+      GROUP BY b.i, b.bound_cents
+    )
+    SELECT a.i, a.bound_cents, a.full_rank,
+           CAST({SQ_B} * a.full_rank - a.i * f.n AS BIGINT)
+             AS rank_err_x{SQ_B}
+    FROM audit a CROSS JOIN n_full f
+    ORDER BY a.i
+    """,
+    tags=("sketch", "layout", "scale"),
+)
+def sketch_sampled_quantiles(spark, sf_dir):
+    """Sample-based range-partition boundary estimation — the quantile
+    machinery `repartitionByRange`/`write_range_bucketed` rest on, made
+    explicit and audited: a deterministic {SQ_HIT / SQ_MOD:.0%}
+    hash-Bernoulli sample of order totals (sample membership =
+    hash60(key) % {SQ_MOD} < {SQ_HIT}, so the 'random' sample is
+    bit-identical cross-engine) yields {SQ_B - 1} candidate bucket
+    boundaries at the sample's own quantile ranks; the full corpus then
+    audits each boundary with its TRUE rank and the signed rank error
+    {SQ_B}*rank - i*N (kept in integer x{SQ_B} units — no division).
+    The hash gate checks boundary VALUES and the error itself.
+
+    Why sampled: exact boundaries need a global sort (the
+    prof_equidepth_histogram regime); a p-sample bounds memory at p*N
+    rows and gets rank error O(sqrt(N/p)/N) — the trade every
+    range-writer makes. Spark's own repartitionByRange samples
+    NON-deterministically (boundaries drift run to run, the reason
+    sinks/tabular.py:write_range_bucketed uses fixed integer placement);
+    this operator is the deterministic, oracle-checkable version of
+    that sampling step.
+
+    Plan: the sample filter pushes to the scan; the sample-side window
+    sorts only sample-sized data; the audit is one crossJoin of the
+    {SQ_B - 1}-row broadcast boundary set against the corpus with
+    map-side-combined conditional sums — one pass, no per-boundary
+    rescan."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    n_full = vals.agg(F.count(F.lit(1)).alias("n"))
+    samp = vals.filter(
+        hash60(F.col("k").cast("string")) % SQ_MOD < SQ_HIT
+    )
+    ns = samp.agg(F.count(F.lit(1)).alias("n_s"))
+    from pyspark.sql import Window
+
+    ranked = samp.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "k"))
+        .alias("rn"),
+    )
+    idx = spark.range(1, SQ_B).select(F.col("id").cast("long").alias("i"))
+    bounds = (
+        idx.crossJoin(F.broadcast(ns))
+        .select("i", F.expr(f"(i * n_s) div {SQ_B}").alias("rn"))
+        .join(ranked, "rn")
+        .select("i", F.col("cents").alias("bound_cents"))
+    )
+    audit = (
+        vals.crossJoin(F.broadcast(bounds))
+        .groupBy("i", "bound_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") <= F.col("bound_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("full_rank")
+        )
+    )
+    return (
+        audit.crossJoin(F.broadcast(n_full))
+        .select(
+            "i",
+            "bound_cents",
+            "full_rank",
+            (F.lit(SQ_B) * F.col("full_rank") - F.col("i") * F.col("n"))
+            .cast("long")
+            .alias(f"rank_err_x{SQ_B}"),
+        )
+        .orderBy("i")
+    )

@@ -66,6 +66,7 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "sim_ivfpq_adc_topk": "K centroids + M*K residual codebook (fixed) + query LUT",
     "sketch_bloom_join": "bitmap words keyed by position>>5 — fixed BLOOM_M/32 = 256 rows regardless of build-side size",
     "sketch_cms_heavy_hitters": "CMS grid keyed by (row, col mod W) — fixed D*W cells",
+    "sketch_sampled_quantiles": "boundary set is an equi-join with the SQ_B-1-row index range — <=7 rows at any sf",
     "text_bm25_topk": "idf restricted to the fixed literal query-term set",
     "text_data_card": "per-source/lang summary — fixed enum key domain",
     "text_dsir_select": "importance weights keyed by hash bucket mod B — fixed B buckets",

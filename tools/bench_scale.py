@@ -153,6 +153,11 @@ QUERIES = [
     # partial-aggregate join terms; cost ~ deltas + one fact-side pass).
     "sketch_bloom_join",
     "etl_incremental_join",
+    # Round-8: KMV set-ops sketch — 256-pair state, TakeOrdered top-k —
+    # and sampled range-boundary estimation (2% sample sort + one
+    # audited corpus pass).
+    "sketch_kmv_set_ops",
+    "sketch_sampled_quantiles",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
