@@ -21,6 +21,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def cpu_fanout_repartition(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Repartition up to default parallelism when the scan is narrower —
+    the guard for CPU-heavy pre-shuffle work (explodes, per-row scoring,
+    decode) whose cost is pinned to the SCAN's partition count, which
+    Spark sizes for I/O bytes (maxPartitionBytes), not downstream CPU.
+
+    Measured twice before being generalized: substring-span dedup 15.9 s
+    -> 2.4 s and the shingle family 6.2x -> 2.1x at 10x data, both from
+    exactly this one change (PERF.md round 7/8). A real 100 TB scan
+    already has orders of magnitude more partitions than cores, so in
+    production the branch is a no-op; it only fires when a compact file
+    would otherwise pin a fan-out to a couple of cores. Keyed on the id
+    column so downstream per-id work is already co-located."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, F.col(key_col))
+    return df
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
