@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gtec_etl_spark.operators.scale import cpu_fanout_repartition
 from gtec_etl_spark.functions.hashing import (
     MINHASH_P,
     hash60,
@@ -62,9 +63,7 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text", id_col: str =
     default parallelism when the scan is narrower; a real 100 TB scan
     already exceeds core count, making this a no-op.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, F.col(id_col))
+    docs = cpu_fanout_repartition(docs, id_col)
 
     words = F.split(F.lower(F.col(text_col)), " ")
     with_words = docs.select(F.col(id_col), words.alias("w"))
@@ -494,9 +493,7 @@ def duplicated_spans(
     100 TB scan already exceeds core count, making this a no-op."""
     from pyspark.sql import Window as W
 
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, F.col(id_col))
+    docs = cpu_fanout_repartition(docs, id_col)
 
     words = F.split(F.lower(F.col(text_col)), " ")
     win_arr = F.when(

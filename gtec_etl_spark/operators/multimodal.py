@@ -188,7 +188,14 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
     if content[:2] == b"\xff\xd8":
         from gtec_etl_spark.operators.jpeg import decode_jpeg
 
-        return decode_jpeg(content)
+        try:
+            return decode_jpeg(content)
+        except (NotImplementedError, ValueError):
+            # Spec-legal JPEGs outside the pure decoder's boundary
+            # (progressive/SOF2, fill bytes, multi-scan) fall through to
+            # PIL when it is importable; the except ImportError below
+            # re-raises the honest frontier message when it is not.
+            pass
     try:
         import io
 

@@ -769,7 +769,9 @@ def dedup_paragraph_chunks(spark, sf_dir):
 
     No reference counterpart — LLM-pipeline extension per the brief
     (Rae et al. 2021 §A1.2; Wenzek et al. CCNet §3)."""
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = D.cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "documents")
+    )
     words = F.split(F.col("text"), " ")
     chunks = docs.select(
         "doc_id",

@@ -540,7 +540,8 @@ _H60_SPACE = float(1 << 60)  # hash60 value space, as the repr-embedded literal
       SELECT CASE WHEN n < {KMV_K} THEN n
              ELSE CAST(floor(({KMV_K} - 1) * {_H60_SPACE!r}
                              / CAST(kth AS DOUBLE) + 0.5) AS BIGINT)
-             END AS est_union
+             END AS est_union,
+             n
       FROM kth
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
@@ -549,7 +550,7 @@ _H60_SPACE = float(1 << 60)  # hash60 value space, as the repr-embedded literal
               (SELECT k FROM a INTERSECT SELECT k FROM b)) AS exact_inter,
            (SELECT CAST(count(*) AS BIGINT) FROM uh) AS exact_union,
            e.est_union AS est_union,
-           CAST(r.rho * e.est_union // {KMV_K} AS BIGINT) AS est_inter
+           CAST(r.rho * e.est_union // e.n AS BIGINT) AS est_inter
     FROM est e CROSS JOIN rho r
     """,
     tags=("sketch", "scale"),
@@ -571,9 +572,11 @@ def sketch_kmv_set_ops(spark, sf_dir):
     float step (k-1)*2^60/kth is one multiply-divide on identical
     operands quantized immediately (kth < 2^60 casts to double with
     IEEE round-to-even identically in both engines); the intersection
-    estimate rho*est_union/k is then pure integer arithmetic. Exact
-    small-set regime (n < k: the sketch IS the set) branches on an
-    integer compare.
+    estimate rho*est_union/n is then pure integer arithmetic, dividing
+    by the ACTUAL sketch size n = min(|A∪B|, k) — not the constant k —
+    so in the small-set regime (n < k: the sketch IS the set, rho is
+    the exact intersection, est_union = n) it reduces to rho*n/n = rho
+    exactly; dividing by k there would shrink the answer by n/k.
 
     Scale: sketch state is {KMV_K} (hash, key) pairs per set REGARDLESS
     of cardinality; shard sketches merge by union-then-keep-k-smallest
@@ -618,7 +621,8 @@ def sketch_kmv_set_ops(spark, sf_dir):
             ).cast("long")
         )
         .cast("long")
-        .alias("est_union")
+        .alias("est_union"),
+        F.col("n"),
     )
     exact_a = a.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
     exact_b = b.agg(F.count(F.lit(1)).cast("long").alias("exact_b"))
@@ -639,7 +643,7 @@ def sketch_kmv_set_ops(spark, sf_dir):
             "exact_inter",
             "exact_union",
             "est_union",
-            F.expr(f"CAST(rho * est_union div {KMV_K} AS BIGINT)").alias(
+            F.expr("CAST(rho * est_union div n AS BIGINT)").alias(
                 "est_inter"
             ),
         )

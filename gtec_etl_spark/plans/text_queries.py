@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from gtec_etl_spark import catalog
 from gtec_etl_spark.functions.hashing import hash60, hash60_sql
+from gtec_etl_spark.operators.scale import cpu_fanout_repartition
 from gtec_etl_spark.plans.registry import query
 
 # A BPE-ish word/number/punct segmentation — identical RE2/Java semantics.
@@ -363,7 +364,9 @@ def text_corpus_clean(spark, sf_dir):
     only shuffles are the fingerprint groupBy and the canonical
     semi-filter — at 100 TB this is two shuffles on a uniform 128-bit
     hash, the same shape as dedup_apply_keep_canonical."""
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "documents")
+    )
     from gtec_etl_spark.operators.dedup import normalized_text
 
     words = F.split(F.lower(F.col("text")), " ")
@@ -1048,7 +1051,9 @@ def _dsir_doc_scores(spark, sf_dir):
     bigrams per feature bucket; beyond that, subsample the feature-stat
     pass (the estimator only needs ratios).
     """
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "documents")
+    )
     big = docs.select(
         "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("w")
     ).select(
@@ -1336,7 +1341,9 @@ def text_lm_familiarity(spark, sf_dir):
     broadcast when the trained model is small (here it is); hot
     boilerplate bigrams are skew-join territory, same as every dedup
     family join."""
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "documents")
+    )
     w = docs.select(
         "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("w")
     )

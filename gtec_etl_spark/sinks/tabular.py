@@ -34,7 +34,19 @@ def finalize_deterministic_dir(spark: SparkSession, path: str, ext: str) -> None
         if n.startswith("part-")
     )
     for i, name in enumerate(parts):
-        fsutil.rename(spark, f"{path}/{name}", f"{path}/part-{i:05d}.{ext}")
+        dst = f"part-{i:05d}.{ext}"
+        if name == dst:  # idempotent re-run: already finalized
+            continue
+        if not fsutil.rename(spark, f"{path}/{name}", f"{path}/{dst}"):
+            # FileSystem.rename signals failure by RETURNING False (dst
+            # exists / src vanished) rather than raising — unlike the
+            # os.replace it replaced, which overwrote. Silently accepting
+            # that leaves a UUID-named part and a quietly nondeterministic
+            # "deterministic" directory, so fail loudly instead.
+            raise IOError(
+                f"finalize_deterministic_dir: rename {path}/{name} -> "
+                f"{dst} failed (destination exists or source vanished)"
+            )
     fsutil.delete_checksum_sidecars(spark, path)
 
 

@@ -75,12 +75,19 @@ def test_no_python_udfs_in_relational_queries(spark):
 
 def test_corpus_clean_two_hash_shuffles(spark):
     # text_corpus_clean: scoring/langid are map-side; the only hash
-    # exchanges are the fingerprint groupBy + the canonical join — a
-    # refactor that adds a third shuffle broke the 100 TB shape.
+    # exchanges are the fingerprint groupBy + the canonical join, plus
+    # (at test scale only) the cpu_fanout_repartition guard's doc_id
+    # exchange — which at a real 100 TB scan never fires (scan
+    # partitions >> cores), so the production shape stays two shuffles.
+    # A refactor that adds a shuffle beyond those broke the shape.
     df = registry.specs()["text_corpus_clean"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange hashpartitioning")
-    assert n <= 2, f"expected <=2 hash exchanges, got {n}"
+    fanout = plan.count("Exchange hashpartitioning(doc_id")
+    assert n - min(fanout, 1) <= 2, (
+        f"expected <=2 hash exchanges beyond the fanout guard, got {n} "
+        f"(doc_id fanout exchanges: {fanout})"
+    )
     assert "EvalPython" not in plan
 
 
