@@ -35,7 +35,52 @@ HEADLINE = [
 ]
 
 
+def _time_queries(spark, names, sf_dir, runs):
+    """min-of-`runs` wall time per query (plus last row count)."""
+    specs = registry.specs()
+    out = {}
+    for name in names:
+        best, n = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = (best, n)
+    return out
+
+
+def _retime_main(names: list[str]) -> None:
+    """Child mode: re-time the given queries in THIS fresh JVM/session and
+    print one JSON line {name: sec}. Each query is warmed once untimed
+    first — a fresh session pays one-off python-worker spawn + codegen
+    costs (~4-5 s on Arrow paths) that are not plan cost."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark("gtec_etl_spark-bench-retime")
+    specs = registry.specs()
+    for name in names:
+        specs[name].fn(spark, sf_dir).count()  # warm
+    timed = _time_queries(spark, names, sf_dir, runs)
+    print(json.dumps({k: round(t[0], 3) for k, t in timed.items()}))
+
+
+def _load_prev_timings(out_path: str, sf: str) -> dict[str, float]:
+    """Previous committed bench_out.json timings at the SAME sf, for the
+    outlier pass; {} when absent/other-sf/unreadable."""
+    try:
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if str(prev.get("sf")) != str(sf):
+            return {}
+        return dict(prev.get("queries") or {})
+    except Exception:
+        return {}
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--retime":
+        _retime_main([n for n in sys.argv[2].split(",") if n])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("gtec_etl_spark-bench")
@@ -53,8 +98,9 @@ def main() -> None:
     # Three timed runs per query, keep the min: damps transient machine
     # contention (one or two slow runs don't misreport plan cost).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    prev_timings = _load_prev_timings(out_path, sf)
     timings: dict[str, float] = {}
-    total = 0.0
     for name in names:
         best, n = float("inf"), 0
         for _ in range(runs):
@@ -62,13 +108,55 @@ def main() -> None:
             n = specs[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Outlier pass (VERDICT r8 #1/#2): min-of-N inside ONE long session
+    # does not damp SUSTAINED external load — r8 committed a 9.64 s entry a
+    # fresh session re-timed at 1.26 s. Any query slower than its
+    # previous-round committed time by >2x (and >0.5 s absolute) is
+    # re-timed in a fresh subprocess session; the smaller time wins and
+    # the entry is annotated so readers know which numbers were re-timed.
+    suspects = [
+        name
+        for name, sec in timings.items()
+        if name in prev_timings
+        and sec > 2 * prev_timings[name]
+        and sec - prev_timings[name] > 0.5
+    ]
+    retimed: dict[str, dict[str, float]] = {}
+    if suspects and not os.environ.get("SPARK_GRAFT_BENCH_NO_RETIME"):
+        import subprocess
+
+        print(f"# outlier re-time (fresh session): {suspects}", file=sys.stderr)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--retime",
+                 ",".join(suspects)],
+                capture_output=True, text=True, timeout=1800,
+                env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                         SPARK_GRAFT_BENCH_RUNS=str(runs)),
+            )
+            fresh = {}
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    fresh = json.loads(line)
+                    break
+                except (json.JSONDecodeError, ValueError):
+                    continue
+            for name, fsec in fresh.items():
+                retimed[name] = {"session_sec": timings[name],
+                                 "fresh_sec": fsec}
+                if fsec < timings[name]:
+                    timings[name] = fsec
+                print(f"# {name}: retimed {retimed[name]['session_sec']:.3f}s"
+                      f" -> fresh {fsec:.3f}s", file=sys.stderr)
+        except Exception as ex:  # re-time is best-effort; keep session time
+            print(f"# outlier re-time failed: {ex}", file=sys.stderr)
+
+    total = sum(timings.values())
     # Full per-query timings go to a file; stdout gets ONE SHORT line so the
     # driver's tail capture can always parse it (BENCH_r01 lost the result
     # because the 60+-query dict outran the captured tail).
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     payload = {
         "metric": "total_query_wall_sec",
         "value": round(total, 3),
@@ -76,6 +164,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if retimed:
+        payload["retimed"] = retimed
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
@@ -89,6 +179,7 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf,
                 "n_queries": len(timings),
+                "retimed": sorted(retimed),
                 "file": "bench_out.json",
             },
             separators=(",", ":"),

@@ -27,9 +27,14 @@ SHINGLES_CTE = """
 @query(
     "dedup_exact",
     oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 7
+    )
     SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
            count(*) AS n_docs, min(doc_id) AS canonical_id
-    FROM documents
+    FROM corpus
     GROUP BY 1 HAVING count(*) > 1
     ORDER BY fingerprint
     """,
@@ -38,9 +43,21 @@ SHINGLES_CTE = """
 def dedup_exact(spark, sf_dir):
     """Exact dedup: groupBy on a 128-bit hash of normalized text. One
     shuffle on a uniform key; at 100 TB this is the cheapest dedup pass and
-    runs first to shrink the corpus for the near-dup passes."""
-    docs = catalog.table(spark, sf_dir, "documents")
-    return D.exact_dup_groups(docs).orderBy("fingerprint")
+    runs first to shrink the corpus for the near-dup passes.
+
+    The scanned corpus is the documents table plus a deterministic
+    re-ingest of the doc_id % 100 == 7 slice under offset ids — the
+    double-delivery every real crawl/ingest produces. Planted because the
+    raw fixture has zero exact-duplicate texts below sf0.1, which left
+    this gate checking an always-empty result (the vacuous-gate class,
+    VERDICT r8 #3); with the replay the detector is exercised on 5/5/58
+    real duplicate groups at sf0.001/0.01/0.1. The operator under test
+    (D.exact_dup_groups) is unchanged."""
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    replay = docs.filter(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return D.exact_dup_groups(docs.unionByName(replay)).orderBy("fingerprint")
 
 
 @query(

@@ -176,19 +176,28 @@ def q04_priority_semi_join(spark, sf_dir):
     SELECT n.n_name, count(*) AS n_customers
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '1998-03-01')
     GROUP BY n.n_name
     ORDER BY n.n_name
     """,
     tags=("join",),
 )
 def q05_customers_without_orders(spark, sf_dir):
-    """J9/P7 left-anti join (NOT EXISTS): customers with no orders, per
-    nation — the reference's id-reconciliation 'missing' direction."""
+    """J9/P7 left-anti join (NOT EXISTS): customers with no RECENT orders
+    (none since 1998-03-01), per nation — the reference's
+    id-reconciliation 'missing' direction. Date-bounded rather than
+    no-orders-ever because this corpus gives every customer at least one
+    historical order at the small SFs, which left the gate checking an
+    always-empty result (the vacuous-gate class, VERDICT r8 #3); the
+    cutoff yields 1/8/84 lapsed customers at sf0.001/0.01/0.1, so the
+    anti join is exercised on real rows at every gate scale."""
     t = catalog.load_tables(spark, sf_dir)
     no_orders = J.anti_filter(
         t["customer"],
-        t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1998-03-01").cast("date"))
+        .select(F.col("o_custkey").alias("c_custkey")),
         "c_custkey",
     )
     return (

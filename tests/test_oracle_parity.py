@@ -42,6 +42,11 @@ def spec_ids():
 # plan — their internal shapes are pinned by dedicated tests instead.
 CARTESIAN_ALLOWLIST: frozenset[str] = frozenset()
 
+# Full-registry vacuous-gate allowlist (VERDICT r8 #3): queries whose
+# EMPTY result at the gate SF is itself the correct, meaningful answer.
+# Empty today — both r8 audit hits were reseeded instead.
+NONEMPTY_EXEMPT: frozenset[str] = frozenset()
+
 # Full-registry forced-broadcast guard (VERDICT r7 #1/#7): no registered
 # query may `F.broadcast` a subtree that scans an sf-scaled table without a
 # limit / global aggregate bounding its cardinality — the class that let
@@ -55,7 +60,7 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "etl_cdc_upsert": "batch side is ingest-interval-bounded in production; the fixture synthesizes it from customer",
     "etl_scd2_merge": "batch side is ingest-interval-bounded in production; the fixture synthesizes it from customer",
     "ev_anomaly_mad": "per-event-type robust stats — key domain is the fixed event-type enum",
-    "ev_trailing_distinct_users": "day spine keyed by calendar day — bounded by the time range, not the corpus",
+    "ev_trailing_distinct_users": "day spine = one row per calendar day in the queried range (rows = days, ~365/yr; a 10-year retention window is ~3.7k rows, a few KB broadcast) — grows with wall-clock time only, never with corpus size",
     "q06_derived_key_join": "customer filtered to derived_key < 100 — fixed key range, <=100 rows at any sf",
     "sim_topk_bruteforce": "single query vector selected by key equality",
     "sim_ivf_probe": "K-row centroid table (fixed K) + single query vector",
@@ -99,6 +104,20 @@ def test_query_matches_oracle(spark, name):
         )
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
+
+    # Full-registry vacuous-gate guard (VERDICT r8 #3, generalizing the q46
+    # ADVICE fix): a query that returns 0 rows at the gate SF is a gate
+    # that checks nothing — rows/schema/hash all "match" trivially. Every
+    # query must produce at least one row here; a legitimately-empty
+    # result needs an allowlist entry with a justification (currently
+    # none: the r8 audit's two hits, dedup_exact and
+    # q05_customers_without_orders, were reseeded to non-vacuous shapes).
+    if name not in NONEMPTY_EXEMPT:
+        assert len(spark_rows) >= 1, (
+            f"{name}: 0 rows at the gate SF — the correctness gate is "
+            "vacuous; reseed the fixture predicate or allowlist with a "
+            "justification"
+        )
 
     if spec.oracle is None:
         assert len(spark_rows) >= 0  # rows-only check (driver's weaker gate)
