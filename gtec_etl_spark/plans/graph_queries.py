@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gtec_etl_spark import catalog
+from gtec_etl_spark.functions.hashing import MINHASH_P, hash60, hash60_sql
 from gtec_etl_spark.operators import graph as G
 from gtec_etl_spark.plans.registry import query
 
@@ -342,3 +343,150 @@ def graph_khop_reachability(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         edges.unpersist()
+
+
+TRI_SAMPLE_MOD, TRI_SAMPLE_HIT = 1000, 100  # p = 0.1; (MOD/HIT)^3 = 1000 exact
+# 2-universal integer edge-hash constants (CMS-style mixing — md5 on every
+# candidate pair was measured as expensive as the distinct itself):
+TRI_HASH_A, TRI_HASH_B, TRI_HASH_C = 784_727_601, 398_406_583, 256_203_221
+
+
+def _tri_edge_hash_sql(a: str, b: str) -> str:
+    return (
+        f"(({TRI_HASH_A} * ({a} % {MINHASH_P}) + {TRI_HASH_B} * ({b} % "
+        f"{MINHASH_P}) + {TRI_HASH_C}) % {MINHASH_P})"
+    )
+
+
+@query(
+    "graph_triangle_estimate",
+    oracle=f"""
+    WITH pe AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    se AS (
+      SELECT a, b FROM pe
+      WHERE {_tri_edge_hash_sql("a", "b")}
+            % {TRI_SAMPLE_MOD} < {TRI_SAMPLE_HIT}
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM se UNION ALL SELECT b AS node FROM se
+      ) GROUP BY node
+    ),
+    ori AS (
+      SELECT CASE WHEN (da.d, se.a) < (db.d, se.b) THEN se.a ELSE se.b
+             END AS u,
+             CASE WHEN (da.d, se.a) < (db.d, se.b) THEN se.b ELSE se.a
+             END AS v
+      FROM se JOIN deg da ON da.node = se.a JOIN deg db ON db.node = se.b
+    ),
+    tri AS (
+      SELECT e1.u FROM ori e1 JOIN ori e2 ON e2.u = e1.v
+      WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM se) AS n_edges_sampled,
+           CAST((SELECT count(*) FROM se)
+                * {TRI_SAMPLE_MOD // TRI_SAMPLE_HIT} AS BIGINT)
+             AS est_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_tri_sampled,
+           CAST((SELECT count(*) FROM tri)
+                * {(TRI_SAMPLE_MOD // TRI_SAMPLE_HIT) ** 3} AS BIGINT)
+             AS est_triangles
+    """,
+    tags=("graph", "scale"),
+)
+def graph_triangle_estimate(spark, sf_dir):
+    """DOULION-style sampled triangle ESTIMATE (Tsourakakis et al., KDD
+    2009) — the scale twin of graph_triangle_count, which is exact but
+    intrinsically O(|E|^1.5) (the suite's most expensive sf1 point;
+    the super-linearity is the algorithm, not the plan — VERDICT r8 #5).
+    Sparsify first: keep each undirected edge independently with
+    p = {TRI_SAMPLE_HIT}/{TRI_SAMPLE_MOD}, count triangles exactly on
+    the sampled subgraph, scale by p^-3 (a triangle survives iff all
+    three edges do). The estimator is unbiased with relative error
+    ~1/sqrt(p^3 T); edge totals are likewise reported as the sample
+    count scaled by p^-1 — a sampled estimator that also computed exact
+    corpus-wide totals would silently pay the full-scan cost it exists
+    to avoid (measured: the exact pairs distinct alone was 2/3 of the
+    runtime).
+
+    Cross-engine exactness rides the family discipline: sample
+    membership is a 2-universal INTEGER hash of the canonical edge key
+    (A*a + B*b + C mod P, the minhash-permutation family) —
+    bit-identical in both engines and under task retries (never
+    rand()), all products bounded by P^2 < 2^63, and p chosen so the
+    p^-1/p^-3 scale factors are exact integers: the whole estimate is
+    BIGINT arithmetic. md5-hashing every candidate pair was measured as
+    expensive as the distinct it fed (the CMS lesson: hash distinct
+    keys cryptographically, mix integers arithmetically).
+
+    Plan: identical shape to the exact twin (degree-ordered orientation,
+    keyed wedge join, left-semi close) but the sample predicate is a
+    map-side integer filter applied BEFORE the edge-dedup distinct
+    (it commutes: membership depends only on (a, b)), so the distinct
+    shuffle moves p of the pairs and every downstream stage is
+    p-thinned. The sampled degree table is corpus-scaled and carries NO
+    broadcast hint (AQE decides — the audit's corpus-scaled-side rule)."""
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    l1 = lineitem.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = lineitem.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edge_hash = (
+        F.lit(TRI_HASH_A) * (F.col("a") % MINHASH_P)
+        + F.lit(TRI_HASH_B) * (F.col("b") % MINHASH_P)
+        + F.lit(TRI_HASH_C)
+    ) % MINHASH_P
+    se = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .filter(edge_hash % TRI_SAMPLE_MOD < TRI_SAMPLE_HIT)
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        se.select(F.col("a").alias("node"))
+        .unionAll(se.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lower_first = (
+        F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    )
+    ori = (
+        se.join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("db")),
+            "b",
+        )
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e2 = ori.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = (
+        ori.join(e2, "v")
+        .join(
+            ori.select(F.col("u"), F.col("v").alias("w")),
+            ["u", "w"],
+            "left_semi",
+        )
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_tri_sampled"))
+    n_se = se.agg(F.count(F.lit(1)).cast("long").alias("n_edges_sampled"))
+    inv_p = TRI_SAMPLE_MOD // TRI_SAMPLE_HIT
+    return n_se.crossJoin(n_tri).select(
+        "n_edges_sampled",
+        F.expr(f"CAST(n_edges_sampled * {inv_p} AS BIGINT)").alias(
+            "est_edges"
+        ),
+        "n_tri_sampled",
+        F.expr(f"CAST(n_tri_sampled * {inv_p ** 3} AS BIGINT)").alias(
+            "est_triangles"
+        ),
+    )

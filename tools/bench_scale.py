@@ -158,6 +158,10 @@ QUERIES = [
     # audited corpus pass).
     "sketch_kmv_set_ops",
     "sketch_sampled_quantiles",
+    # Round-9: DOULION sampled triangle estimate — the scale twin whose
+    # whole point is bending the exact twin's E^1.5 curve; its residual
+    # ratio is the linear pair-enumeration floor (PERF.md round 9).
+    "graph_triangle_estimate",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
