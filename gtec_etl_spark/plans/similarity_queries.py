@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from gtec_etl_spark import catalog
 from gtec_etl_spark.operators import similarity as S
+from gtec_etl_spark.operators import scale as Sc
 from gtec_etl_spark.plans.registry import query
 
 
@@ -1087,29 +1088,22 @@ def sim_semdedup_scaled(spark, sf_dir):
     return _semdedup_plan(spark, sf_dir, k, sample)
 
 
-def _semdedup_plan(spark, sf_dir, k: int, sample: int):
-    """Shared SemDeDup pipeline body (train k centroids on a
-    `sample`-vector hash-ordered sample, assign, within-cluster pairwise
-    cosine >= SEMDEDUP_TAU, earliest-id witness)."""
+def _arrow_centroid_assign(emb, cb):
+    """Nearest-centroid assignment as an Arrow kernel over embedding
+    batches (r8, VERDICT r7 #2; shared by SemDeDup and the kNN graph):
+    the broadcast-crossJoin argmin it replaces materialized N*K rows each
+    re-evaluating a 64-term zip_with fold — 26 of the 38 s at sf1 was
+    THIS stage. The codebook is already a collected K-row local relation,
+    so it rides into the closure as a K x dim float64 matrix. Exactness:
+    ||x-c||^2 = na2 - 2*x.c + nc2 where every term — and every partial
+    sum — is an integer < 2^53 (|element| <= ~1e6, 64-dim dot <=
+    6.4e13), so float64 BLAS reproduces the integer sqdist bit-exactly
+    in any summation order; rows are ordered by r, so np.argmin's
+    first-minimum rule IS the (__d, r) tie-break. `emb` must carry
+    (vec_id, qe); returns (vec_id, cluster, qe)."""
     import numpy as np
     import pandas as pd
 
-    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
-        "qe", S.quantize_micros(F.col("embedding"))
-    )
-    cb = _fullvec_centroids(emb, k=k, sample=sample)
-
-    # Nearest-centroid assignment as an Arrow kernel over embedding
-    # batches (r8, VERDICT r7 #2): the former broadcast-crossJoin argmin
-    # materialized N*K rows each carrying a 64-long array through a
-    # min_by payload — 26 of the 38 s at sf1 was THIS stage, not the
-    # pairwise one. The codebook is already a collected K-row local
-    # relation, so it rides into the closure as a K x dim float64 matrix.
-    # Exactness: ||x-c||^2 = na2 - 2*x.c + nc2 where every term — and
-    # every partial sum — is an integer < 2^53 (|element| <= ~1e6,
-    # 64-dim dot <= 6.4e13), so float64 BLAS reproduces the integer
-    # sqdist bit-exactly in any summation order; rows are ordered by r,
-    # so np.argmin's first-minimum rule IS the (__d, r) tie-break.
     cb_rows = sorted(cb.collect(), key=lambda row: row["r"])
     C = np.array([row["c"] for row in cb_rows], dtype=np.float64)
     r_ids = np.array([row["r"] for row in cb_rows], dtype=np.int32)
@@ -1130,9 +1124,24 @@ def _semdedup_plan(spark, sf_dir, k: int, sample: int):
                 }
             )
 
-    assigned = emb.select("vec_id", "qe").mapInPandas(
+    return emb.select("vec_id", "qe").mapInPandas(
         assign_batches, "vec_id long, cluster int, qe array<long>"
     )
+
+
+def _semdedup_plan(spark, sf_dir, k: int, sample: int):
+    """Shared SemDeDup pipeline body (train k centroids on a
+    `sample`-vector hash-ordered sample, assign, within-cluster pairwise
+    cosine >= SEMDEDUP_TAU, earliest-id witness)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    cb = _fullvec_centroids(emb, k=k, sample=sample)
+
+    assigned = _arrow_centroid_assign(emb, cb)
     # Within-cluster pairwise cosine as ONE Arrow gram-matrix kernel per
     # cluster (r8, VERDICT r7 #2): the former cluster self-join re-evaluated
     # a 64-term zip_with fold per pair — ~30 of the 38 s at sf1 was this
@@ -1636,63 +1645,88 @@ def sim_knn_graph_scaled(spark, sf_dir):
 
 def _knn_graph_plan(spark, sf_dir, k: int, sample: int):
     """Shared kNN-graph pipeline body (train k cells, assign,
-    within-cell pairwise cosine, per-vector top-{KNN_K})."""
-    from pyspark.sql import Window
+    within-cell gram-matrix cosine, per-vector top-{KNN_K}).
 
-    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
-        "qe", S.quantize_micros(F.col("embedding"))
-    )
+    Round-9 rewrite to the SemDeDup Arrow-kernel shape after stage
+    profiling (PERF.md round 9): the former crossJoin argmin + pair
+    self-join + window spent ~26 s of its 37 s sf1 wall re-evaluating
+    interpreted 64-term zip_with folds (the aggregate/zip_with
+    higher-order functions are NOT whole-stage-codegen), a cost that
+    count()-based timings hid because Catalyst pruned the unused fold
+    columns. Assignment now rides the shared _arrow_centroid_assign
+    kernel; the within-cell pairwise cosine + per-vector top-k is ONE
+    BLAS gram slab per cell inside applyInPandas — same exactness
+    argument as the SemDeDup kernel (integer-valued dots < 2^53 are
+    exact in float64 under any summation order; the divide/sqrt/floor
+    tail is the same IEEE op sequence as the oracle's), and the ranking
+    happens on the QUANTIZED cos_e6 with stable argsort so ties break by
+    ascending neighbor_id exactly like the oracle's row_number ORDER BY.
+
+    Scale: candidates exist only within a trained IVF cell (with
+    K ~ sqrt(N) cells the gram work is ~O(N^1.5), never all-pairs); the
+    per-cell slab is chunked to bound memory; the shuffle keys on the
+    cell id. Skewed cells are AQE territory like every keyed group."""
+    import numpy as np
+    import pandas as pd
+
+    emb = Sc.cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "embeddings"), "vec_id"
+    ).withColumn("qe", S.quantize_micros(F.col("embedding")))
     cb = _fullvec_centroids(emb, k=k, sample=sample)
-    assigned = (
-        emb.select("vec_id", "qe")
-        .crossJoin(F.broadcast(cb))
-        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("r"), F.col("qe")),
-                F.struct(F.col("__d"), F.col("r")),
-            ).alias("__a")
+    assigned = _arrow_centroid_assign(emb, cb)
+
+    topk = KNN_K
+
+    def cluster_knn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "rank": [], "cos_e6": []}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64",
+                  "rank": "int64", "cos_e6": "int64"})
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return empty
+        M = np.stack(pdf["qe"].to_numpy()[order]).astype(np.float64)
+        na2 = np.einsum("ij,ij->i", M, M)  # exact: integer-valued < 2^53
+        out_v, out_n, out_r, out_c = [], [], [], []
+        chunk = 2048  # bounds the gram slab to chunk*n float64s
+        kk = min(topk, n - 1)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            G = M[lo:hi] @ M.T  # exact integer dots in float64
+            cos = G / np.sqrt(np.outer(na2[lo:hi], na2))
+            ce6 = np.floor(cos * 1000000.0 + 0.5).astype(np.int64)
+            rows = np.arange(lo, hi)
+            # Self-exclusion sentinel: far below any real cos_e6 (>= -1e6)
+            # but safely negatable — np.iinfo(int64).min would overflow
+            # under the argsort's negation back onto itself and sort FIRST.
+            ce6[rows - lo, rows] = -(10**18)
+            # top-k by (cos_e6 DESC, neighbor_id ASC): ids are sorted
+            # ascending == column order, and stable argsort keeps column
+            # order among equal keys — the oracle's row_number tie-break.
+            nb = np.argsort(-ce6, axis=1, kind="stable")[:, :kk]
+            out_v.append(np.repeat(ids[rows], kk))
+            out_n.append(ids[nb].ravel())
+            out_r.append(np.tile(np.arange(1, kk + 1), hi - lo))
+            out_c.append(np.take_along_axis(ce6, nb, axis=1).ravel())
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_v),
+                "neighbor_id": np.concatenate(out_n),
+                "rank": np.concatenate(out_r).astype(np.int64),
+                "cos_e6": np.concatenate(out_c),
+            }
         )
-        .select(
-            "vec_id",
-            F.col("__a.r").alias("cluster"),
-            F.col("__a.qe").alias("qe"),
-        )
-        .withColumn("na2", S.dot_int(F.col("qe"), F.col("qe")))
-    )
-    a = assigned.select(
-        "cluster",
-        F.col("vec_id"),
-        F.col("qe").alias("a_qe"),
-        F.col("na2").alias("a_na2"),
-    )
-    b = assigned.select(
-        "cluster",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("qe").alias("b_qe"),
-        F.col("na2").alias("b_na2"),
-    )
-    cos = S.dot_int(F.col("a_qe"), F.col("b_qe")).cast("double") / F.sqrt(
-        F.col("a_na2").cast("double") * F.col("b_na2").cast("double")
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.floor(cos * F.lit(1000000.0) + F.lit(0.5))
-            .cast("long")
-            .alias("cos_e6"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_e6").desc(), F.col("neighbor_id")
-    )
+
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter((F.col("rank") <= KNN_K) & (F.col("vec_id") < 200))
-        .select("vec_id", "neighbor_id", "rank", "cos_e6")
+        assigned.select("cluster", "vec_id", "qe")
+        .groupBy("cluster")
+        .applyInPandas(
+            cluster_knn,
+            "vec_id long, neighbor_id long, rank long, cos_e6 long",
+        )
+        .filter(F.col("vec_id") < 200)
         .orderBy("vec_id", "rank")
     )

@@ -369,14 +369,17 @@ def test_spatial_grid_join_is_equi_join_on_cell(spark):
     assert "Generate explode" in plan or "Generate" in plan
 
 
-def test_knn_graph_broadcasts_centroids_cell_scoped_pairs(spark):
-    """sim_knn_graph: centroid assignment broadcasts the trained codebook;
-    the only data-sized equi-join keys on the cell; top-k is a window
-    partitioned by vec_id (no global sort of the pair set)."""
+def test_knn_graph_arrow_kernels_cell_scoped(spark):
+    """sim_knn_graph (r9 shape): assignment and within-cell top-k are the
+    two Arrow kernels (mapInPandas + per-cell applyInPandas) — the
+    codebook rides the kernel closure as a local matrix, so there is no
+    N*K crossJoin, no pair self-join, and no window over the pair set;
+    the only exchange keys on the cell id."""
     plan = _formatted_plan(spark, "sim_knn_graph")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "Window" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
 
 
 def test_waiting_suppliers_single_summary_join(spark):
