@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from gtec_etl_spark import catalog
 from gtec_etl_spark.functions.hashing import MINHASH_P, hash60_sql, minhash_params
 from gtec_etl_spark.operators import dedup as D
+from gtec_etl_spark.operators import similarity as S
 from gtec_etl_spark.plans.registry import query
 
 # Shared oracle CTEs: distinct word 3-gram shingles per document.
@@ -445,23 +446,40 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_near_pairs(sigs, 3, 4, 15).orderBy("doc_a", "doc_b")
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _qdot_sql(a: str, b: str) -> str:
+    # Exact INTEGER dot over pre-quantized BIGINT micros lists: each
+    # product <= (2.5e5)^2 ~ 6.25e10 and the 64-term sum <= ~4e12, both
+    # inside BIGINT — no float order-dependence anywhere in the dot.
     return (
         f"list_reduce(list_transform(generate_series(1, len({a})),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
     )
 
+
+_QE_SQL = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+)
+
+# Denominator op order mirrors the Arrow kernel exactly:
+# double(na2_a) * double(na2_b), THEN one sqrt — NOT sqrt(a)*sqrt(b),
+# which differs in the last ulp. Numerator BIGINT dot casts to double
+# exactly (< 2^53).
+_QCOS_SQL = (
+    f"({_qdot_sql('a.qe', 'b.qe')} /"
+    f" sqrt(CAST(a.na2 AS DOUBLE) * CAST(b.na2 AS DOUBLE)))"
+)
 
 EMB_COSINE_ORACLE = f"""
     WITH e AS (
-      SELECT vec_id, label, embedding,
-             sqrt({_dot_sql('embedding', 'embedding')}) AS norm
-      FROM embeddings
+      SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, qe, {_qdot_sql('qe', 'qe')} AS na2 FROM e
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm), 4) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm) >= 0.4
+           round({_QCOS_SQL}, 4) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_QCOS_SQL} >= 0.4
     ORDER BY vec_a, vec_b
 """
 
@@ -475,38 +493,41 @@ def dedup_embedding_cosine(spark, sf_dir):
     per block (applyInPandas), not a self-join: a self-join materializes
     block² rows and re-evaluates a 64-term expression fold per pair, which
     measured 72x wall time for 10x data (BENCH_sf1) as blocks grew.
-    The kernel folds dimension-by-dimension over vectorized outer
-    products, so the float64 add sequence is bitwise identical to the
-    oracle's sequential list_reduce, and row-chunks the gram matrix to
-    bound per-block memory. At 100 TB the remaining requirement is
+
+    Round 9: the kernel's gram slab is ONE BLAS matmul under the
+    suite-wide quantization discipline (embeddings → integer micros in
+    BOTH engines) instead of 64 sequential outer-product passes that
+    mirrored a float fold's add order. Every dot product and partial sum
+    is an integer < 2^53 (|micros| <= ~2.5e5, 64-term dot <= ~4e12), so
+    float64 dgemm reproduces it bit-exactly in ANY summation order; the
+    cosine tail (double multiply of the two exact norms², one sqrt, one
+    divide) is the same IEEE op sequence the oracle spells out, so the
+    >= 0.4 threshold and the 4-dp rounding compare identical doubles
+    cross-engine. Measured: 64 slab passes → 1 dgemm ≈ the whole
+    kernel's cost at sf1. At 100 TB the remaining requirement is
     bounded block size — labels must come from a clustering sized
     ~sqrt(n) (IVF), which keeps this kernel's block² term constant per
     block while block COUNT scales out."""
     import numpy as np
     import pandas as pd
 
-    emb = catalog.table(spark, sf_dir, "embeddings")
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        M = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-        n, d = M.shape
+        M = np.stack(pdf["qe"].to_numpy()[order]).astype(np.float64)
+        n = len(ids)
         out_a, out_b, out_c = [], [], []
-        # Sequential fold over dimensions == ((0+p1)+p2)+... — the exact
-        # add order of the SQL fold; vectorized across pairs.
-        norm_sq = np.zeros(n)
-        for k in range(d):
-            norm_sq += M[:, k] * M[:, k]
-        norms = np.sqrt(norm_sq)
+        na2 = np.einsum("ij,ij->i", M, M)  # exact: integer-valued < 2^53
         chunk = 1024  # bounds the gram slab to chunk*n float64s
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            dot = np.zeros((hi - lo, n))
-            for k in range(d):
-                dot += np.outer(M[lo:hi, k], M[:, k])
-            cos = dot / np.outer(norms[lo:hi], norms)
+            G = M[lo:hi] @ M.T  # exact integer dots in float64
+            cos = G / np.sqrt(np.outer(na2[lo:hi], na2))
             ai, bj = np.nonzero(cos >= 0.4)
             keep = ids[lo + ai] < ids[bj]  # upper triangle by vec_id
             out_a.append(ids[lo + ai[keep]])
@@ -520,7 +541,7 @@ def dedup_embedding_cosine(spark, sf_dir):
             }
         )
 
-    pairs = emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+    pairs = emb.select("vec_id", "label", "qe").groupBy("label").applyInPandas(
         block_pairs, "vec_a long, vec_b long, cosine_exact double"
     )
     return pairs.select(
