@@ -322,19 +322,25 @@ def sim_pq_adc_topk(spark, sf_dir):
 
     Scale design: this is THE memory-bounded ANN path — at 100 TB the
     encoded corpus is ~2 bytes/vector instead of 256, so candidate scoring
-    never touches the float arrays. Encode joins the corpus against a
-    broadcast {PQ_M * PQ_K}-row codebook (per-partition, no shuffle);
-    search joins codes against a broadcast {PQ_M * PQ_K}-row LUT and
-    top-ks via TakeOrderedAndProject. The one scale caveat: codebooks
-    come from a hash-ordered deterministic sample (TakeOrdered, no global
-    sort) — sim_pq_trained_codebook adds the k-means-trained variant;
-    the search plan is identical either way.
+    never touches the float arrays. The codebook is a hash-ordered
+    deterministic {PQ_K}-row sample (TakeOrdered, no global sort) and the
+    query LUT is {PQ_M}x{PQ_K} integers — both constant-size, so they ride
+    into ONE Arrow mapInPandas closure that encodes and ADC-scores each
+    corpus batch in a single pass with zero shuffles before the final
+    TakeOrderedAndProject top-k. (Round 9: this replaces the exploded
+    N x {PQ_M} x {PQ_K} encode rows pushed through a window — 64 rows and
+    one interpreted sqdist fold per vector where one einsum suffices; the
+    window's (vec_id, j) re-shuffle was the plan's only data-sized
+    exchange.) sim_pq_trained_codebook adds the k-means-trained variant.
 
     Parity: embedding elements are quantized to integer micros
-    (floor(x*1e6 + 0.5), IEEE-exact on any engine) BEFORE any distance, so
-    encode ranking, LUT entries, and the final ADC sum are pure int64 —
-    no float fold anywhere, hence no 1-ulp cross-engine reordering (the
-    round-3/4 hash-red root cause).
+    (floor(x*1e6 + 0.5), IEEE-exact on any engine) BEFORE any distance.
+    Inside the kernel every squared subdistance and partial sum is an
+    integer < 2^53 (|micros| <= ~2.5e5, {PQ_SUBDIM}-term sums <= ~4e12),
+    so float64 einsum reproduces the pure-int64 oracle bit-exactly in any
+    summation order; codeword rows are ordered by rank r, so np.argmin's
+    first-minimum rule IS the oracle's (sqdist, r) tie-break, and the ADC
+    sum of {PQ_M} exact LUT integers is again exact.
 
     Round-6 fix for the r3-r5 driver-only hash-red: DuckDB promotes
     sum(BIGINT) to HUGEINT (int128) — the ONLY hugeint column in the whole
@@ -345,62 +351,64 @@ def sim_pq_adc_topk(spark, sf_dir):
     with rows+schema green, exactly the driver's symptom. The oracle now
     CASTs the sum to BIGINT so every client sees int64. The
     sim_pq_debug_* stage queries below bisect any residual divergence."""
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
     )
     base = emb.filter(F.col("vec_id") != 0)
-    js = F.explode(F.array(*[F.lit(j) for j in range(PQ_M)])).alias("j")
 
-    seeds = (
+    # Bounded collects (the audit-allowlisted "fixed-K codebook" class):
+    # PQ_K seed rows via TakeOrdered + the single query vector.
+    seed_rows = (
         base.select(
             "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
         )
         .orderBy("hh", "vec_id")
         .limit(PQ_K)
+        .collect()
     )
-    # Ranking 16 rows through one window partition is fine — the seed set
-    # is constant-size by construction.
-    seeds = seeds.withColumn(
-        "r", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1
+    seed_rows.sort(key=lambda row: (row["hh"], row["vec_id"]))
+    # C[r, j, :] = codeword r's subvector for subspace j.
+    C = np.array([row["qe"] for row in seed_rows], dtype=np.float64).reshape(
+        PQ_K, PQ_M, PQ_SUBDIM
     )
-    codebook = seeds.select("r", js, "qe").select(
-        "r",
-        "j",
-        F.slice("qe", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c"),
-    )
+    nc2 = np.einsum("rjd,rjd->rj", C, C)  # exact: integer-valued < 2^53
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).select("qe").collect()[0]["qe"],
+        dtype=np.float64,
+    ).reshape(PQ_M, PQ_SUBDIM)
+    # lut[j, r] = exact integer ||q_j - C[r,j]||^2.
+    diff = q[None, :, :] - C
+    lut = np.einsum("rjd,rjd->rj", diff, diff).T  # (PQ_M, PQ_K)
 
-    subs = base.select("vec_id", js, "qe").select(
-        "vec_id",
-        "j",
-        F.slice("qe", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
-    )
-    enc = subs.join(F.broadcast(codebook), "j").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("vec_id", "j").orderBy(
-                S.sqdist_int(F.col("sub"), F.col("c")), F.col("r")
+    def adc_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["qe"].to_numpy()).astype(np.float64).reshape(
+                -1, PQ_M, PQ_SUBDIM
             )
-        ),
-    )
-    codes = enc.filter(F.col("rn") == 1).select("vec_id", "j", "r")
+            na2 = np.einsum("njd,njd->nj", M, M)
+            cross = np.einsum("njd,rjd->njr", M, C)
+            # d[n,j,r] = na2 - 2*cross + nc2: every term (and the 2-op
+            # combination) is an exact integer < 2^53 in float64.
+            d = na2[:, :, None] - 2.0 * cross + nc2.T[None, :, :]
+            codes = np.argmin(d, axis=2)  # first min == (sqdist, r) tie-break
+            adc = np.take_along_axis(
+                np.broadcast_to(lut[None, :, :], d.shape), codes[:, :, None], 2
+            )[:, :, 0].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "adc_dist_q": adc.astype(np.int64),
+                }
+            )
 
-    qsubs = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(js, "qe")
-        .select(
-            "j",
-            F.slice("qe", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
-        )
-    )
-    lut = qsubs.join(F.broadcast(codebook), "j").select(
-        "j", "r", S.sqdist_int(F.col("sub"), F.col("c")).alias("qd")
-    )
     return (
-        codes.join(F.broadcast(lut), ["j", "r"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").alias("adc_dist_q"))
+        base.select("vec_id", "qe")
+        .mapInPandas(adc_batches, "vec_id long, adc_dist_q long")
         .orderBy("adc_dist_q", "vec_id")
         .limit(10)
     )

@@ -66,7 +66,6 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "sim_ivf_probe": "K-row centroid table (fixed K) + single query vector",
     "sim_ivf_multiprobe": "K-row centroid table (fixed K) + single query vector",
     "sim_ivf_trained_rerank": "K-row trained centroids (fixed K) + single query vector",
-    "sim_pq_adc_topk": "M*K-row PQ codebook (fixed M,K) + M*K-row query LUT",
     "sim_pq_trained_codebook": "M*K-row trained codebook (fixed M,K)",
     "sim_ivfpq_adc_topk": "K centroids + M*K residual codebook (fixed) + query LUT",
     "sketch_bloom_join": "bitmap words keyed by position>>5 — fixed BLOOM_M/32 = 256 rows regardless of build-side size",

@@ -155,14 +155,17 @@ def test_contamination_check_semi_join_no_pairs(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_pq_adc_broadcasts_codebook_and_lut(spark):
-    # PQ-ADC's scale shape: the corpus joins a broadcast codebook (encode)
-    # and a broadcast LUT (search); top-k is TakeOrderedAndProject. A
-    # shuffled join against either constant-size side, or a global sort,
-    # breaks the one-pass 100 TB plan.
+def test_pq_adc_single_arrow_pass_then_topk(spark):
+    # PQ-ADC's scale shape (r9): the constant-size codebook and query LUT
+    # ride the Arrow kernel's closure, so encode + ADC scoring is ONE
+    # mapInPandas pass over the corpus with no data-sized exchange before
+    # the TakeOrderedAndProject top-k. A join, window, or global sort
+    # reappearing here breaks the one-pass 100 TB plan.
     plan = _formatted_plan(spark, "sim_pq_adc_topk")
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
     assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 
