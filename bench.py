@@ -35,16 +35,27 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> None:
+    """Time-to-LAST-BYTE materialization: write every output column to the
+    noop sink, JVM-side. `.count()` is NOT a benchmark primitive — Catalyst
+    prunes output columns a count never reads (unreferenced aggregate
+    expressions, fold columns), so count-timing under-measures exactly the
+    expensive queries (measured: the r8 kNN-graph assignment stage counted
+    0.7 s but materialized in 26 s). Round 9 switched both benches to this."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _time_queries(spark, names, sf_dir, runs):
-    """min-of-`runs` wall time per query (plus last row count)."""
+    """min-of-`runs` wall time per query (plus an untimed row count)."""
     specs = registry.specs()
     out = {}
     for name in names:
-        best, n = float("inf"), 0
+        best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            n = specs[name].fn(spark, sf_dir).count()
+            _materialize(specs[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+        n = specs[name].fn(spark, sf_dir).count()
         out[name] = (best, n)
     return out
 
@@ -59,18 +70,21 @@ def _retime_main(names: list[str]) -> None:
     spark = get_spark("gtec_etl_spark-bench-retime")
     specs = registry.specs()
     for name in names:
-        specs[name].fn(spark, sf_dir).count()  # warm
+        _materialize(specs[name].fn(spark, sf_dir))  # warm
     timed = _time_queries(spark, names, sf_dir, runs)
     print(json.dumps({k: round(t[0], 3) for k, t in timed.items()}))
 
 
 def _load_prev_timings(out_path: str, sf: str) -> dict[str, float]:
-    """Previous committed bench_out.json timings at the SAME sf, for the
-    outlier pass; {} when absent/other-sf/unreadable."""
+    """Previous committed bench_out.json timings at the SAME sf AND the
+    same timing primitive, for the outlier pass; {} when absent/other-sf/
+    other-metric/unreadable (a metric change would flag everything)."""
     try:
         with open(out_path) as fh:
             prev = json.load(fh)
         if str(prev.get("sf")) != str(sf):
+            return {}
+        if prev.get("timing", "count") != "noop-write":
             return {}
         return dict(prev.get("queries") or {})
     except Exception:
@@ -91,9 +105,9 @@ def main() -> None:
 
     # Warm the JVM, codegen, broadcast machinery, and parquet footers (not
     # timed): one light aggregation and one join-heavy query.
-    specs[names[0]].fn(spark, sf_dir).count()
+    _materialize(specs[names[0]].fn(spark, sf_dir))
     if "q02_regional_revenue" in specs:
-        specs["q02_regional_revenue"].fn(spark, sf_dir).count()
+        _materialize(specs["q02_regional_revenue"].fn(spark, sf_dir))
 
     # Three timed runs per query, keep the min: damps transient machine
     # contention (one or two slow runs don't misreport plan cost).
@@ -102,11 +116,12 @@ def main() -> None:
     prev_timings = _load_prev_timings(out_path, sf)
     timings: dict[str, float] = {}
     for name in names:
-        best, n = float("inf"), 0
+        best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            n = specs[name].fn(spark, sf_dir).count()
+            _materialize(specs[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+        n = specs[name].fn(spark, sf_dir).count()
         timings[name] = round(best, 3)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -161,6 +176,7 @@ def main() -> None:
         "metric": "total_query_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
+        "timing": "noop-write",
         "queries": timings,
         "sf": sf,
     }
@@ -176,6 +192,7 @@ def main() -> None:
                 "metric": "total_query_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
+                "timing": "noop-write",
                 "queries": headline,
                 "sf": sf,
                 "n_queries": len(timings),

@@ -102,85 +102,78 @@ def brute_force_topk(
 def pq_kmeans_codebook(
     subs: DataFrame, init: DataFrame, iters: int = 4
 ) -> DataFrame:
-    """Distributed Lloyd's iterations training a product-quantization
-    codebook per subspace, in quantized-integer space.
+    """Lloyd's iterations training a product-quantization codebook per
+    subspace, in quantized-integer space — computed DRIVER-LOCALLY in
+    numpy over the collected training sample (round 9).
 
     `subs`: (vec_id, j, sub array<long>) training sub-vectors (quantized
-    micros, see quantize_micros) — typically a bounded deterministic
-    sample of the corpus. `init`: (j, r, c array<long>) initial codebook
-    (e.g. the hash-seeded sample sim_pq_adc_topk uses). Returns (j, r, c)
-    with the same shape.
+    micros, see quantize_micros) — a bounded deterministic sample of the
+    corpus, NEVER the corpus itself. `init`: (j, r, c array<long>)
+    initial codebook (e.g. the hash-seeded sample sim_pq_adc_topk uses).
+    Returns (j, r, c) with the same shape, as a local-relation DataFrame.
 
-    Each iteration: assign every sub-vector to its nearest codeword
-    (broadcast codebook join + integer-exact argmin, ties to the lowest
-    r), then recompute each codeword as the elementwise mean of its
-    members, re-quantized to int64 (floor(avg + 0.5)) so every iteration
-    stays in exact-integer space — runs are bit-reproducible. Codewords
-    that attract no members keep their previous value (the left-join
-    coalesce), the standard empty-cluster fallback.
+    Why driver-local: training cost is O(sample x iters) BY DESIGN —
+    corpus-independent, constant-size work. Spark-staging it (the r3-r8
+    shape: per-iteration broadcast join + two shuffles) made a
+    1024-vector problem occupy 4 x 3 stage barriers of a 32-core
+    scheduler for seconds; this is how production ANN systems train too
+    (sample to memory, Lloyd's in BLAS, ship the codebook). The collect
+    is bounded by the sample/codebook size, same class as the audit's
+    fixed-K codebook allowlist; only ENCODE ever scans the corpus.
 
-    Scale: per iteration, one broadcast join over the sample + two
-    bounded shuffles (argmin groupBy on vec_id×j; centroid groupBy on
-    j×r×dim ≤ M·K·subdim rows). The sample is cached once; the codebook
-    is checkpoint-free because M·K rows re-broadcast cheaply. Production
-    trains on a ~1e5-row sample regardless of corpus size — training cost
-    is O(sample), never O(corpus); only ENCODE scans the full data."""
-    subs = subs.persist()
-    try:
-        cb = _pq_kmeans_iterate(subs, init, iters)
-        # Materialize the codebook (bounded: M*K rows by construction)
-        # BEFORE releasing the cache — the trained plan references `subs`
-        # once per iteration, so a lazy return would recompute the sample
-        # iters× after unpersist. A collected 64-row codebook re-enters the
-        # plan as a broadcast-sized local relation, which is exactly how
-        # the search side consumes it.
-        return subs.sparkSession.createDataFrame(cb.collect(), cb.schema)
-    finally:
-        # Caller-provided DataFrame: leaving it cached would leak blocks
-        # across repeated calls in a long session (the same session-residue
-        # class tools/bench_scale.py works around).
-        subs.unpersist()
+    Exactness (bit-identical to the unrolled DuckDB oracle CTEs):
+    - assignment argmin: squared L2 via the gram identity on float64 —
+      every term is an integer < 2^53, so exact in any summation order;
+      codeword rows ordered by r make np.argmin's first-minimum rule the
+      (sqdist, r) tie-break.
+    - centroid update floor(double(sum)/double(count) + 0.5): the int64
+      member sum (< 2^53) casts to double exactly; then ONE
+      correctly-rounded divide, add, floor — the identical IEEE op
+      sequence both engines spell out.
+    - empty clusters keep their previous codeword."""
+    import numpy as np
 
+    spark = subs.sparkSession
+    schema = init.schema
+    init_rows = init.collect()
+    sub_rows = subs.collect()
 
-def _pq_kmeans_iterate(subs: DataFrame, init: DataFrame, iters: int) -> DataFrame:
-    cb = init
-    for _ in range(iters):
-        assigned = (
-            subs.join(F.broadcast(cb), "j")
-            .withColumn("__d", sqdist_int(F.col("sub"), F.col("c")))
-            .groupBy("vec_id", "j")
-            .agg(
-                F.min_by(
-                    F.struct("r", "sub"), F.struct("__d", "r")
-                ).alias("__a")
-            )
-            .select("j", F.col("__a.r").alias("r"), F.col("__a.sub").alias("sub"))
-        )
-        new = (
-            assigned.select("j", "r", F.posexplode("sub").alias("d", "x"))
-            .groupBy("j", "r", "d")
-            # Explicit exact-int sum then ONE double division, instead of
-            # avg(): both engines then perform the identical IEEE ops
-            # (long sum is exact; sum and count are < 2^53 so the cast is
-            # exact; one correctly-rounded divide), making the re-quantized
-            # centroid bit-identical cross-engine by construction.
-            .agg(
-                F.floor(
-                    F.sum("x").cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("cx")
-            )
-            .groupBy("j", "r")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("pairs"))
-            .select("j", "r", F.expr("transform(pairs, p -> p.cx)").alias("c2"))
-        )
-        cb = cb.join(new, ["j", "r"], "left").select(
-            "j", "r", F.coalesce("c2", "c").alias("c")
-        )
-    return cb
+    by_j_init: dict = {}
+    for row in init_rows:
+        by_j_init.setdefault(row["j"], []).append((row["r"], list(row["c"])))
+    by_j_sub: dict = {}
+    for row in sub_rows:
+        by_j_sub.setdefault(row["j"], []).append(list(row["sub"]))
+
+    out = []
+    for j in sorted(by_j_init):
+        pairs = sorted(by_j_init[j])  # codeword rows ordered by r
+        rs = [r for r, _ in pairs]
+        C = np.array([c for _, c in pairs], dtype=np.float64)
+        subs_j = by_j_sub.get(j, [])
+        if subs_j:
+            X = np.array(subs_j, dtype=np.float64)
+            nx2 = np.einsum("nd,nd->n", X, X)  # exact ints in float64
+            for _ in range(iters):
+                nc2 = np.einsum("kd,kd->k", C, C)
+                d = nx2[:, None] - 2.0 * (X @ C.T) + nc2[None, :]
+                a = np.argmin(d, axis=1)  # first min == (sqdist, r) ties
+                C2 = C.copy()
+                for k in range(len(rs)):
+                    members = X[a == k]
+                    if len(members):
+                        # float64 sum of int-valued members is exact
+                        # (|sum| < 2^53); then the oracle's op sequence.
+                        C2[k] = np.floor(
+                            members.sum(axis=0) / np.float64(len(members))
+                            + 0.5
+                        )
+                C = C2
+        for k, r in enumerate(rs):
+            out.append((j, r, [int(v) for v in C[k]]))
+    return spark.createDataFrame(
+        [dict(zip(("j", "r", "c"), row)) for row in out], schema
+    )
 
 
 def hyperplane_weight(j: int, d: int) -> int:

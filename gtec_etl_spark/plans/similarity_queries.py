@@ -351,66 +351,12 @@ def sim_pq_adc_topk(spark, sf_dir):
     with rows+schema green, exactly the driver's symptom. The oracle now
     CASTs the sum to BIGINT so every client sees int64. The
     sim_pq_debug_* stage queries below bisect any residual divergence."""
-    import numpy as np
-    import pandas as pd
-
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
     )
     base = emb.filter(F.col("vec_id") != 0)
-
-    # Bounded collects (the audit-allowlisted "fixed-K codebook" class):
-    # PQ_K seed rows via TakeOrdered + the single query vector.
-    seed_rows = (
-        base.select(
-            "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
-        )
-        .orderBy("hh", "vec_id")
-        .limit(PQ_K)
-        .collect()
-    )
-    seed_rows.sort(key=lambda row: (row["hh"], row["vec_id"]))
-    # C[r, j, :] = codeword r's subvector for subspace j.
-    C = np.array([row["qe"] for row in seed_rows], dtype=np.float64).reshape(
-        PQ_K, PQ_M, PQ_SUBDIM
-    )
-    nc2 = np.einsum("rjd,rjd->rj", C, C)  # exact: integer-valued < 2^53
-    q = np.array(
-        emb.filter(F.col("vec_id") == 0).select("qe").collect()[0]["qe"],
-        dtype=np.float64,
-    ).reshape(PQ_M, PQ_SUBDIM)
-    # lut[j, r] = exact integer ||q_j - C[r,j]||^2.
-    diff = q[None, :, :] - C
-    lut = np.einsum("rjd,rjd->rj", diff, diff).T  # (PQ_M, PQ_K)
-
-    def adc_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf["qe"].to_numpy()).astype(np.float64).reshape(
-                -1, PQ_M, PQ_SUBDIM
-            )
-            na2 = np.einsum("njd,njd->nj", M, M)
-            cross = np.einsum("njd,rjd->njr", M, C)
-            # d[n,j,r] = na2 - 2*cross + nc2: every term (and the 2-op
-            # combination) is an exact integer < 2^53 in float64.
-            d = na2[:, :, None] - 2.0 * cross + nc2.T[None, :, :]
-            codes = np.argmin(d, axis=2)  # first min == (sqdist, r) tie-break
-            adc = np.take_along_axis(
-                np.broadcast_to(lut[None, :, :], d.shape), codes[:, :, None], 2
-            )[:, :, 0].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "adc_dist_q": adc.astype(np.int64),
-                }
-            )
-
-    return (
-        base.select("vec_id", "qe")
-        .mapInPandas(adc_batches, "vec_id long, adc_dist_q long")
-        .orderBy("adc_dist_q", "vec_id")
-        .limit(10)
+    return pq_adc_search(
+        base, emb.filter(F.col("vec_id") == 0), _pq_seed_codebook(base), k=10
     )
 
 
@@ -602,28 +548,66 @@ def _pq_seed_codebook(base):
 def pq_adc_search(base, query_row, codebook, k: int = 10):
     """Encode `base` against `codebook`, build the query LUT, return the
     ADC top-k — the search half of PQ, shared by the seeded and trained
-    codebook queries. All distances are integer-exact (sqdist_int over
-    quantized vectors)."""
-    from pyspark.sql import Window
+    codebook queries.
 
-    subs = _pq_slice(base, "qe")
-    enc = subs.join(F.broadcast(codebook), "j").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("vec_id", "j").orderBy(
-                S.sqdist_int(F.col("sub"), F.col("c")), F.col("r")
+    Round 9: one Arrow mapInPandas pass. The codebook (M x K rows,
+    bounded by construction) and the single query vector collect into the
+    kernel closure; encode (nearest codeword per subspace) and ADC
+    scoring (sum of LUT entries) happen batch-at-a-time with no shuffle
+    before the TakeOrderedAndProject top-k. This replaces the exploded
+    N x M x K encode rows + interpreted sqdist folds + (vec_id, j)
+    window — see sim_pq_adc_topk's docstring for the measured history.
+
+    Exactness: all inputs are integer micros, every squared subdistance
+    and partial sum is an integer < 2^53, so float64 einsum reproduces
+    the pure-int64 oracle bit-exactly; codebook rows ordered by r make
+    np.argmin's first-minimum rule the oracle's (sqdist, r) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    by: dict = {}
+    for row in codebook.collect():
+        by[(row["j"], row["r"])] = list(row["c"])
+    js = sorted({jr[0] for jr in by})
+    rs = sorted({jr[1] for jr in by})
+    # C[i, j, :] = codeword rs[i]'s subvector for subspace j; ascending
+    # rank order makes argmin's first-min the (sqdist, r) tie-break.
+    C = np.array(
+        [[by[(j, r)] for j in js] for r in rs], dtype=np.float64
+    )
+    nc2 = np.einsum("rjd,rjd->rj", C, C)  # exact: integer-valued < 2^53
+    q = np.array(
+        query_row.select("qe").collect()[0]["qe"], dtype=np.float64
+    ).reshape(len(js), -1)
+    diff = q[None, :, :] - C
+    lut = np.einsum("rjd,rjd->rj", diff, diff).T  # (M, K) exact integers
+
+    def adc_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["qe"].to_numpy()).astype(np.float64).reshape(
+                len(pdf), len(js), -1
             )
-        ),
-    )
-    codes = enc.filter(F.col("rn") == 1).select("vec_id", "j", "r")
-    qsubs = _pq_slice(query_row, "qe", with_id=False)
-    lut = qsubs.join(F.broadcast(codebook), "j").select(
-        "j", "r", S.sqdist_int(F.col("sub"), F.col("c")).alias("qd")
-    )
+            na2 = np.einsum("njd,njd->nj", M, M)
+            cross = np.einsum("njd,rjd->njr", M, C)
+            # d[n,j,r] = na2 - 2*cross + nc2: every term (and the 2-op
+            # combination) is an exact integer < 2^53 in float64.
+            d = na2[:, :, None] - 2.0 * cross + nc2.T[None, :, :]
+            codes = np.argmin(d, axis=2)
+            adc = np.take_along_axis(
+                np.broadcast_to(lut[None, :, :], d.shape), codes[:, :, None], 2
+            )[:, :, 0].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "adc_dist_q": adc.astype(np.int64),
+                }
+            )
+
     return (
-        codes.join(F.broadcast(lut), ["j", "r"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").alias("adc_dist_q"))
+        base.select("vec_id", "qe")
+        .mapInPandas(adc_batches, "vec_id long, adc_dist_q long")
         .orderBy("adc_dist_q", "vec_id")
         .limit(k)
     )

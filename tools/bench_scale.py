@@ -211,15 +211,23 @@ def main() -> None:
     spark = get_spark("bench-scale")
     specs = registry.specs()
 
+    def materialize(df) -> None:
+        # Time-to-last-byte via the noop sink: .count() lets Catalyst
+        # prune output columns a count never reads (unreferenced
+        # aggregates, fold columns), under-measuring exactly the
+        # expensive queries (r9; see bench.py._materialize).
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm JVM/codegen/footers (untimed).
-    specs["q01_pricing_summary"].fn(spark, args.sf_dir).count()
+    materialize(specs["q01_pricing_summary"].fn(spark, args.sf_dir))
 
     def best_of(name: str, sf_dir: str) -> tuple[float, int]:
-        best, rows = float("inf"), 0
+        best = float("inf")
         for _ in range(args.runs):
             t0 = time.perf_counter()
-            rows = specs[name].fn(spark, sf_dir).count()
+            materialize(specs[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+        rows = specs[name].fn(spark, sf_dir).count()
         return best, rows
 
     results: dict[str, dict] = {}
@@ -251,6 +259,7 @@ def main() -> None:
         "metric": "scale_stress_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
+        "timing": "noop-write",
         "sf_dir": args.sf_dir,
         "data_factor_vs_sf0.1": args.factor,
         "note": (
