@@ -906,6 +906,9 @@ def sim_diversity_sample(spark, sf_dir):
     No reference counterpart (the reference has no embedding operators) —
     LLM-pipeline extension per the brief, same family as sim_* and
     dedup_embedding_cosine."""
+    import numpy as np
+    import pandas as pd
+
     from gtec_etl_spark.operators import aggregates as A
 
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
@@ -913,21 +916,33 @@ def sim_diversity_sample(spark, sf_dir):
     )
     cb = _fullvec_centroids(emb)
 
-    assigned = (
-        emb.select("vec_id", "qe")
-        .crossJoin(F.broadcast(cb))
-        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("r"), F.col("__d")), F.struct(F.col("__d"), F.col("r"))
-            ).alias("__a")
-        )
-        .select(
-            "vec_id",
-            F.col("__a.r").alias("cluster"),
-            F.col("__a.__d").alias("dist"),
-        )
+    # Assignment as an Arrow kernel (r9): same gram-identity argmin as
+    # _arrow_centroid_assign but emitting the winning DISTANCE instead of
+    # the vector — every term integer-valued < 2^53 in float64, so exact;
+    # rank-ordered centroid rows keep the (sqdist, r) tie-break.
+    cb_rows = sorted(cb.collect(), key=lambda row: row["r"])
+    C = np.array([row["c"] for row in cb_rows], dtype=np.float64)
+    r_ids = np.array([row["r"] for row in cb_rows], dtype=np.int64)
+    nc2 = np.einsum("kd,kd->k", C, C)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            na2 = np.einsum("nd,nd->n", M, M)
+            d = na2[:, None] - 2.0 * (M @ C.T) + nc2[None, :]
+            best = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": r_ids[best],
+                    "dist": d[np.arange(len(best)), best].astype(np.int64),
+                }
+            )
+
+    assigned = emb.select("vec_id", "qe").mapInPandas(
+        assign_batches, "vec_id long, cluster long, dist long"
     )
     kept = A.topn_per_key_salted(
         assigned,
@@ -1265,51 +1280,64 @@ def sim_ivf_trained_rerank(spark, sf_dir):
     (_fullvec_centroids / _fullvec_lloyds_ctes), so the two oracles pin
     the same codebook.
 
-    Scale design: training is O(sample x iters), corpus-independent;
-    assignment is one broadcast crossJoin + per-vector argmin (at 100 TB
-    the assignment is the persisted index artifact, built once); the
-    probe set is a {IVF_TRAINED_NPROBE}-row broadcast, so the search
-    touches only matching cells via a broadcast-hash join and the final
-    exact re-rank is TakeOrderedAndProject over ~nprobe/{DS_K} of the
-    corpus."""
+    Scale design: training is O(sample x iters), corpus-independent.
+    Round 9: assignment + probe-prune + exact re-rank is ONE Arrow
+    mapInPandas pass — the K-row trained centroids and the query vector
+    ride the closure, each batch's vectors assign via the gram identity
+    (integer-valued float64, exact < 2^53; rank-ordered rows preserve
+    the (sqdist, r) tie-break), vectors outside the
+    {IVF_TRAINED_NPROBE}-cell probe set are DROPPED (~nprobe/{DS_K} of
+    the corpus survives — the inverted-list prune), and survivors get
+    their exact integer L2 to the query; the only plan nodes after the
+    scan are the kernel and the TakeOrderedAndProject. This replaced a
+    crossJoin argmin whose K x 64-term interpreted sqdist folds per
+    vector were the dominant cost (HOFs are not whole-stage-codegen).
+    At 100 TB the assignment is the persisted index artifact, built
+    once."""
+    import numpy as np
+    import pandas as pd
+
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
     )
     base = emb.filter(F.col("vec_id") != 0)
     cb = _fullvec_centroids(base)
 
-    assigned = (
-        base.select("vec_id", "qe")
-        .crossJoin(F.broadcast(cb))
-        .withColumn("__d", S.sqdist_int(F.col("qe"), F.col("c")))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("r"), F.col("qe")),
-                F.struct(F.col("__d"), F.col("r")),
-            ).alias("__a")
-        )
-        .select(
-            "vec_id",
-            F.col("__a.r").alias("cluster"),
-            F.col("__a.qe").alias("qe"),
-        )
+    cb_rows = sorted(cb.collect(), key=lambda row: row["r"])
+    C = np.array([row["c"] for row in cb_rows], dtype=np.float64)
+    nc2 = np.einsum("kd,kd->k", C, C)
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).select("qe").collect()[0]["qe"],
+        dtype=np.float64,
     )
-    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("qe").alias("qqe"))
-    probe = (
-        cb.crossJoin(F.broadcast(qrow))
-        .select("r", S.sqdist_int(F.col("c"), F.col("qqe")).alias("__d"))
-        .orderBy("__d", "r")
-        .limit(IVF_TRAINED_NPROBE)
-        .select(F.col("r").alias("cluster"))
-    )
+    nq2 = np.einsum("d,d->", q, q)
+    dq = nq2 - 2.0 * (C @ q) + nc2
+    probe = np.argsort(dq, kind="stable")[:IVF_TRAINED_NPROBE]
+    probe_list = [int(cl) for cl in probe]
+
+    def rerank_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            M = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            na2 = np.einsum("nd,nd->n", M, M)
+            d = na2[:, None] - 2.0 * (M @ C.T) + nc2[None, :]
+            cl = np.argmin(d, axis=1)
+            keep = np.isin(cl, probe_list)
+            if not keep.any():
+                continue
+            dist_q = na2[keep] - 2.0 * (M[keep] @ q) + nq2
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[keep],
+                    "dist_q": dist_q.astype(np.int64),
+                }
+            )
+
     return (
-        assigned.join(F.broadcast(probe), "cluster")
-        .crossJoin(F.broadcast(qrow))
-        .select(
-            "vec_id",
-            S.sqdist_int(F.col("qe"), F.col("qqe")).alias("dist_q"),
-        )
+        base.select("vec_id", "qe")
+        .mapInPandas(rerank_batches, "vec_id long, dist_q long")
         .orderBy("dist_q", "vec_id")
         .limit(10)
     )
@@ -1429,8 +1457,22 @@ def sim_ivfpq_adc_topk(spark, sf_dir):
     key prunes the candidate scan: ~nprobe/K of the corpus), while flat
     PQ (sim_pq_adc_topk) scores every code. Encode is one broadcast
     codebook join; the rank vector of per-list LUTs is
-    nprobe x {PQ_M} x {PQ_K} rows, always broadcast-size."""
-    from pyspark.sql import Window
+    nprobe x {PQ_M} x {PQ_K} rows, always broadcast-size.
+
+    Round 9: the whole pipeline after training is ONE Arrow mapInPandas
+    pass. The trained centroids (K rows), the PQ_K seed residuals (the
+    residual codebook), the probe set, and the per-probed-list LUTs are
+    all bounded-by-construction local state riding the kernel closure;
+    the kernel assigns each batch's vectors to their coarse list via the
+    gram identity, DROPS vectors outside the probed lists (the
+    inverted-list prune, ~nprobe/K of the corpus survives), encodes the
+    survivors' residuals, and sums their LUT entries — no join, window,
+    or shuffle before the TakeOrderedAndProject top-k. All arithmetic is
+    integer micros < 2^53 in float64 (residual diffs <= ~5e5 per
+    element), so the unrolled oracle still matches bit-for-bit;
+    rank-ordered codeword rows preserve both (sqdist, r) tie-breaks."""
+    import numpy as np
+    import pandas as pd
 
     emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
         "qe", S.quantize_micros(F.col("embedding"))
@@ -1438,106 +1480,71 @@ def sim_ivfpq_adc_topk(spark, sf_dir):
     base = emb.filter(F.col("vec_id") != 0)
     cb = _fullvec_centroids(base)  # (r, c) trained coarse centroids
 
-    assign = (
-        base.select("vec_id", "qe")
-        .crossJoin(F.broadcast(cb))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    S.sqdist_int(F.col("qe"), F.col("c")), F.col("r")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("r").alias("cluster"), "qe")
-    )
-    res = assign.join(
-        F.broadcast(cb.withColumnRenamed("r", "cluster")), "cluster"
-    ).select(
-        "vec_id",
-        "cluster",
-        F.zip_with("qe", "c", lambda x, y: x - y).alias("re"),
-    )
+    cb_rows = sorted(cb.collect(), key=lambda row: row["r"])
+    C = np.array([row["c"] for row in cb_rows], dtype=np.float64)  # (K, dim)
+    nc2 = np.einsum("kd,kd->k", C, C)
 
-    seeds = (
+    def nearest_cluster(M):
+        # argmin over rank-ordered centroid rows == (sqdist, r) tie-break.
+        na2 = np.einsum("nd,nd->n", M, M)
+        d = na2[:, None] - 2.0 * (M @ C.T) + nc2[None, :]
+        return np.argmin(d, axis=1)
+
+    # PQ_K hash-ordered seed vectors -> local residual codebook
+    # pcb[pr, j, :]: assign each seed to its coarse list, subtract.
+    seed_rows = (
         base.select(
-            "vec_id", hash60(F.col("vec_id").cast("string")).alias("hh")
+            "vec_id", "qe", hash60(F.col("vec_id").cast("string")).alias("hh")
         )
         .orderBy("hh", "vec_id")
         .limit(PQ_K)
-        .withColumn("pr", F.row_number().over(Window.orderBy("hh", "vec_id")) - 1)
-        .select("vec_id", "pr")
+        .collect()
     )
-    js = F.explode(F.array(*[F.lit(j) for j in range(PQ_M)])).alias("j")
-    pcb = (
-        seeds.join(res.select("vec_id", "re"), "vec_id")
-        .select("pr", js, "re")
-        .select(
-            "pr",
-            "j",
-            F.slice("re", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c"),
-        )
-    )
+    seed_rows.sort(key=lambda row: (row["hh"], row["vec_id"]))
+    SV = np.array([row["qe"] for row in seed_rows], dtype=np.float64)
+    pcb = (SV - C[nearest_cluster(SV)]).reshape(PQ_K, PQ_M, PQ_SUBDIM)
+    pc2 = np.einsum("rjd,rjd->rj", pcb, pcb)
 
-    rsubs = res.select("vec_id", "cluster", js, "re").select(
-        "vec_id",
-        "cluster",
-        "j",
-        F.slice("re", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+    # Query side: probe the IVFPQ_NPROBE nearest lists; one LUT per list
+    # from the query's residual AGAINST THAT LIST's centroid.
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).select("qe").collect()[0]["qe"],
+        dtype=np.float64,
     )
-    enc = (
-        rsubs.join(F.broadcast(pcb), "j")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "j").orderBy(
-                    S.sqdist_int(F.col("sub"), F.col("c")), F.col("pr")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "j", "pr")
-    )
+    dq = np.einsum("d,d->", q, q) - 2.0 * (C @ q) + nc2
+    probe = np.argsort(dq, kind="stable")[:IVFPQ_NPROBE]  # ties -> lowest r
+    luts = {}
+    for cl in probe:
+        qre = (q - C[cl]).reshape(PQ_M, PQ_SUBDIM)
+        diff = qre[None, :, :] - pcb
+        luts[int(cl)] = np.einsum("rjd,rjd->rj", diff, diff).T  # (M, K)
+    probe_set = {int(cl) for cl in probe}
 
-    qv = emb.filter(F.col("vec_id") == 0).select("qe")
-    probe = (
-        cb.crossJoin(F.broadcast(qv))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(
-                    S.sqdist_int(F.col("qe"), F.col("c")), F.col("r")
-                )
-            ),
-        )
-        .filter(F.col("rn") <= IVFPQ_NPROBE)
-        .select(F.col("r").alias("cluster"))
-    )
-    qres = (
-        probe.join(F.broadcast(cb.withColumnRenamed("r", "cluster")), "cluster")
-        .crossJoin(F.broadcast(qv))
-        .select(
-            "cluster", F.zip_with("qe", "c", lambda x, y: x - y).alias("re")
-        )
-    )
-    lut = (
-        qres.select("cluster", js, "re")
-        .select(
-            "cluster",
-            "j",
-            F.slice("re", F.col("j") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qsub"),
-        )
-        .join(F.broadcast(pcb), "j")
-        .select(
-            "cluster", "j", "pr",
-            S.sqdist_int(F.col("qsub"), F.col("c")).alias("qd"),
-        )
-    )
+    def ivfpq_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            M = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            cl = nearest_cluster(M)
+            keep = np.isin(cl, list(probe_set))
+            if not keep.any():
+                continue
+            ids, cl, M = ids[keep], cl[keep], M[keep]
+            R = (M - C[cl]).reshape(len(ids), PQ_M, PQ_SUBDIM)
+            nr2 = np.einsum("njd,njd->nj", R, R)
+            cross = np.einsum("njd,rjd->njr", R, pcb)
+            d = nr2[:, :, None] - 2.0 * cross + pc2.T[None, :, :]
+            codes = np.argmin(d, axis=2)  # ties -> lowest pr
+            adc = np.empty(len(ids), dtype=np.int64)
+            for i in range(len(ids)):
+                lut = luts[int(cl[i])]
+                adc[i] = int(lut[np.arange(PQ_M), codes[i]].sum())
+            yield pd.DataFrame({"vec_id": ids, "adc_dist_q": adc})
+
     return (
-        enc.join(F.broadcast(lut), ["cluster", "j", "pr"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd").alias("adc_dist_q"))
+        base.select("vec_id", "qe")
+        .mapInPandas(ivfpq_batches, "vec_id long, adc_dist_q long")
         .orderBy("adc_dist_q", "vec_id")
         .limit(10)
     )

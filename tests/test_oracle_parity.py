@@ -65,9 +65,6 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "sim_topk_bruteforce": "single query vector selected by key equality",
     "sim_ivf_probe": "K-row centroid table (fixed K) + single query vector",
     "sim_ivf_multiprobe": "K-row centroid table (fixed K) + single query vector",
-    "sim_ivf_trained_rerank": "K-row trained centroids (fixed K) + single query vector",
-    "sim_pq_trained_codebook": "M*K-row trained codebook (fixed M,K)",
-    "sim_ivfpq_adc_topk": "K centroids + M*K residual codebook (fixed) + query LUT",
     "sketch_bloom_join": "bitmap words keyed by position>>5 — fixed BLOOM_M/32 = 256 rows regardless of build-side size",
     "sketch_cms_heavy_hitters": "CMS grid keyed by (row, col mod W) — fixed D*W cells",
     "sketch_sampled_quantiles": "boundary set is an equi-join with the SQ_B-1-row index range — <=7 rows at any sf",

@@ -238,13 +238,15 @@ def test_dsir_one_aggregation_tree_per_branch(spark):
     assert len(scans) == 2, f"expected 2 corpus scans, got {len(scans)}"
 
 
-def test_diversity_sample_broadcasts_centroids_and_salts(spark):
-    """sim_diversity_sample: the nearest-centroid assignment must join a
-    broadcast constant-size codebook (no shuffle on the corpus side before
-    the per-vector argmin), and the per-cluster pick must be the two-level
-    salted top-n (two window sorts), never a single global window."""
+def test_diversity_sample_arrow_assign_and_salts(spark):
+    """sim_diversity_sample (r9 shape): nearest-centroid assignment is the
+    Arrow kernel (constant-size codebook in the closure — no join at all
+    before the per-vector argmin), and the per-cluster pick must be the
+    two-level salted top-n (two window sorts), never a single global
+    window."""
     plan = _formatted_plan(spark, "sim_diversity_sample")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert plan.count("Window") >= 2
 
 
@@ -340,15 +342,17 @@ def test_chunk_overlap_is_map_side_until_presentation_sort(spark):
     assert "EvalPython" not in plan
 
 
-def test_ivfpq_broadcasts_and_takes_ordered(spark):
-    """sim_ivfpq_adc_topk: codebook/LUT sides broadcast, final top-k is
-    TakeOrderedAndProject, no cartesian product, no Python eval — the
-    IVF-PQ search must stay a broadcast-join pipeline."""
+def test_ivfpq_single_arrow_pass_then_topk(spark):
+    """sim_ivfpq_adc_topk (r9 shape): coarse assign + probe-prune +
+    residual encode + LUT scoring is ONE Arrow kernel (the bounded
+    codebooks/LUTs ride its closure), so there is no join, window, or
+    data-sized exchange before the TakeOrderedAndProject top-k."""
     plan = _formatted_plan(spark, "sim_ivfpq_adc_topk")
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "EvalPython" not in plan
 
 
 def test_triangle_count_broadcasts_degrees_no_global_sort(spark):
