@@ -336,16 +336,45 @@ def prof_approx_profile(spark, sf_dir):
     rank at any n). The oracle states those verdicts as TRUE plus the
     exact profile, so a sketch drifting out of tolerance hash-mismatches.
     At 100 TB only the sketch side runs; this query is the recorded
-    evidence its error contract holds."""
+    evidence its error contract holds.
+
+    Plan (r9): the exact distinct runs as a TWO-LEVEL aggregate (distinct
+    pairs, then count per group) joined back on the 4-row group key —
+    NOT as countDistinct inside the main aggregate. A countDistinct
+    mixed with non-distinct aggregates triggers Catalyst's Expand
+    rewrite, which replays every input row through the expensive exact
+    percentile buffers once per branch; measured 8.9 s for an
+    aggregation whose stages individually sum to ~3 s (found the round
+    the bench switched to materializing timing — count-based timing had
+    pruned the whole aggregate away)."""
     li = catalog.table(spark, sf_dir, "lineitem")
-    prof = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.48)").alias("p48"),
-        F.expr("percentile(l_extendedprice, 0.52)").alias("p52"),
-        F.count(F.lit(1)).alias("n"),
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
     )
+    sketches = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+            # one shared percentile buffer for both rank bounds, not two
+            F.expr("percentile(l_extendedprice, array(0.48, 0.52))").alias(
+                "pb"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            "approx_median",
+            F.col("pb").getItem(0).alias("p48"),
+            F.col("pb").getItem(1).alias("p52"),
+            "n",
+        )
+    )
+    prof = sketches.join(exact, "l_returnflag")
     return prof.select(
         "l_returnflag",
         "exact_parts",
