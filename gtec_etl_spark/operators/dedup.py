@@ -146,6 +146,25 @@ def jaccard_pairs_capped_posting(
     memory stays O(cap), not O(cap^2). Reported jaccard is a lower bound
     of the true value: capped shingles leave the intersection count but
     set sizes stay uncapped (same contract as frequency_cap_shingles)."""
+    both = _capped_pair_intersections(shingles, max_frac, floor, id_col)
+    return (
+        both.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_common", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _capped_pair_intersections(
+    shingles: DataFrame, max_frac: float, floor: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared candidate machinery of the capped posting-list family:
+    (doc_a < doc_b, n_common, n_a, n_b) — the df-capped inverted index,
+    the two-level posting explode, the intersection count, and both set
+    sizes. jaccard_pairs_capped_posting and
+    containment_pairs_capped_posting put different measures on top."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # countDistinct(id) == row count of the per-doc aggregate; deriving it
     # from `sizes` (whose doc_id exchange the denominator joins reuse)
@@ -177,15 +196,54 @@ def jaccard_pairs_capped_posting(
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def containment_pairs_capped_posting(
+    shingles: DataFrame,
+    max_frac: float,
+    floor: int,
+    id_col: str = "doc_id",
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """DIRECTED shingle containment |A ∩ B| / |A| over the capped
+    posting-list candidates — the asymmetric near-dup measure (quote
+    detection, truncated re-crawls, doc-inside-doc): Jaccard misses a
+    short document embedded in a long one because the union is large,
+    while containment of the short side is ~1. Emits
+    (doc_sub, doc_sup, n_common, containment) for EACH direction that
+    clears the threshold — n_common is symmetric, so one intersection
+    pass feeds both. Cross-engine parity: one double divide of two
+    exact int64 casts, mirrored literally in the oracle. Same cap
+    contract as the Jaccard variant: capped shingles leave the
+    intersection but not |A|, so the reported containment is a lower
+    bound."""
+    both = _capped_pair_intersections(shingles, max_frac, floor, id_col)
+    a_in_b = both.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    b_in_a = both.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment"
+        ),
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        a_in_b.unionAll(b_in_a)
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            "doc_sub",
+            "doc_sup",
+            "n_common",
+            F.round("containment", 4).alias("containment"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("doc_a", "doc_b", "n_common", F.round("jaccard", 4).alias("jaccard"))
     )
 
 

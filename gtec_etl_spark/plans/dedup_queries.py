@@ -200,6 +200,97 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+CONT_TAU = 0.9
+
+_TRUNC_SQL = (
+    "array_to_string(string_split(text, ' ')"
+    "[1:greatest(3, len(string_split(text, ' '))//2)], ' ')"
+)
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, {_TRUNC_SQL} AS text
+      FROM documents WHERE doc_id % 50 = 3
+    ),
+    words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM corpus),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh),
+    capped AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN df USING (shingle) CROSS JOIN nd
+      WHERE df.df <= greatest({CAP_FLOOR}, {CAP_FRAC} * nd.n_docs)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT doc_a AS doc_sub, doc_b AS doc_sup, n_common,
+             CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b AS doc_sub, doc_a AS doc_sup, n_common,
+             CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment
+      FROM inter JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_sub, doc_sup, n_common, round(containment, 4) AS containment
+    FROM directed WHERE containment >= {CONT_TAU}
+    ORDER BY doc_sub, doc_sup
+    """,
+    tags=("dedup", "scale"),
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """DIRECTED n-gram containment near-dup: |A ∩ B| / |A| ≥ {CONT_TAU} —
+    the asymmetric measure that catches a SHORT document embedded in a
+    LONG one (quote extraction, truncated re-crawls, chunk-of-doc
+    leakage), which Jaccard structurally misses because the union is
+    dominated by the long side. Candidates come from the SAME df-capped
+    posting-list generator as dedup_ngram_jaccard_capped (one
+    intersection pass feeds both directions — n_common is symmetric),
+    so the 100 TB posture is identical: no all-pairs join, hot-shingle
+    fan-out bounded by the in-plan df cap.
+
+    The scanned corpus plants the asymmetric case the raw fixture lacks
+    (the vacuous-gate discipline, VERDICT r8 #3): a deterministic
+    re-ingest of the doc_id % 50 == 3 slice TRUNCATED to its first
+    max(3, n/2) words under offset ids — every truncated doc's shingle
+    set is a strict prefix subset of its original's, so containment
+    (truncated → original) is exactly 1.0 while the reverse direction
+    and the Jaccard stay well below threshold.
+
+    Parity: one double divide of two exact int64 casts, mirrored
+    literally in the oracle; the truncation arithmetic is pure integer
+    (len // 2) in both engines."""
+    docs = catalog.table(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.filter(F.col("doc_id") % 50 == 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.col("text"), " "),
+                1,
+                F.greatest(
+                    F.lit(3),
+                    F.expr("size(split(text, ' ')) div 2").cast("int"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    sh = D.word_shingles(docs.unionAll(trunc), 3)
+    return D.containment_pairs_capped_posting(
+        sh, CAP_FRAC, CAP_FLOOR, min_containment=CONT_TAU
+    ).orderBy("doc_sub", "doc_sup")
+
+
 def _minhash_ctes(num_hashes: int, bands: int) -> str:
     """Shared CTE chain ending in a `pairs` CTE of LSH candidate pairs —
     used by both the pair-listing oracle and the recursive-CTE clustering

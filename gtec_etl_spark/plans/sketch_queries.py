@@ -355,6 +355,143 @@ def sketch_hll_distinct(spark, sf_dir):
 
 
 
+@query(
+    "sketch_hll_grouped",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag AS grp,
+             {hash60_sql("CAST(l_partkey AS VARCHAR)")} AS h
+      FROM lineitem
+    ),
+    b AS (
+      SELECT grp, h >> {HLL_W} AS bucket,
+             CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W} - length(bin(h & {(1 << HLL_W) - 1})) + 1
+             END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT grp, bucket, CAST(max(rho) AS BIGINT) AS mj
+      FROM b GROUP BY grp, bucket
+    ),
+    s AS (
+      SELECT grp,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER))
+                  AS BIGINT) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs GROUP BY grp
+    ),
+    agg AS (
+      SELECT grp, s_present + ({HLL_M} - n_present) * {1 << 53} AS s_int,
+             {HLL_M} - n_present AS n_zero
+      FROM s
+    ),
+    est AS (
+      SELECT grp, s_int, CAST(n_zero AS BIGINT) AS n_zero,
+             {HLL_ALPHA!r} * {HLL_SCALE!r} / CAST(s_int AS DOUBLE) AS raw
+      FROM agg
+    ),
+    exact AS (
+      SELECT l_returnflag AS grp,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.grp AS l_returnflag, e.exact_n AS exact_n, s.n_zero AS n_zero,
+           CAST(s.s_int AS BIGINT) AS s_int,
+           CAST(floor(CASE WHEN s.raw <= {2.5 * HLL_M} AND s.n_zero > 0
+                           THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                             / s.n_zero)
+                           ELSE s.raw END + 0.5) AS BIGINT) AS est_n
+    FROM exact e JOIN est s ON s.grp = e.grp
+    ORDER BY l_returnflag
+    """,
+    tags=("sketch", "scale"),
+)
+def sketch_hll_grouped(spark, sf_dir):
+    """Per-GROUP HyperLogLog distinct — the grouped profiling shape
+    ("distinct parts per return flag"; at 100 TB: distinct users per
+    day per country) where count(DISTINCT) per group carries unbounded
+    per-group state but a register vector per group is {HLL_M} bytes.
+    Identical integer construction to sketch_hll_distinct, keyed by
+    group: register build is one map-side-combined groupBy over the
+    (group x {HLL_M}-bucket) domain, and register vectors merge by
+    elementwise max — the monoid property that makes per-shard /
+    per-day partial sketches combinable without re-reading data, which
+    is the entire operational point of grouped sketches. Both the raw
+    harmonic branch and the linear-counting fallback are exercised
+    ACROSS groups/SFs; everything rides the integer-exact hash gate
+    (see sketch_hll_distinct's exactness argument), with the per-group
+    fallback ln guarded in tests/test_float_guards.py."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    h = hash60(F.col("l_partkey").cast("string")).alias("h")
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_W) - 1))
+    regs = (
+        li.select(F.col("l_returnflag").alias("grp"), h)
+        .select(
+            "grp",
+            F.shiftright(F.col("h"), HLL_W).alias("bucket"),
+            F.when(w == 0, F.lit(HLL_W + 1))
+            .otherwise(F.lit(HLL_W) - F.length(F.bin(w)) + 1)
+            .alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    s = (
+        regs.groupBy("grp")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")
+            )
+            .cast("long")
+            .alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            "grp",
+            (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 53)
+            ).alias("s_int"),
+            (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_zero"),
+        )
+    )
+    est = s.select(
+        "grp",
+        "s_int",
+        "n_zero",
+        (
+            F.lit(HLL_ALPHA) * F.lit(HLL_SCALE) / F.col("s_int").cast("double")
+        ).alias("raw"),
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_n")
+    )
+    return (
+        exact.join(est, "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "exact_n",
+            "n_zero",
+            F.col("s_int").cast("long").alias("s_int"),
+            F.floor(
+                F.when(
+                    (F.col("raw") <= F.lit(2.5 * HLL_M))
+                    & (F.col("n_zero") > 0),
+                    F.lit(HLL_M)
+                    * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+                ).otherwise(F.col("raw"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("est_n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+
+
 # Bloom-filter geometry: BLOOM_M bits as BLOOM_M/32 32-bit words (32-bit
 # words keep every shifted bit positive in both engines' signed int64),
 # BLOOM_K probe positions per key from the same universal-hash mixing

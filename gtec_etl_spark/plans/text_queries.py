@@ -1957,3 +1957,114 @@ def text_tfidf_topterms(spark, sf_dir):
         )
         .orderBy("doc_id", "rank")
     )
+
+
+SS_BUDGET = 100
+
+
+@query(
+    "text_quota_sample",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+    alloc AS (
+      SELECT source, n, ({SS_BUDGET} * n) // n_total AS base, ({SS_BUDGET} * n) % n_total AS rem
+      FROM counts CROSS JOIN tot
+    ),
+    lo AS (SELECT CAST({SS_BUDGET} - sum(base) AS BIGINT) AS L FROM alloc),
+    ranked AS (
+      SELECT source, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr
+      FROM alloc
+    ),
+    quota AS (
+      SELECT source,
+             CAST(base + CASE WHEN rr <= (SELECT L FROM lo) THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota
+      FROM ranked
+    ),
+    picks AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS pick_rank
+      FROM documents
+    )
+    SELECT p.source, p.doc_id, CAST(p.pick_rank AS BIGINT) AS pick_rank, q.quota
+    FROM picks p JOIN quota q USING (source)
+    WHERE p.pick_rank <= q.quota
+    ORDER BY source, pick_rank
+    """,
+    tags=("text", "sampling", "scale"),
+)
+def text_quota_sample(spark, sf_dir):
+    """Exact-count proportional sampling with largest-remainder
+    (Hamilton) quota allocation: draw exactly {SS_BUDGET} documents,
+    apportioned across sources proportionally to their corpus share —
+    the "give me exactly N docs with the corpus's source mix" pass a
+    training-data pipeline runs to build evaluation slices and pilot
+    mixes (the exact-count complement of text_stratified_sample's
+    per-stratum RATES). Quotas are pure integer arithmetic
+    (base = B*n div N, remainders ranked with source-name tie-break, one
+    extra seat each for the L largest), so the allocation is
+    deterministic and bit-identical cross-engine; within a stratum the
+    picked docs are the quota-smallest by (hash60(doc_id), doc_id) — a
+    deterministic "random" draw, stable under retries.
+
+    Scale design: the allocation side touches only per-stratum counts
+    (one groupBy + arithmetic over |sources| rows; the 1-row corpus
+    total and leftover ride broadcast global aggregates). The
+    per-stratum pick is the salted two-level top-n
+    (operators.aggregates.topn_per_key_salted) — a plain window
+    partitioned by a handful of sources would sort 1/|sources|th of a
+    100 TB corpus on one task; the salt spreads it across 32 tasks per
+    source with an identical result. The quota join is keyed on source
+    with no forced broadcast (AQE decides)."""
+    from pyspark.sql import Window
+
+    from gtec_etl_spark.operators import aggregates as A
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"({SS_BUDGET} * n) div n_total").alias("base"),
+        ((F.lit(SS_BUDGET) * F.col("n")) % F.col("n_total")).alias("rem"),
+    )
+    leftover = alloc.agg((F.lit(SS_BUDGET) - F.sum("base")).alias("L"))
+    # Ranking |sources| rows through one window partition is fine — the
+    # stratum set is aggregate-bounded by construction.
+    ranked = alloc.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    quota = ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        (F.col("base") + F.when(F.col("rr") <= F.col("L"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )
+    picks = A.topn_per_key_salted(
+        docs.select(
+            "source",
+            "doc_id",
+            hash60(F.col("doc_id").cast("string")).alias("hh"),
+        ),
+        "source",
+        [F.col("hh"), F.col("doc_id")],
+        SS_BUDGET,
+        salt_on="doc_id",
+    )
+    return (
+        picks.join(quota, "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("rn").cast("long").alias("pick_rank"),
+            "quota",
+        )
+        .orderBy("source", "pick_rank")
+    )

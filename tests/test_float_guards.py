@@ -139,3 +139,53 @@ def test_linear_counting_estimate_not_on_rounding_boundary(sf_dir):
         f"linear-counting flip-point distance {dist:.3e} at {sf_dir} "
         f"(occupied={occupied}, m={LC_M})"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_hll_grouped_fallback_not_on_rounding_boundary(sf_dir):
+    """sketch_hll_grouped: every GROUP that takes the linear-counting
+    fallback branch gets the same flip-point guard as the global sketch
+    (one ln per group instead of one per corpus)."""
+    from gtec_etl_spark.functions.hashing import hash60_sql
+    from gtec_etl_spark.plans.sketch_queries import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SCALE,
+        HLL_W,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    h = hash60_sql("CAST(l_partkey AS VARCHAR)")
+    mask = (1 << HLL_W) - 1
+    rows = con.execute(
+        f"""
+        WITH b AS (
+          SELECT l_returnflag AS grp, ({h}) >> {HLL_W} AS bucket,
+                 CASE WHEN (({h}) & {mask}) = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W} - length(bin(({h}) & {mask})) + 1
+                 END AS rho
+          FROM lineitem
+        ),
+        regs AS (
+          SELECT grp, bucket, max(rho) AS mj FROM b GROUP BY grp, bucket
+        )
+        SELECT grp,
+               CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER))
+                    AS BIGINT),
+               count(*)
+        FROM regs GROUP BY grp
+        """
+    ).fetchall()
+    for grp, s_present, n_present in rows:
+        s_int = s_present + (HLL_M - n_present) * (1 << 53)
+        n_zero = HLL_M - n_present
+        raw = HLL_ALPHA * HLL_SCALE / float(s_int)
+        if raw <= 2.5 * HLL_M and n_zero > 0:
+            dist = boundary_distance(HLL_M * math.log(HLL_M / n_zero) + 0.5)
+            assert dist > EPS, (
+                f"grouped HLL fallback flip-point distance {dist:.3e} at "
+                f"{sf_dir} (grp={grp!r}, n_zero={n_zero})"
+            )

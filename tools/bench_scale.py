@@ -162,6 +162,16 @@ QUERIES = [
     # whole point is bending the exact twin's E^1.5 curve; its residual
     # ratio is the linear pair-enumeration floor (PERF.md round 9).
     "graph_triangle_estimate",
+    # Round-9: directed n-gram containment (same capped posting-list
+    # generator as the capped Jaccard — the curve should track it) and
+    # exact-quota stratified sampling (salted two-level per-stratum
+    # pick; allocation side is |sources|-row arithmetic).
+    "dedup_ngram_containment",
+    "text_quota_sample",
+    # Round-9: per-group HLL — register build is a map-side-combined
+    # groupBy over (group x 256 buckets); curve should be scan-bound
+    # like the global sketch.
+    "sketch_hll_grouped",
     # Streaming LAST: their sf1 state stores stay cached in the executor
     # JVM after the query stops (HDFSBackedStateStoreProvider unloads
     # lazily), and the residue measurably degrades whatever batch query
