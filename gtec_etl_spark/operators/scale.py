@@ -123,3 +123,65 @@ def count_exchanges(df: DataFrame) -> int:
     metric the bucketing tests assert on."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange")
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cum",
+    bucket: int = 4096,
+) -> DataFrame:
+    """Inclusive running sum of `weight_col` in `order_col` order, computed
+    WITHOUT a global single-partition window.
+
+    A naive `sum(w) OVER (ORDER BY o)` is the textbook non-scalable shape:
+    Spark plans one un-partitioned sort window, so a single task streams
+    the entire dataset. This is the classic hierarchical (two-level
+    up-sweep / down-sweep) prefix sum instead:
+
+      level 1: b1 = o div bucket      -> per-bucket totals   (N/bucket rows)
+      level 2: b2 = b1 div bucket     -> per-superbucket     (N/bucket^2 rows)
+      offsets: one ordered window over the N/bucket^2 spine (tiny), then a
+               window PARTITIONED BY b2 over level 1 (parallel), then a
+               window PARTITIONED BY b1 over the rows (parallel).
+
+    At 10^11 rows with bucket=4096 the only unpartitioned window sees
+    ~6000 rows; every row-scale pass is hash-partitioned. Adding a third
+    level bounds the spine by N/bucket^3 if ever needed. All arithmetic is
+    integer-exact, so the result is bit-identical to the naive window (and
+    to any other engine's) — asserted by the PPS oracle parity.
+
+    Requires `order_col` to be a non-negative integral key; ordering is by
+    its numeric value (b1 = o div bucket is order-contiguous only then).
+    """
+    o, w = F.col(order_col), F.col(weight_col)
+    rows = df.withColumn("_b1", o.cast("long") - (o.cast("long") % bucket))
+    l1 = rows.groupBy("_b1").agg(F.sum(w).alias("_s1"))
+    l1 = l1.withColumn("_b2", F.col("_b1") - (F.col("_b1") % (bucket * bucket)))
+    l2 = l1.groupBy("_b2").agg(F.sum("_s1").alias("_s2"))
+
+    from pyspark.sql import Window
+
+    w2 = Window.orderBy("_b2").rowsBetween(Window.unboundedPreceding, -1)
+    l2 = l2.withColumn("_off2", F.coalesce(F.sum("_s2").over(w2), F.lit(0)))
+    w1 = (
+        Window.partitionBy("_b2")
+        .orderBy("_b1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    l1 = (
+        l1.join(l2.select("_b2", "_off2"), "_b2")
+        .withColumn("_off1", F.col("_off2") + F.coalesce(F.sum("_s1").over(w1), F.lit(0)))
+        .select("_b1", "_off1")
+    )
+    w0 = (
+        Window.partitionBy("_b1")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rows.join(l1, "_b1")
+        .withColumn(out_col, F.col("_off1") + F.sum(w).over(w0))
+        .drop("_b1", "_off1")
+    )

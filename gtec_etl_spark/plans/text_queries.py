@@ -2068,3 +2068,142 @@ def text_quota_sample(spark, sf_dir):
         )
         .orderBy("source", "pick_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source-similarity matrix (MinHash signatures per SOURCE)
+
+SRC_SIM_HASHES = 32
+
+
+def _source_similarity_oracle() -> str:
+    from gtec_etl_spark.functions.hashing import MINHASH_P, minhash_params
+
+    hb = hash60_sql("shingle")
+    mins = ",\n           ".join(
+        f"min(({a} * (hb % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(SRC_SIM_HASHES))
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(SRC_SIM_HASHES)
+    )
+    return f"""
+    WITH words AS (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+    idx AS (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+    sh AS (SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+    h AS (SELECT source, {hb} AS hb FROM sh),
+    sig AS (SELECT source,
+           {mins}
+      FROM h GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           {match_sum} AS n_matches,
+           (({match_sum}) * 10000) // {SRC_SIM_HASHES} AS est_jaccard_bp
+    FROM sig a JOIN sig b ON a.source < b.source
+    ORDER BY source_a, source_b
+    """
+
+
+@query("text_source_similarity", oracle=_source_similarity_oracle(), tags=("text", "dedup", "scale"))
+def text_source_similarity(spark, sf_dir):
+    """Corpus-level dataset-overlap matrix: estimated shingle-set Jaccard
+    between every pair of SOURCES via per-source MinHash signatures — the
+    "how much do my crawl feeds overlap?" question a training-data mixture
+    designer asks before weighting sources (cf. the per-doc near-dup family,
+    which answers the within-corpus question).
+
+    Scale shape: min over a union of sets = min of mins, so the per-source
+    signature is ONE keyed groupBy with 32 partial-aggregating min
+    expressions — map-side combine reduces each of the corpus's scan
+    partitions to |sources| rows before the only corpus-sized shuffle.
+    The pairwise stage then compares a |sources|-row table with itself
+    (sources are a fixed enum domain; the broadcast is allowlisted with
+    that bound), so the K^2 term never touches corpus-scaled data. The
+    shingle fan-out reuses word_shingles' cpu_fanout_repartition guard,
+    keyed on doc_id (carry_cols keeps `source` out of the partition key).
+    """
+    from gtec_etl_spark.operators import dedup as D
+
+    H = SRC_SIM_HASHES
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3, carry_cols=("source",))
+    sigs = D.minhash_signatures(sh.select("source", "shingle"), H, id_col="source")
+    a = sigs.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"mh{i}").alias(f"ma{i}") for i in range(H)],
+    )
+    b = sigs.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"mh{i}").alias(f"mb{i}") for i in range(H)],
+    )
+    n_matches = None
+    for i in range(H):
+        term = (F.col(f"ma{i}") == F.col(f"mb{i}")).cast("long")
+        n_matches = term if n_matches is None else n_matches + term
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", n_matches.alias("n_matches"))
+        .withColumn("est_jaccard_bp", F.expr(f"n_matches * 10000 div {H}"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS (probability-proportional-to-size) sampling
+
+PPS_K = 200
+
+
+@query(
+    "text_pps_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      FROM documents),
+    tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS t FROM documents)
+    SELECT doc_id, source, n_chars, cum, (cum * {PPS_K}) // t AS pick_no
+    FROM base, tot
+    WHERE (cum * {PPS_K}) // t > ((cum - n_chars) * {PPS_K}) // t
+    ORDER BY doc_id
+    """,
+    tags=("text", "scale"),
+)
+def text_pps_sample(spark, sf_dir):
+    """Systematic probability-proportional-to-size sampling: lay the docs
+    on a number line scaled by byte weight (n_chars), drop {PPS_K}
+    equally-spaced pins, keep the doc under each pin — the deterministic
+    PPS draw used to build size-debiased corpus samples (big docs must not
+    be under-represented in a per-DOC uniform sample when the unit of
+    training data is a TOKEN).
+
+    The running weight comes from operators/scale.distributed_prefix_sum —
+    the hierarchical two-level prefix sum whose only unpartitioned window
+    is the N/bucket^2-row super-bucket spine, never the corpus (a naive
+    `sum OVER (ORDER BY doc_id)` would stream all 100 TB through ONE
+    task). Pin tests are pure integer arithmetic (floor((cum*K)/T) strata
+    transitions), bit-identical across engines; T rides a broadcast
+    1-row global aggregate. A doc straddling several pins is emitted once
+    with its highest pin index, so the sample has <= {PPS_K} rows of
+    exactly the pinned mass.
+    """
+    from gtec_etl_spark.operators.scale import distributed_prefix_sum
+
+    k = PPS_K
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cum = distributed_prefix_sum(docs, "doc_id", "n_chars")
+    tot = docs.agg(F.sum("n_chars").cast("long").alias("t"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.expr(f"cum * {k} div t > (cum - n_chars) * {k} div t"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "cum",
+            F.expr(f"cum * {k} div t").alias("pick_no"),
+        )
+        .orderBy("doc_id")
+    )

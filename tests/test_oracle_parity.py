@@ -73,6 +73,7 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "text_dsir_select": "importance weights keyed by hash bucket mod B — fixed B buckets",
     "text_dsir_weights": "importance weights keyed by hash bucket mod B — fixed B buckets",
     "text_mixture_rebalance": "per-source sampling rates — fixed source enum",
+    "text_source_similarity": "per-source minhash signature table — one row per source (fixed enum key domain), regardless of corpus size",
 }
 
 

@@ -84,3 +84,32 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     }
     got = {r["d"]: r["count"] for r in joined.collect()}
     assert got == want and got
+
+
+def test_distributed_prefix_sum_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    got = scale.distributed_prefix_sum(docs, "doc_id", "n_chars", bucket=64)
+    naive = docs.withColumn(
+        "cum",
+        F.sum("n_chars").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert got.select("doc_id", "cum").exceptAll(naive.select("doc_id", "cum")).count() == 0
+    assert got.count() == naive.count()
+
+
+def test_distributed_prefix_sum_plan_has_no_global_row_window(spark):
+    """The row-scale windows must be hash-PARTITIONED (_b1/_b2 keys); only
+    the super-bucket spine may run an unpartitioned ordered window. A
+    windowspecdefinition whose first argument is the order column itself
+    (no partition key) over the base rows would be the single-task shape
+    the operator exists to avoid."""
+    docs = catalog.table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    out = scale.distributed_prefix_sum(docs, "doc_id", "n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(doc_id#" in line:
+            raise AssertionError(f"global row-scale window found: {line.strip()}")
