@@ -2207,3 +2207,95 @@ def text_pps_sample(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift between two corpus splits (mixture monitoring)
+
+KL_TOP = 25
+
+
+@query(
+    "text_kl_mixture_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS part,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+      FROM documents),
+    counts AS (SELECT token,
+        CAST(sum(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM toks GROUP BY token),
+    scal AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                    CAST(sum(n_b) AS BIGINT) AS tb,
+                    CAST(count(*) AS BIGINT) AS v
+             FROM counts)
+    SELECT token, n_a, n_b,
+           CAST((n_a + 1) * (
+             CAST(floor(ln(n_a + 1) * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(ln(n_b + 1) * 1000000 + 0.5) AS BIGINT)
+             + CAST(floor(ln(tb + v) * 1000000 + 0.5) AS BIGINT)
+             - CAST(floor(ln(ta + v) * 1000000 + 0.5) AS BIGINT)
+           ) AS BIGINT) AS drift_score
+    FROM counts, scal
+    ORDER BY drift_score DESC, token LIMIT {KL_TOP}
+    """,
+    tags=("text", "scale"),
+)
+def text_kl_mixture_drift(spark, sf_dir):
+    """Mixture drift monitor: the {KL_TOP} tokens whose add-one-smoothed
+    probability most over-represents split A (even doc_ids) vs split B —
+    the per-token contributions to KL(P_A || P_B), the check a pipeline
+    runs when a new crawl snapshot replaces an old one ("what moved?").
+
+    Parity discipline (the tfidf precedent): the only transcendental is
+    ln over INTEGER arguments, each quantized to micro-nats immediately
+    (floor(ln(x)*1e6 + 0.5)); ln(p/q) is decomposed as
+    ln(n_a+1) - ln(n_b+1) + ln(T_b+V) - ln(T_a+V) so every argument stays
+    an exact BIGINT (never a product that could overflow or a ratio that
+    could hit denormals), and everything after quantization is integer
+    arithmetic. tests/test_float_guards.py asserts every distinct argument
+    clears the rounding boundary by >100x a 1-ulp ln error. Scale shape:
+    one exploded token groupBy with map-side combine; the (T_a, T_b, V)
+    scalars ride a broadcast 1-row global aggregate; top-{KL_TOP} is
+    TakeOrderedAndProject (per-partition heads, no global sort).
+    """
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = cpu_fanout_repartition(docs, "doc_id").select(
+        (F.col("doc_id") % 2).alias("part"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("part") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("part") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    scal = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5)).cast("long")
+
+    return (
+        counts.crossJoin(F.broadcast(scal))
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_a") + 1)
+                * (
+                    qln(F.col("n_a") + 1)
+                    - qln(F.col("n_b") + 1)
+                    + qln(F.col("tb") + F.col("v"))
+                    - qln(F.col("ta") + F.col("v"))
+                )
+            ).alias("drift_score"),
+        )
+        .orderBy(F.col("drift_score").desc(), "token")
+        .limit(KL_TOP)
+    )
