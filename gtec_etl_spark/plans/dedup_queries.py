@@ -1027,3 +1027,78 @@ def dedup_lsh_verify(spark, sf_dir):
         .filter(F.col("jaccard_bp") >= 8000)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_savings_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, n_chars, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, n_chars, text
+      FROM documents WHERE doc_id % 100 = 7
+    ),
+    marked AS (
+      SELECT source, n_chars,
+             CASE WHEN doc_id <> min(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+             ) THEN 1 ELSE 0 END AS is_dup
+      FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN is_dup = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_saved,
+           (CAST(sum(is_dup) AS BIGINT) * 10000) // count(*) AS dup_bp
+    FROM marked GROUP BY source ORDER BY source
+    """,
+    tags=("dedup",),
+)
+def dedup_savings_report(spark, sf_dir):
+    """Dedup impact report — the per-SOURCE summary a pipeline owner reads
+    after an exact-dedup pass: how many docs each feed loses, how many
+    bytes that saves, and the duplication rate in basis points (the number
+    that decides whether a feed gets demoted in the mixture). Same
+    fingerprint normalization and synthetic duplicate injection as
+    dedup_exact (the raw fixtures are dup-free), same keep-min-id
+    canonical rule; non-canonical membership comes from a min window over
+    the fingerprint hash partition (one shuffle), then a per-source
+    rollup with map-side combine. At 100 TB both shuffles are on
+    well-distributed keys (128-bit content hash; source enum rollup is
+    the second, |sources|-row stage).
+    """
+    from pyspark.sql import Window
+
+    from gtec_etl_spark.operators.dedup import normalized_text
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "source", "n_chars", "text").unionByName(
+        docs.filter(F.col("doc_id") % 100 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source", "n_chars", "text"
+        )
+    )
+    marked = corpus.select(
+        "source",
+        "n_chars",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(
+                Window.partitionBy(F.md5(normalized_text(F.col("text"))))
+            )
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum(F.when(F.col("is_dup") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .withColumn("dup_bp", F.expr("n_dup_docs * 10000 div n_docs"))
+        .orderBy("source")
+    )

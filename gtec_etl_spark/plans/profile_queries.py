@@ -189,3 +189,71 @@ def prof_equidepth_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy per profiled enum column
+
+ENTROPY_COLS = (
+    ("documents", "source"),
+    ("documents", "lang"),
+    ("events", "event_type"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+)
+
+
+def _entropy_oracle() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(floor(ln(sum(n)) * 1000000 + 0.5) AS BIGINT)
+             - CAST(sum(n * CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               // CAST(sum(n) AS BIGINT) AS entropy_micro_nats
+    FROM (SELECT {c} AS v, CAST(count(*) AS BIGINT) AS n FROM {t} GROUP BY 1)"""
+        for t, c in ENTROPY_COLS
+    )
+    return f"""
+    SELECT * FROM (
+{arms}
+    ) ORDER BY table_name, column_name
+    """
+
+
+@query("prof_column_entropy", oracle=_entropy_oracle(), tags=("profile",))
+def prof_column_entropy(spark, sf_dir):
+    """Column-level Shannon entropy (micro-nats) for the profiled enum
+    columns — the column-selectivity statistic a data-profiling report and
+    a cost model both read (H=0 flags a constant column; H=ln(n_distinct)
+    flags a uniform key). Identity used: H = ln(N) - (1/N) * sum(c*ln(c)),
+    so ln only ever sees integer COUNT arguments, each quantized to
+    micro-nats on sight (the tfidf/KL discipline; guard-tested in
+    test_float_guards) and everything downstream is integer arithmetic.
+    Per column: one keyed groupBy with map-side combine collapsing the
+    corpus to |domain| rows, then a 1-row fold — the union of five such
+    profiles never shuffles row-scale data twice.
+    """
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5)).cast("long")
+
+    out = None
+    for t, c in ENTROPY_COLS:
+        counts = (
+            catalog.table(spark, sf_dir, t)
+            .groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        prof = counts.agg(
+            F.lit(t).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            (
+                qln(F.sum("n"))
+                - F.expr("sum(n * " + "CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) div sum(n)")
+            ).alias("entropy_micro_nats"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.orderBy("table_name", "column_name")

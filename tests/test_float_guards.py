@@ -227,3 +227,25 @@ def test_kl_drift_lns_not_on_rounding_boundary(sf_dir):
         boundary_distance(math.log(a) * 1_000_000 + 0.5) for (a,) in args
     )
     assert worst > EPS, f"ln argument within {worst} of a flip point"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_column_entropy_lns_not_on_rounding_boundary(sf_dir):
+    """prof_column_entropy quantizes ln over per-value counts and column
+    totals; every distinct argument must clear the flip point."""
+    from gtec_etl_spark.plans.profile_queries import ENTROPY_COLS
+
+    con = duckdb.connect()
+    args = set()
+    for t, c in ENTROPY_COLS:
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+        rows = con.execute(
+            f"SELECT CAST(count(*) AS BIGINT) FROM t GROUP BY {c}"
+        ).fetchall()
+        args.update(n for (n,) in rows)
+        args.add(sum(n for (n,) in rows))
+    assert args
+    worst = min(boundary_distance(math.log(a) * 1_000_000 + 0.5) for a in args)
+    assert worst > EPS, f"ln argument within {worst} of a flip point"
