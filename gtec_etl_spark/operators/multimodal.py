@@ -642,12 +642,24 @@ def wav_values(n_values: int, seed: int, bits: int) -> list[int]:
     """Deterministic LCG PCM sample stream (same recurrence as fake_image):
     16-bit yields signed values in [-32768, 32767], 8-bit the RAW unsigned
     container bytes in [0, 255] (WAV stores 8-bit PCM unsigned; logical
-    amplitude is value-128)."""
+    amplitude is value-128), 24/32-bit signed values spanning their full
+    containers (low bits from a second LCG step so the wide formats
+    exercise all bytes)."""
     x = (seed * 2654435761) % (2**32)
     vals = []
     for _ in range(n_values):
         x = (1103515245 * x + 12345) % (2**31)
-        vals.append((x % 65536) - 32768 if bits == 16 else x % 256)
+        if bits == 16:
+            vals.append((x % 65536) - 32768)
+        elif bits == 8:
+            vals.append(x % 256)
+        else:
+            hi = (x % 65536) - 32768
+            x = (1103515245 * x + 12345) % (2**31)
+            if bits == 24:
+                vals.append(hi * 256 + x % 256)
+            else:  # 32
+                vals.append(hi * 65536 + x % 65536)
     return vals
 
 
@@ -657,20 +669,34 @@ def fake_wav(
     seed: int,
     bits: int = 16,
     n_channels: int = 1,
+    audio_format: int = 1,
 ) -> bytes:
     """Deterministic REAL RIFF/WAVE PCM file — canonical 44-byte header +
     interleaved little-endian raster. Any WAV reader (including stdlib
     `wave`) opens these; tests/test_multimodal.py cross-checks against
-    `wave` as an independent parser."""
-    vals = wav_values(n_frames * n_channels, seed, bits)
-    if bits == 16:
-        raster = b"".join(struct.pack("<h", v) for v in vals)
+    `wave` as an independent parser. audio_format=3 writes IEEE float32
+    samples v/32768 of the 16-bit stream — each exactly representable, so
+    the float path stays bit-deterministic end to end."""
+    if audio_format == 3:
+        vals = wav_values(n_frames * n_channels, seed, 16)
+        raster = b"".join(struct.pack("<f", v / 32768.0) for v in vals)
+        bits = 32
     else:
-        raster = bytes(vals)
+        vals = wav_values(n_frames * n_channels, seed, bits)
+        if bits == 16:
+            raster = b"".join(struct.pack("<h", v) for v in vals)
+        elif bits == 24:
+            raster = b"".join(
+                (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+            )
+        elif bits == 32:
+            raster = b"".join(struct.pack("<i", v) for v in vals)
+        else:
+            raster = bytes(vals)
     block_align = n_channels * bits // 8
     byte_rate = sample_rate * block_align
     fmt = struct.pack(
-        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits
+        "<HHIIHH", audio_format, n_channels, sample_rate, byte_rate, block_align, bits
     )
     return (
         b"RIFF"
@@ -685,10 +711,12 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """Pure-Python RIFF/WAVE parser -> (sample_rate, n_channels, bits,
     centered int64 samples). Walks the chunk list (so extra chunks like
     LIST/INFO are skipped, not assumed absent), accepts integer PCM
-    (format 1) at 8/16 bits; float PCM (format 3), ADPCM, and 24/32-bit
-    rasters are the documented NotImplementedError boundary. 8-bit
-    unsigned samples center to value-128 so amplitude stats mean the
-    same thing at both depths."""
+    (format 1) at 8/16/24/32 bits and IEEE float32 (format 3, scaled to
+    1/32768 amplitude units and truncated toward zero — exact for
+    fixture streams, a documented quantization otherwise); ADPCM,
+    a-law/mu-law, and float64 are the remaining NotImplementedError
+    boundary. 8-bit unsigned samples center to value-128 so amplitude
+    stats mean the same thing at every depth."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -704,13 +732,29 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
-    if audio_format != 1 or bits not in (8, 16):
+    if not (
+        (audio_format == 1 and bits in (8, 16, 24, 32))
+        or (audio_format == 3 and bits == 32)
+    ):
         raise NotImplementedError(
-            f"WAV format={audio_format} bits={bits}: only integer PCM at"
-            " 8/16 bits is inside the pure-Python decode boundary"
-            " (float/ADPCM/24-bit need an audio library)"
+            f"WAV format={audio_format} bits={bits}: integer PCM at"
+            " 8/16/24/32 bits and IEEE float32 are inside the pure-Python"
+            " decode boundary (ADPCM, a-law/mu-law, and float64 need an"
+            " audio library)"
         )
-    if bits == 16:
+    if audio_format == 3:
+        f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        samples = np.trunc(f.astype(np.float64) * 32768.0).astype(np.int64)
+    elif bits == 32:
+        samples = np.frombuffer(
+            data[: len(data) // 4 * 4], dtype="<i4"
+        ).astype(np.int64)
+    elif bits == 24:
+        b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+    elif bits == 16:
         samples = np.frombuffer(
             data[: len(data) // 2 * 2], dtype="<i2"
         ).astype(np.int64)
@@ -775,6 +819,39 @@ def wav_media_table(
                     fake_wav(n_frames, sample_rate, seed=i, bits=bits, n_channels=nch)
                 ),
                 ("audio/wav", f"mem://wav/{i}.wav"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# (bits, channels, audio_format) — the wide layouts: 24/32-bit int PCM and
+# IEEE float32, mono/stereo.
+WAV_DEEP_CYCLE = ((24, 1, 1), (24, 2, 1), (32, 1, 1), (32, 2, 1), (32, 1, 3), (32, 2, 3))
+
+
+def wav_deep_media_table(
+    spark, n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic media table of REAL WAV payloads cycling through
+    WAV_DEEP_CYCLE (bits, channels, format) layouts by media_id."""
+    rows = []
+    for i in range(n):
+        bits, nch, fmtc = WAV_DEEP_CYCLE[i % len(WAV_DEEP_CYCLE)]
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(
+                    fake_wav(
+                        n_frames,
+                        sample_rate,
+                        seed=i,
+                        bits=bits,
+                        n_channels=nch,
+                        audio_format=fmtc,
+                    )
+                ),
+                ("audio/wav", f"mem://wavdeep/{i}.wav"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -604,13 +604,42 @@ def mm_decode_wav(spark, sf_dir):
     (operators/multimodal.py:_decode_wav) inside the same Arrow-batched
     mapInPandas boundary as the image decoders; emitted stats are exact
     integers (peak, 1000x mean |amplitude|), so no float parity games.
-    The NotImplementedError boundary now covers only float/ADPCM/24-bit
-    audio and DCT images. Oracle = golden fixture recomputed straight
+    The audio NotImplementedError boundary now covers only ADPCM,
+    a-law/mu-law, and float64 (mm_decode_wav_deep exercises the wide
+    24/32-bit and float32 layouts). Oracle = golden fixture recomputed straight
     from the LCG sample stream WITHOUT the RIFF writer or parser
     (tools/make_multimodal_golden.py:decode_wav_golden)."""
     from gtec_etl_spark.operators import multimodal as M
 
     media = M.wav_media_table(spark, n=12, n_frames=480, sample_rate=8000)
+    return M.decode_audio(media).orderBy("media_id")
+
+
+@query(
+    "mm_decode_wav_deep",
+    oracle=f"""
+    SELECT media_id, sample_rate, n_channels, bits, n_frames,
+           peak_abs, mean_abs_e3
+    FROM '{_MM_GOLDEN}/mm_decode_wav_deep.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_wav_deep(spark, sf_dir):
+    """The WIDE audio layouts through the same pure-struct WAV chunk
+    walker: 24-bit and 32-bit integer PCM plus IEEE float32 (format 3),
+    mono/stereo — closing the round-8 boundary that stopped at 8/16-bit.
+    Float samples are v/32768 values (exactly representable), decoded by
+    *32768 truncation into the same integer amplitude domain as the
+    16-bit clips, so the stats stay exact integers; 24-bit rasters are
+    3-byte two's-complement triplets reassembled vectorized (numpy
+    byte-shift, no per-sample Python). The remaining NotImplementedError
+    boundary is ADPCM, a-law/mu-law, and float64. Oracle = golden fixture
+    recomputed straight from the LCG stream WITHOUT the RIFF writer or
+    parser (tools/make_multimodal_golden.py:decode_wav_deep_golden)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.wav_deep_media_table(spark, n=12, n_frames=480, sample_rate=8000)
     return M.decode_audio(media).orderBy("media_id")
 
 

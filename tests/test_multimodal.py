@@ -386,7 +386,9 @@ def test_wav_boundary_rejects_unsupported():
         body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", len(data)) + data
         return b"RIFF" + st.pack("<I", len(body)) + body
 
-    for audio_format, bits in ((3, 32), (1, 24), (2, 4)):
+    # Round 9 moved 24/32-bit int PCM and float32 INSIDE the boundary;
+    # what remains out: ADPCM (2), a-law (6), mu-law (7), float64 (3, 64).
+    for audio_format, bits in ((2, 4), (6, 8), (7, 8), (3, 64)):
         with pytest.raises(NotImplementedError):
             M._decode_wav(wav_with_fmt(audio_format, bits))
 
@@ -438,3 +440,57 @@ def test_audio_rms_windows_partial_tail_window(spark):
         seg = s[160 * nch :]
         e = int((seg * seg).sum())
         assert rows[1]["rms_e3"] == math.isqrt(e * 1_000_000 // len(seg))
+
+
+def test_wav_deep_roundtrip_vs_stdlib_wave():
+    """Wide integer layouts (24/32-bit PCM) agree with stdlib `wave` on
+    header fields and every sample; the float32 layout (which `wave`
+    cannot read) round-trips exactly to the 16-bit LCG stream via the
+    *32768 truncation."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    for i, (bits, nch, fmtc) in enumerate(M.WAV_DEEP_CYCLE):
+        blob = M.fake_wav(480, 8000, seed=i, bits=bits, n_channels=nch, audio_format=fmtc)
+        rate, got_nch, got_bits, s = M._decode_wav(blob)
+        assert (rate, got_nch, got_bits) == (8000, nch, 32 if fmtc == 3 else bits)
+        assert len(s) == 480 * nch
+        if fmtc == 3:
+            ref = np.array(M.wav_values(480 * nch, seed=i, bits=16), dtype=np.int64)
+            assert (ref == s).all()
+            # And the raster really is IEEE float32 of v/32768.
+            data = blob[blob.rindex(b"data") + 8 :]
+            f0 = struct.unpack("<f", data[:4])[0]
+            assert f0 == ref[0] / 32768.0
+            continue
+        w = wave.open(io.BytesIO(blob))
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth() * 8) == (
+            rate,
+            got_nch,
+            got_bits,
+        )
+        assert w.getnframes() == len(s) // nch
+        raw = w.readframes(480)
+        if bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            ref = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            ref = np.where(ref >= 1 << 23, ref - (1 << 24), ref)
+        else:
+            ref = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+        assert (ref == s).all()
+
+
+def test_wav_decode_boundary_rejects_alaw():
+    """a-law (format 6) stays beyond the boundary with a descriptive error."""
+    import struct
+
+    import pytest as _pytest
+
+    blob = bytearray(M.fake_wav(16, 8000, seed=1, bits=8, n_channels=1))
+    fmt_pos = blob.index(b"fmt ") + 8
+    blob[fmt_pos : fmt_pos + 2] = struct.pack("<H", 6)
+    with _pytest.raises(NotImplementedError, match="format=6"):
+        M._decode_wav(bytes(blob))

@@ -280,6 +280,43 @@ def decode_wav_golden(
     return pa.Table.from_pylist(rows)
 
 
+def decode_wav_deep_golden(
+    n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> pa.Table:
+    """Expected output of mm_decode_wav_deep: the WIDE layouts (24/32-bit
+    int PCM, IEEE float32), recomputed straight from the LCG sample stream
+    WITHOUT the RIFF writer or parser. The float32 branch stores v/32768
+    of the 16-bit stream and the decoder truncates back by *32768, so its
+    expected samples are exactly the 16-bit stream values."""
+    cycle = ((24, 1, 1), (24, 2, 1), (32, 1, 1), (32, 2, 1), (32, 1, 3), (32, 2, 3))
+    rows = []
+    for mid in range(n):
+        bits, nch, fmtc = cycle[mid % len(cycle)]
+        x = (mid * 2654435761) % (2**32)
+        vals = []
+        for _ in range(n_frames * nch):
+            x = (1103515245 * x + 12345) % (2**31)
+            hi = (x % 65536) - 32768
+            if fmtc == 3:
+                vals.append(hi)
+                continue
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append(hi * 256 + x % 256 if bits == 24 else hi * 65536 + x % 65536)
+        s = np.array(vals, dtype=np.int64)
+        rows.append(
+            {
+                "media_id": mid,
+                "sample_rate": sample_rate,
+                "n_channels": nch,
+                "bits": bits,
+                "n_frames": n_frames,
+                "peak_abs": int(np.abs(s).max()),
+                "mean_abs_e3": int(1000 * np.abs(s).sum()) // len(s),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def audio_rms_windows_golden(
     n: int = 12, n_frames: int = 480, sample_rate: int = 8000,
     window_frames: int = 160,
@@ -358,6 +395,10 @@ def main() -> None:
     )
     pq.write_table(
         decode_wav_golden(), os.path.join(OUT_DIR, "mm_decode_wav.parquet")
+    )
+    pq.write_table(
+        decode_wav_deep_golden(),
+        os.path.join(OUT_DIR, "mm_decode_wav_deep.parquet"),
     )
     pq.write_table(
         audio_rms_windows_golden(),
