@@ -12,7 +12,7 @@ out frontier by frontier (r6 netpbm, r6 PNG, r7 palette PNG, r8
   none/Adam7 interlace), and baseline JPEG (SOF0, any DHT/DQT,
   4:4:4/4:2:0, restart markers), falling back to PIL when importable;
   what remains beyond the boundary raises NotImplementedError
-  (sub-byte-depth PNG; progressive/arithmetic/12-bit JPEG).
+  (progressive/arithmetic/12-bit JPEG; PNG is fully covered).
 - `byte_histogram_features` is a REAL feature extractor (numpy over raw
   bytes) producing an embedding column that feeds the similarity operators.
 
@@ -385,6 +385,15 @@ def _rows_to_luma(rows, wp: int, hp: int, nch: int, depth: int, ctype: int, plte
     if depth == 16:
         s = rows.reshape(hp, wp, nch, 2).astype(np.int64)
         px = (s[..., 0] << 8) | s[..., 1]
+    elif depth < 8:
+        # MSB-first bit groups; trailing pad bits of each row drop.
+        bits = np.unpackbits(rows, axis=1)[:, : wp * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+        px = (bits.reshape(hp, wp, depth).astype(np.int64) * weights).sum(axis=2)
+        if ctype == 0:
+            # v/(2^d-1) fraction scaled to 8 bits: 255/(2^d-1) is integral.
+            px = px * (255 // ((1 << depth) - 1))
+        px = px.reshape(hp, wp, 1)
     else:
         px = rows.reshape(hp, wp, nch).astype(np.int64)
     if ctype == 3:
@@ -410,8 +419,10 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
     interlaced, all five scanline filters (None/Sub/Up/Average/Paeth).
     Alpha drops; RGB — direct or through the palette lookup — collapses
     with the same BT.601 integer luma as the netpbm path (16-bit luma is
-    computed at full precision, then high-byte collapsed). Sub-byte
-    depths (1/2/4-bit) stay beyond the boundary (NotImplementedError).
+    computed at full precision, then high-byte collapsed). Round 9
+    moved sub-byte depths (1/2/4-bit gray + palette) INSIDE the
+    boundary: packed rows unfilter bytewise (bpp=1 per spec), then
+    np.unpackbits expands MSB-first bit groups.
     The per-pixel unfilter loop is Python — fine for fixture-scale
     images; a PIL deployment takes the fast path in _decode_one first."""
     import zlib
@@ -438,16 +449,15 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if (
-        depth not in (8, 16)
-        or interlace not in (0, 1)
-        or (ctype not in _PNG_NCH and ctype != 3)
-        or (ctype == 3 and depth == 16)  # spec: palette depth <= 8
-    ):
+    full_byte_ok = depth in (8, 16) and (
+        (ctype in _PNG_NCH or ctype == 3) and not (ctype == 3 and depth == 16)
+    )
+    subbyte_ok = depth in (1, 2, 4) and ctype in (0, 3)  # spec-legal sub-byte
+    if interlace not in (0, 1) or not (full_byte_ok or subbyte_ok):
         raise NotImplementedError(
             f"PNG depth={depth} colortype={ctype} interlace={interlace}:"
-            " outside the pure-Python boundary (8/16-bit,"
-            " none/Adam7-interlaced, gray/RGB/palette/alpha only)"
+            " outside the pure-Python boundary (1/2/4-bit gray+palette,"
+            " 8/16-bit gray/RGB/palette/alpha, none/Adam7 interlace)"
         )
     if ctype == 3:
         if plte is None or len(plte) % 3:
@@ -455,12 +465,14 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
         nch = 1  # each raster byte is a palette index
     else:
         nch = _PNG_NCH[ctype]
-    bpp = nch * (depth // 8)
+    # Filters operate bytewise with pixel offset bpp = ceil for sub-byte (1).
+    bpp = max(1, nch * depth // 8)
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(raw) != h * (w * bpp + 1):
+        nrow = (w * nch * depth + 7) // 8
+        if len(raw) != h * (nrow + 1):
             raise ValueError("PNG raster size mismatch")
-        rows, _ = _unfilter(raw, 0, w * bpp, h, bpp)
+        rows, _ = _unfilter(raw, 0, nrow, h, bpp)
         g = _rows_to_luma(rows, w, h, nch, depth, ctype, plte)
     else:
         g = np.zeros((h, w), dtype=np.uint8)
@@ -470,7 +482,7 @@ def _decode_png(content: bytes) -> tuple[int, int, bytes]:
             hp = (h - y0 + ys - 1) // ys
             if wp <= 0 or hp <= 0:
                 continue
-            rows, p = _unfilter(raw, p, wp * bpp, hp, bpp)
+            rows, p = _unfilter(raw, p, (wp * nch * depth + 7) // 8, hp, bpp)
             g[y0:h:ys, x0:w:xs] = _rows_to_luma(
                 rows, wp, hp, nch, depth, ctype, plte
             )
@@ -508,6 +520,10 @@ def fake_png(
     fixtures do not move."""
     import zlib
 
+    if depth in (1, 2, 4):
+        if ctype not in (0, 3):
+            raise ValueError(f"fake_png: sub-byte depth={depth} needs ctype 0/3")
+        return _fake_png_subbyte(width, height, seed, ctype, depth, interlace)
     if depth not in (8, 16) or (ctype == 3 and depth != 8):
         raise ValueError(f"fake_png: unsupported depth={depth} ctype={ctype}")
     bps = depth // 8
@@ -577,6 +593,117 @@ def fake_png(
         + chunk(b"IDAT", zlib.compress(bytes(filtered)))
         + chunk(b"IEND", b"")
     )
+
+
+def _fake_png_subbyte(
+    width: int, height: int, seed: int, ctype: int, depth: int, interlace: int
+) -> bytes:
+    """Sub-byte (1/2/4-bit) branch of fake_png: gray (ctype 0) or indexed
+    (ctype 3, 2^depth-entry PLTE). Samples pack MSB-first into
+    ceil(w*depth/8)-byte rows (per Adam7 pass when interlaced — each pass
+    packs and filters independently, bpp=1), same y%5 filter cycling."""
+    import zlib
+
+    maxv = (1 << depth) - 1
+    vals = netpbm_values(width, height, seed, 1, maxv)
+    plte = b""
+    if ctype == 3:
+        plte = bytes(
+            netpbm_values(1 << depth, 1, seed + PNG_PAL_SEED_OFF, 3, 255)
+        )
+    grid = [vals[y * width : (y + 1) * width] for y in range(height)]
+
+    def pack(samples: list) -> list:
+        out, acc, nbits = [], 0, 0
+        for s in samples:
+            acc = (acc << depth) | s
+            nbits += depth
+            if nbits == 8:
+                out.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            out.append(acc << (8 - nbits))
+        return out
+
+    def filter_rows(rows: list) -> bytearray:
+        out = bytearray()
+        prev = [0] * len(rows[0])
+        for y, row in enumerate(rows):
+            f = y % 5
+            out.append(f)
+            for i in range(len(row)):
+                a = row[i - 1] if i >= 1 else 0
+                b = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                x = row[i]
+                if f == 0:
+                    v = x
+                elif f == 1:
+                    v = x - a
+                elif f == 2:
+                    v = x - b
+                elif f == 3:
+                    v = x - (a + b) // 2
+                else:
+                    v = x - _paeth(a, b, c)
+                out.append(v & 0xFF)
+            prev = row
+        return out
+
+    if interlace == 0:
+        filtered = filter_rows([pack(r) for r in grid])
+    else:
+        filtered = bytearray()
+        for x0, y0, xs, ys in ADAM7:
+            sub = [
+                pack([grid[y][x] for x in range(x0, width, xs)])
+                for y in range(y0, height, ys)
+                if range(x0, width, xs)
+            ]
+            sub = [r for r in sub if r]
+            if sub:
+                filtered += filter_rows(sub)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, interlace)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if ctype == 3 else b"")
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# (ctype, depth, interlace) — every spec-legal sub-byte layout, plain+Adam7.
+PNG_SUBBYTE_CYCLE = (
+    (0, 1, 0), (0, 2, 0), (0, 4, 0), (3, 1, 0), (3, 2, 0), (3, 4, 0),
+    (0, 1, 1), (0, 2, 1), (0, 4, 1), (3, 1, 1), (3, 2, 1), (3, 4, 1),
+)
+
+
+def png_subbyte_media_table(
+    spark, n: int = 12, width: int = 23, height: int = 19
+) -> DataFrame:
+    """Deterministic media table of REAL sub-byte PNG payloads cycling
+    through PNG_SUBBYTE_CYCLE layouts by media_id."""
+    rows = []
+    for i in range(n):
+        ctype, depth, il = PNG_SUBBYTE_CYCLE[i % len(PNG_SUBBYTE_CYCLE)]
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(
+                    fake_png(width, height, seed=i, ctype=ctype, depth=depth, interlace=il)
+                ),
+                ("image/png", f"mem://pngsub/{i}.png"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def png_media_table(

@@ -515,7 +515,7 @@ def mm_decode_jpeg(spark, sf_dir):
     batched mapInPandas pass — round 8 closes the last declared codec
     frontier (r6 netpbm -> r6 PNG -> r7 palette -> r8 16-bit/Adam7 PNG
     + JPEG). The remaining NotImplementedError boundary is progressive
-    (SOF2) / arithmetic / 12-bit JPEG and sub-byte PNG. Oracle = golden
+    (SOF2) / arithmetic / 12-bit JPEG. Oracle = golden
     fixture recomputing the lossy DCT math in pure numpy WITHOUT the
     codec's bitstream layer (tools/make_multimodal_golden.py:
     decode_jpeg_golden), so Huffman/stuffing/restart handling is what
@@ -557,8 +557,9 @@ def mm_decode_png(spark, sf_dir):
     mapInPandas pass — round-6 extended the codec boundary past the
     uncompressed netpbm family, round-7 past indexed color, round-8
     past 16-bit depth and Adam7 interlacing (and past JPEG entirely,
-    see mm_decode_jpeg); NotImplementedError now remains only for
-    sub-byte PNG depths. Oracle = golden fixture recomputed independently
+    see mm_decode_jpeg), round-9 past sub-byte depths (see
+    mm_decode_png_subbyte) — for PNG only spec-ILLEGAL combinations
+    remain outside. Oracle = golden fixture recomputed independently
     from the LCG value stream WITHOUT the encoder or decoder
     (tools/make_multimodal_golden.py:decode_png_golden)."""
     from pyspark.sql import functions as F
@@ -577,6 +578,53 @@ def mm_decode_png(spark, sf_dir):
             )
             .cast("long")
             .alias("color_type"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "mm_decode_png_subbyte",
+    oracle=f"""
+    SELECT media_id, color_type, bit_depth, interlace, width, height,
+           n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_png_subbyte.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_png_subbyte(spark, sf_dir):
+    """Sub-byte PNG through the same pure-stdlib decoder: every spec-legal
+    1/2/4-bit layout (gray + indexed, plain + Adam7) — closing the LAST
+    declared PNG frontier (the r8 boundary stopped at 8-bit). Packed
+    MSB-first bit groups unfilter BYTEWISE with pixel offset 1 (the spec's
+    sub-byte rule), then unpack vectorized (np.unpackbits) with the
+    integral 255/(2^d-1) gray scale or the 2^d-entry PLTE lookup. The PNG
+    NotImplementedError boundary is now empty except spec-ILLEGAL
+    combinations. Oracle = golden fixture recomputed from the LCG stream
+    WITHOUT the encoder or decoder
+    (tools/make_multimodal_golden.py:decode_png_subbyte_golden)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.png_subbyte_media_table(spark, n=12, width=23, height=19)
+    cyc = M.PNG_SUBBYTE_CYCLE
+    ctypes = F.array(*[F.lit(c) for c, _, _ in cyc])
+    depths = F.array(*[F.lit(d) for _, d, _ in cyc])
+    ils = F.array(*[F.lit(i) for _, _, i in cyc])
+    pos = (F.col("media_id") % len(cyc) + 1).cast("int")
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            F.element_at(ctypes, pos).cast("long").alias("color_type"),
+            F.element_at(depths, pos).cast("long").alias("bit_depth"),
+            F.element_at(ils, pos).cast("long").alias("interlace"),
             "width",
             "height",
             "n_pixels",

@@ -179,9 +179,10 @@ def test_png_boundary_rejects_unsupported():
             + struct.pack(">I", crc)
         )
 
-    # r8: 16-bit and Adam7 moved INSIDE the boundary; what remains out
-    # is sub-byte depth and the spec-invalid 16-bit palette.
-    for depth, ctype, interlace in ((4, 0, 0), (1, 3, 0), (16, 3, 0), (8, 2, 2)):
+    # r8 moved 16-bit and Adam7 inside the boundary, r9 sub-byte
+    # gray/palette; what remains out is spec-ILLEGAL: sub-byte with a
+    # color/alpha ctype, 16-bit palette, unknown interlace.
+    for depth, ctype, interlace in ((4, 2, 0), (1, 6, 0), (16, 3, 0), (8, 2, 2)):
         with pytest.raises(NotImplementedError):
             M._decode_png(png_with_ihdr(depth, ctype, interlace))
     # Palette is INSIDE the boundary — but a palette image without
@@ -494,3 +495,33 @@ def test_wav_decode_boundary_rejects_alaw():
     blob[fmt_pos : fmt_pos + 2] = struct.pack("<H", 6)
     with _pytest.raises(NotImplementedError, match="format=6"):
         M._decode_wav(bytes(blob))
+
+
+def test_png_subbyte_roundtrip_all_layouts():
+    """Every spec-legal sub-byte layout (1/2/4-bit gray + palette, plain +
+    Adam7): decoded pixels must equal the LCG expectation computed without
+    any codec — gray scales by the integral 255/(2^d-1), palette routes
+    through the 2^d-entry PLTE."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    for ctype, depth, il in M.PNG_SUBBYTE_CYCLE:
+        w, h, seed = 23, 19, ctype * 10 + depth
+        dw, dh, gray = M._decode_png(
+            M.fake_png(w, h, seed, ctype=ctype, depth=depth, interlace=il)
+        )
+        assert (dw, dh) == (w, h)
+        maxv = (1 << depth) - 1
+        vals = np.array(M.netpbm_values(w, h, seed, 1, maxv), dtype=np.int64)
+        if ctype == 0:
+            want = vals * (255 // maxv)
+        else:
+            pal = np.array(
+                M.netpbm_values(1 << depth, 1, seed + M.PNG_PAL_SEED_OFF, 3, 255),
+                dtype=np.int64,
+            ).reshape(-1, 3)
+            rgb = pal[vals]
+            want = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        got = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
+        assert (got == want).all(), (ctype, depth, il)

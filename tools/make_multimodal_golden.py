@@ -249,6 +249,54 @@ def decode_jpeg_golden(n: int = 12, width: int = 24, height: int = 17) -> pa.Tab
     return pa.Table.from_pylist(rows)
 
 
+def decode_png_subbyte_golden(
+    n: int = 12, width: int = 23, height: int = 19
+) -> pa.Table:
+    """Expected output of mm_decode_png_subbyte: 1/2/4-bit gray and
+    palette layouts (plain + Adam7 — interlace only reorders bytes, the
+    pixel grid is identical), recomputed from the LCG stream WITHOUT the
+    encoder/decoder. Gray samples scale by the integral 255/(2^d-1);
+    palette indices look up a 2^d-entry LCG palette."""
+    cycle = (
+        (0, 1, 0), (0, 2, 0), (0, 4, 0), (3, 1, 0), (3, 2, 0), (3, 4, 0),
+        (0, 1, 1), (0, 2, 1), (0, 4, 1), (3, 1, 1), (3, 2, 1), (3, 4, 1),
+    )
+    pal_seed_off = 9973
+
+    def lcg(seed: int, count: int, mod: int) -> np.ndarray:
+        x = (seed * 2654435761) % (2**32)
+        vals = np.empty(count, dtype=np.int64)
+        for i in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % mod
+        return vals
+
+    rows = []
+    for mid in range(n):
+        ctype, depth, il = cycle[mid % len(cycle)]
+        maxv = (1 << depth) - 1
+        vals = lcg(mid, width * height, maxv + 1)
+        if ctype == 3:
+            pal = lcg(mid + pal_seed_off, (1 << depth) * 3, 256).reshape(-1, 3)
+            rgb = pal[vals]
+            g = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        else:
+            g = vals * (255 // maxv)
+        rows.append(
+            {
+                "media_id": mid,
+                "color_type": ctype,
+                "bit_depth": depth,
+                "interlace": il,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(g.mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def decode_wav_golden(
     n: int = 12, n_frames: int = 480, sample_rate: int = 8000
 ) -> pa.Table:
@@ -392,6 +440,10 @@ def main() -> None:
     )
     pq.write_table(
         decode_jpeg_golden(), os.path.join(OUT_DIR, "mm_decode_jpeg.parquet")
+    )
+    pq.write_table(
+        decode_png_subbyte_golden(),
+        os.path.join(OUT_DIR, "mm_decode_png_subbyte.parquet"),
     )
     pq.write_table(
         decode_wav_golden(), os.path.join(OUT_DIR, "mm_decode_wav.parquet")
