@@ -257,3 +257,97 @@ def prof_column_entropy(spark, sf_dir):
         )
         out = prof if out is None else out.unionByName(prof)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation from bucketed key histograms
+
+JCE_B = 64
+
+
+def _join_card_oracle() -> str:
+    from gtec_etl_spark.functions.hashing import hash60_sql
+
+    ho = hash60_sql("CAST(o_orderkey AS VARCHAR)")
+    hl = hash60_sql("CAST(l_orderkey AS VARCHAR)")
+    return f"""
+    WITH ob AS (
+      SELECT {ho} % {JCE_B} AS b,
+             CAST(count(*) AS BIGINT) AS na,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS da
+      FROM orders GROUP BY 1),
+    lb AS (
+      SELECT {hl} % {JCE_B} AS b,
+             CAST(count(*) AS BIGINT) AS nb,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS db
+      FROM lineitem GROUP BY 1),
+    est AS (
+      SELECT CAST(sum(na * nb // greatest(da, db)) AS BIGINT) AS est_rows
+      FROM ob JOIN lb USING (b)),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_rows
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT {JCE_B} AS n_buckets, est_rows, exact_rows,
+           abs(est_rows - exact_rows) * 10000 // exact_rows AS err_bp
+    FROM est, exact
+    """
+
+
+@query("prof_join_cardinality", oracle=_join_card_oracle(), tags=("profile",))
+def prof_join_cardinality(spark, sf_dir):
+    """Equi-join cardinality estimation from bucketed key histograms — the
+    statistic a cost-based planner consults before picking a join strategy
+    at 100 TB (run the cheap per-table histogram pass, NOT the join). Per
+    side: one keyed groupBy over {JCE_B} hash buckets collecting (rows,
+    distinct keys); the estimate is the textbook per-bucket containment
+    formula sum(na*nb / max(da, db)) under within-bucket uniformity, all
+    integer arithmetic on the shared 60-bit hash so both engines bucket
+    identically. The exact join count rides alongside as the validation
+    column (it IS the expensive path the estimator exists to avoid — at
+    scale you'd drop it), with the error in basis points.
+    """
+    from gtec_etl_spark.functions.hashing import hash60
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    ob = (
+        orders.groupBy(
+            (hash60(F.col("o_orderkey").cast("string")) % JCE_B).alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("na"),
+            F.count_distinct("o_orderkey").cast("long").alias("da"),
+        )
+    )
+    lb = (
+        lineitem.groupBy(
+            (hash60(F.col("l_orderkey").cast("string")) % JCE_B).alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.count_distinct("l_orderkey").cast("long").alias("db"),
+        )
+    )
+    est = (
+        ob.join(lb, "b")
+        .agg(
+            F.sum(F.expr("na * nb div greatest(da, db)"))
+            .cast("long")
+            .alias("est_rows")
+        )
+    )
+    exact = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rows"))
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            F.lit(JCE_B).cast("long").alias("n_buckets"),
+            "est_rows",
+            "exact_rows",
+            F.expr("abs(est_rows - exact_rows) * 10000 div exact_rows").alias(
+                "err_bp"
+            ),
+        )
+    )

@@ -542,3 +542,52 @@ def ev_trailing_distinct_users(spark, sf_dir):
         .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
         .orderBy("window_day")
     )
+
+
+@query(
+    "ev_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS d
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT d AS day, new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily ORDER BY day
+    """,
+    tags=("events",),
+)
+def ev_cumulative_uniques(spark, sf_dir):
+    """Cumulative distinct users by day — the growth curve every events
+    dashboard wants. The naive form (COUNT(DISTINCT user) per day-prefix)
+    re-scans every prefix: quadratic, and each prefix-distinct holds the
+    full user set. The scale form used here is the FIRST-SEEN trick: a
+    user contributes to exactly one day (min(ts)), so one keyed groupBy
+    per user + one per-day rollup + a running sum over the DAY spine
+    (bounded by calendar days, never by users or events) gives the same
+    curve. The only window is over |days| rows — at 100 TB the shuffles
+    are the two keyed aggregates, both map-side combining.
+    """
+    from pyspark.sql import Window
+
+    events = catalog.table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.col("d").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
