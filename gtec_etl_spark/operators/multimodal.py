@@ -8,11 +8,13 @@ out frontier by frontier (r6 netpbm, r6 PNG, r7 palette PNG, r8
 16-bit/Adam7 PNG + baseline JPEG in operators/jpeg.py):
 
 - `decode_image` understands the deterministic FAKEIMG test container,
-  netpbm P2/P3/P5/P6, PNG (8/16-bit, gray/RGB/palette/alpha,
-  none/Adam7 interlace), and baseline JPEG (SOF0, any DHT/DQT,
-  4:4:4/4:2:0, restart markers), falling back to PIL when importable;
-  what remains beyond the boundary raises NotImplementedError
-  (progressive/arithmetic/12-bit JPEG; PNG is fully covered).
+  netpbm P2/P3/P5/P6, PNG (1/2/4/8/16-bit, gray/RGB/palette/alpha,
+  none/Adam7 interlace), baseline JPEG (SOF0, any DHT/DQT,
+  4:4:4/4:2:0, restart markers), and progressive JPEG (SOF2, spectral
+  selection + successive approximation), falling back to PIL when
+  importable; what remains beyond the boundary raises
+  NotImplementedError (arithmetic/12-bit/hierarchical JPEG; PNG is
+  fully covered).
 - `byte_histogram_features` is a REAL feature extractor (numpy over raw
   bytes) producing an embedding column that feeds the similarity operators.
 
@@ -751,6 +753,37 @@ def jpeg_media_table(
                 "image",
                 bytearray(fake_jpeg(width, height, seed=i, **kw)),
                 ("image/jpeg", f"mem://jpeg/{i}.jpg"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# Progressive (SOF2) layout per media_id % 4: gray, gray coarse-quant
+# (sparse bands -> EOB-run heavy), 4:4:4, 4:2:0.
+JPEG_PROG_CYCLE = (
+    {"gray": True},
+    {"gray": True, "q": 8},
+    {"subsample": 1},
+    {"subsample": 2},
+)
+
+
+def jpeg_prog_media_table(
+    spark, n: int = 12, width: int = 24, height: int = 17
+) -> DataFrame:
+    """Deterministic media table of REAL progressive JPEG payloads cycling
+    through JPEG_PROG_CYCLE layouts by media_id (operators/jpeg.py)."""
+    from gtec_etl_spark.operators.jpeg import fake_jpeg_progressive
+
+    rows = []
+    for i in range(n):
+        kw = JPEG_PROG_CYCLE[i % len(JPEG_PROG_CYCLE)]
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(fake_jpeg_progressive(width, height, seed=i, **kw)),
+                ("image/jpeg", f"mem://jpegprog/{i}.jpg"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -588,6 +588,50 @@ def mm_decode_png(spark, sf_dir):
 
 
 @query(
+    "mm_decode_jpeg_progressive",
+    oracle=f"""
+    SELECT media_id, layout, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_jpeg_prog.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2) through the media pipeline — the last
+    declared codec frontier, closed dependency-free: the spec G.1.2
+    scan machinery (interleaved DC first scan, per-component spectral-
+    selection AC bands, successive-approximation refinement with EOB-run
+    accumulation and buffered correction bits) decoded into per-block
+    coefficient state, then the SAME dequant + IDCT as baseline
+    (operators/jpeg.py:_decode_progressive). Layout cycle: gray, gray
+    coarse-quant (sparse bands — EOB-run heavy), 4:4:4, 4:2:0; the
+    matching fixture encoder emits a libjpeg-style 2+4n scan script, and
+    a 210-combo roundtrip sweep pins encoder/decoder exactness against
+    the codec-free DCT math (tests/test_jpeg.py). The remaining JPEG
+    boundary: arithmetic coding, 12-bit precision, hierarchical/lossless
+    SOF variants. Oracle = golden recomputing the lossy math only
+    (tools/make_multimodal_golden.py:decode_jpeg_prog_golden) — the
+    bitstream layer is exactly what the hash gate checks."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.jpeg_prog_media_table(spark, n=12, width=24, height=17)
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % 4).cast("long").alias("layout"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_decode_png_subbyte",
     oracle=f"""
     SELECT media_id, color_type, bit_depth, interlace, width, height,

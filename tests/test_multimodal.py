@@ -52,20 +52,20 @@ def test_frame_sample_expands_rows(spark):
 
 
 def test_stub_boundary_raises_on_real_formats(spark):
-    # r8: baseline JPEG decodes dependency-free; PROGRESSIVE (SOF2) is
-    # the boundary now and must surface the NotImplementedError through
-    # the Arrow pipeline, not garbage pixels.
+    # r9: progressive (SOF2) decodes dependency-free too; ARITHMETIC
+    # coding (SOF9) is the boundary now and must surface the
+    # NotImplementedError through the Arrow pipeline, not garbage pixels.
     import struct
 
-    sof2 = bytearray(
+    sof9 = bytearray(
         b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 9
-        + b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+        + b"\xff\xc9" + struct.pack(">H", 11) + bytes([8])
         + struct.pack(">HH", 4, 4) + bytes([1, 1, 0x11, 0])
     )
     media = spark.createDataFrame(
-        [(1, "image", sof2, ("image/jpeg", "mem://x"))], M.MEDIA_SCHEMA
+        [(1, "image", sof9, ("image/jpeg", "mem://x"))], M.MEDIA_SCHEMA
     )
-    with pytest.raises(PythonException, match="NotImplementedError|SOF2"):
+    with pytest.raises(PythonException, match="NotImplementedError|SOF9"):
         M.decode_image(media).collect()
 
 
@@ -283,24 +283,29 @@ def test_jpeg_lossy_quality_degrades_gracefully():
     assert np.abs(got - want).mean() < 16
 
 
-def test_jpeg_boundary_rejects_progressive():
-    """SOF2 (progressive) raises NotImplementedError, not garbage."""
+def test_jpeg_boundary_rejects_arithmetic():
+    """SOF9 (arithmetic) raises NotImplementedError, not garbage; a
+    truncated SOF2 header (no SOS) is malformed, not unsupported."""
     import struct
 
     import pytest
 
     from gtec_etl_spark.operators import jpeg as J
 
-    sof2 = (
-        b"\xff\xd8"
-        + b"\xff\xc2"
-        + struct.pack(">H", 11)
-        + bytes([8])
-        + struct.pack(">HH", 4, 4)
-        + bytes([1, 1, 0x11, 0])
-    )
+    def sof_only(marker):
+        return (
+            b"\xff\xd8"
+            + bytes([0xFF, marker])
+            + struct.pack(">H", 11)
+            + bytes([8])
+            + struct.pack(">HH", 4, 4)
+            + bytes([1, 1, 0x11, 0])
+        )
+
     with pytest.raises(NotImplementedError):
-        J.decode_jpeg(sof2)
+        J.decode_jpeg(sof_only(0xC9))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(sof_only(0xC2))  # SOF2 without any SOS/EOI
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x00\x01not a jpeg")
 
@@ -525,3 +530,48 @@ def test_png_subbyte_roundtrip_all_layouts():
             want = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
         got = np.frombuffer(gray, dtype=np.uint8).astype(np.int64)
         assert (got == want).all(), (ctype, depth, il)
+
+
+def test_jpeg_progressive_roundtrip_exact():
+    """Progressive (SOF2) encode/decode must reproduce EXACTLY the same
+    pixels as the codec-free flat-quant DCT round-trip — across gray /
+    4:4:4 / 4:2:0, dense (q=1) and sparse EOB-run-heavy (q=16/64)
+    coefficient regimes, and non-multiple-of-MCU sizes."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import jpeg as J
+
+    def expected(w, h, seed, q):
+        qtab, _ = J._quant_tables(q)
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        p = J._plane_from_lcg(w, h, seed)
+        pad = np.zeros((mcuy * 8, mcux * 8))
+        pad[:h, :w] = p
+        if w < mcux * 8:
+            pad[:h, w:] = p[:, -1:]
+        if h < mcuy * 8:
+            pad[h:, :] = pad[h - 1 : h, :]
+        out = np.zeros_like(pad)
+        for by in range(mcuy):
+            for bx in range(mcux):
+                b = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint((J._T @ b @ J._T.T) / qtab).astype(np.int64)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    J._T.T @ (coef * qtab) @ J._T + 128.0
+                )
+        return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+
+    cases = [
+        (True, 1, 1, 23, 19, 5),
+        (True, 1, 16, 57, 15, 8),
+        (True, 1, 64, 24, 24, 2),
+        (False, 1, 1, 23, 19, 3),
+        (False, 2, 1, 25, 21, 9),
+        (False, 2, 4, 40, 24, 11),
+    ]
+    for gray, sub, q, w, h, seed in cases:
+        blob = J.fake_jpeg_progressive(w, h, seed, gray=gray, subsample=sub, q=q)
+        dw, dh, luma = J.decode_jpeg(blob)
+        got = np.frombuffer(luma, dtype=np.uint8).reshape(dh, dw)
+        assert (dw, dh) == (w, h)
+        assert (got == expected(w, h, seed, q)).all(), (gray, sub, q, w, h)
