@@ -1729,3 +1729,57 @@ def _knn_graph_plan(spark, sf_dir, k: int, sample: int):
         .filter(F.col("vec_id") < 200)
         .orderBy("vec_id", "rank")
     )
+
+
+SIM_RANGE_THRESH = 0.25
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    scored AS (
+      SELECT vec_id,
+             round({_dot_sql('embedding', 'qv')} /
+                   (norm * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+      FROM e CROSS JOIN q
+    )
+    SELECT vec_id, cosine FROM scored
+    WHERE cosine >= {SIM_RANGE_THRESH}
+    ORDER BY vec_id
+    """,
+    tags=("similarity",),
+)
+def sim_range_search(spark, sf_dir):
+    """RANGE (threshold) similarity search — top-k's sibling: every vector
+    with cosine >= {SIM_RANGE_THRESH} of the query, the shape retrieval
+    uses when the consumer wants "all sufficiently similar" rather than a
+    fixed count (dedup candidate pulls, recall-oriented retrieval). Same
+    broadcast-query one-scan plan as sim_topk_bruteforce but the selection
+    is a FILTER, not TakeOrdered — no ordering state at all, so at 100 TB
+    it is a single embarrassing-parallel scan whose output is
+    threshold-bounded. The threshold compares the 4-decimal ROUNDED cosine
+    on both engines, so the cut sits on the already-parity-proven value,
+    never a raw float boundary."""
+    from gtec_etl_spark.operators.similarity import dot, with_norm
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qv = with_norm(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv")),
+        "qv",
+        "qnorm",
+    )
+    e = with_norm(emb.filter(F.col("vec_id") != 0), "embedding")
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qv")) / (F.col("norm") * F.col("qnorm")), 4
+    )
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SIM_RANGE_THRESH)
+        .orderBy("vec_id")
+    )

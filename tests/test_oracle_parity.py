@@ -63,6 +63,7 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "ev_trailing_distinct_users": "day spine = one row per calendar day in the queried range (rows = days, ~365/yr; a 10-year retention window is ~3.7k rows, a few KB broadcast) — grows with wall-clock time only, never with corpus size",
     "q06_derived_key_join": "customer filtered to derived_key < 100 — fixed key range, <=100 rows at any sf",
     "sim_topk_bruteforce": "single query vector selected by key equality",
+    "sim_range_search": "single query vector selected by key equality",
     "sim_ivf_probe": "K-row centroid table (fixed K) + single query vector",
     "sim_ivf_multiprobe": "K-row centroid table (fixed K) + single query vector",
     "sketch_bloom_join": "bitmap words keyed by position>>5 — fixed BLOOM_M/32 = 256 rows regardless of build-side size",
