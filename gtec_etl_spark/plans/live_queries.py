@@ -936,3 +936,140 @@ def mm_image_neardup(spark, sf_dir):
         )
         .orderBy("a_id", "b_id")
     )
+
+
+def _stream_hll_oracle() -> str:
+    from gtec_etl_spark.functions.hashing import hash60_sql
+    from gtec_etl_spark.plans.sketch_queries import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SCALE,
+        HLL_W,
+    )
+
+    return f"""
+    WITH h AS (
+      SELECT {hash60_sql("CAST(user_id AS VARCHAR)")} AS h FROM events
+    ),
+    b AS (
+      SELECT h >> {HLL_W} AS bucket,
+             CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W} - length(bin(h & {(1 << HLL_W) - 1})) + 1
+             END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT bucket, CAST(max(rho) AS BIGINT) AS mj FROM b GROUP BY bucket
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER))
+                  AS BIGINT) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs
+    ),
+    agg AS (
+      SELECT s_present + ({HLL_M} - n_present) * {1 << 53} AS s_int,
+             {HLL_M} - n_present AS n_zero
+      FROM s
+    ),
+    est AS (
+      SELECT s_int, CAST(n_zero AS BIGINT) AS n_zero,
+             {HLL_ALPHA!r} * {HLL_SCALE!r} / CAST(s_int AS DOUBLE) AS raw
+      FROM agg
+    ),
+    exact AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n FROM events
+    )
+    SELECT e.exact_n AS exact_n, s.n_zero AS n_zero,
+           CAST(s.s_int AS BIGINT) AS s_int,
+           CAST(floor(CASE WHEN s.raw <= {2.5 * HLL_M} AND s.n_zero > 0
+                           THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                             / s.n_zero)
+                           ELSE s.raw END + 0.5) AS BIGINT) AS est_n
+    FROM exact e CROSS JOIN est s
+    """
+
+
+@query(
+    "stream_hll_distinct",
+    oracle=_stream_hll_oracle(),
+    tags=("streaming", "live", "sketch"),
+)
+def stream_hll_distinct(spark, sf_dir):
+    """A mergeable sketch MAINTAINED BY A REAL STREAMING JOB: the events
+    file replays through readStream and a streaming groupBy(bucket)
+    max(rho) keeps the HyperLogLog register vector — the production
+    "distinct users so far" counter whose state is a FIXED 256 rows
+    regardless of stream length (contrast stream_stateful_user_totals,
+    whose state grows with the key domain). Because register max is a
+    monoid, any micro-batch split must yield the SAME registers as the
+    batch pass — the reconcilability contract, stated by the oracle
+    recomputing the sketch in SQL. Finalization (integer-scaled harmonic
+    sum, one quantized ln in the linear-counting fallback) is identical
+    to sketch_hll_distinct, whose float guards cover the shared math;
+    the exact distinct rides alongside so the estimate is hash-checked."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.functions.hashing import hash60
+    from gtec_etl_spark.plans.sketch_queries import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SCALE,
+        HLL_W,
+    )
+    from gtec_etl_spark.streaming import pipelines as P
+
+    h = hash60(F.col("user_id").cast("string"))
+    w = h.bitwiseAND(F.lit((1 << HLL_W) - 1))
+    with P.state_partitions(spark, 8):
+        regs_stream = (
+            P.read_events_stream(spark, sf_dir)
+            .select(
+                F.shiftright(h, HLL_W).alias("bucket"),
+                F.when(w == 0, F.lit(HLL_W + 1))
+                .otherwise(F.lit(HLL_W) - F.length(F.bin(w)) + 1)
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").cast("long").alias("mj"))
+        )
+        regs = P.run_to_memory(regs_stream)
+    s = regs.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    ).select(
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 53)
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_zero"),
+    )
+    est = s.select(
+        "s_int",
+        "n_zero",
+        (
+            F.lit(HLL_ALPHA) * F.lit(HLL_SCALE) / F.col("s_int").cast("double")
+        ).alias("raw"),
+    )
+    exact = (
+        catalog.table(spark, sf_dir, "events")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_n"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_n",
+        "n_zero",
+        F.col("s_int").cast("long").alias("s_int"),
+        F.floor(
+            F.when(
+                (F.col("raw") <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
+                F.lit(HLL_M)
+                * F.log(F.lit(float(HLL_M)) / F.col("n_zero").cast("double")),
+            ).otherwise(F.col("raw"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("est_n"),
+    )

@@ -249,3 +249,44 @@ def test_column_entropy_lns_not_on_rounding_boundary(sf_dir):
     assert args
     worst = min(boundary_distance(math.log(a) * 1_000_000 + 0.5) for a in args)
     assert worst > EPS, f"ln argument within {worst} of a flip point"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_stream_hll_fallback_not_on_rounding_boundary(sf_dir):
+    """stream_hll_distinct shares sketch_hll_distinct's finalization but
+    sketches events.user_id — its fallback ln argument set is guarded
+    separately."""
+    from gtec_etl_spark.functions.hashing import hash60_sql
+    from gtec_etl_spark.plans.sketch_queries import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_SCALE,
+        HLL_W,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    h = hash60_sql("CAST(user_id AS VARCHAR)")
+    mask = (1 << HLL_W) - 1
+    s_present, n_present = con.execute(
+        f"""
+        WITH b AS (
+          SELECT ({h}) >> {HLL_W} AS bucket,
+                 CASE WHEN (({h}) & {mask}) = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W} - length(bin(({h}) & {mask})) + 1
+                 END AS rho
+          FROM events
+        ),
+        regs AS (SELECT bucket, max(rho) AS mj FROM b GROUP BY bucket)
+        SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER))
+                    AS BIGINT),
+               count(*)
+        FROM regs
+        """
+    ).fetchone()
+    s_int = s_present + (HLL_M - n_present) * (1 << 53)
+    n_zero = HLL_M - n_present
+    raw = HLL_ALPHA * HLL_SCALE / float(s_int)
+    if raw <= 2.5 * HLL_M and n_zero > 0:
+        dist = boundary_distance(HLL_M * math.log(HLL_M / n_zero) + 0.5)
+        assert dist > EPS, f"stream HLL fallback within {dist} of a flip point"
