@@ -1783,3 +1783,55 @@ def sim_range_search(spark, sf_dir):
         .filter(F.col("cosine") >= SIM_RANGE_THRESH)
         .orderBy("vec_id")
     )
+
+
+def _recall_oracle() -> str:
+    from gtec_etl_spark.plans import registry
+
+    o = registry.oracles()
+    arms = []
+    for method in ("sim_ivf_probe", "sim_ivf_multiprobe"):
+        arms.append(
+            f"""    SELECT '{method}' AS method, 10 AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) * 10000 // 10 AS recall_bp
+    FROM (SELECT vec_id FROM ({o[method]})) a
+    JOIN (SELECT vec_id FROM ({o['sim_topk_bruteforce']})) t USING (vec_id)"""
+        )
+    return (
+        "\n    SELECT * FROM (\n"
+        + "\n    UNION ALL\n".join(arms)
+        + "\n    ) ORDER BY method\n    "
+    )
+
+
+@query("sim_recall_report", oracle=_recall_oracle(), tags=("similarity",))
+def sim_recall_report(spark, sf_dir):
+    """ANN quality evaluation as a first-class operator: recall@10 of the
+    IVF single-probe and multi-probe retrievers against the brute-force
+    ground truth — the number an ANN deployment tracks when trading probe
+    count for latency. Both the Spark plan AND the DuckDB oracle are
+    COMPOSED from the already-gated queries (registry.queries /
+    registry.oracles), so the report is definitionally consistent with
+    the retrievers it scores; the join is on the 10-row result sets, so
+    the evaluation itself costs nothing at any scale beyond the
+    retrievals it reuses."""
+    from gtec_etl_spark.plans import registry
+
+    qs = registry.queries()
+    truth = qs["sim_topk_bruteforce"](spark, sf_dir).select("vec_id")
+    out = None
+    for method in ("sim_ivf_probe", "sim_ivf_multiprobe"):
+        got = qs[method](spark, sf_dir).select("vec_id")
+        row = (
+            got.join(truth, "vec_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(10).cast("int").alias("k"),
+                "n_hits",
+                F.expr("n_hits * 10000 div 10").alias("recall_bp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")

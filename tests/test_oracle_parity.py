@@ -64,6 +64,7 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "q06_derived_key_join": "customer filtered to derived_key < 100 — fixed key range, <=100 rows at any sf",
     "sim_topk_bruteforce": "single query vector selected by key equality",
     "sim_range_search": "single query vector selected by key equality",
+    "sim_recall_report": "composition of sim_topk_bruteforce/sim_ivf_probe/sim_ivf_multiprobe — every inherited hint is one of their allowlisted bounded sides (K-row centroid tables, single query vectors)",
     "sim_ivf_probe": "K-row centroid table (fixed K) + single query vector",
     "sim_ivf_multiprobe": "K-row centroid table (fixed K) + single query vector",
     "sketch_bloom_join": "bitmap words keyed by position>>5 — fixed BLOOM_M/32 = 256 rows regardless of build-side size",
