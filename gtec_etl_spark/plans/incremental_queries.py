@@ -295,3 +295,75 @@ def bootstrap_log(spark, sf_dir):
         "cust_id", F.lit("I").alias("op"), F.lit(0).cast("long").alias("seq"),
         "name", "segment",
     )
+
+
+@query(
+    "etl_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT (o_orderkey % 2 = 1) AS has_status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_status,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM merged GROUP BY 1 ORDER BY has_status
+    """,
+    tags=("incremental",),
+)
+def etl_schema_evolution(spark, sf_dir):
+    """Schema-drift read path — the lake reality that an ingest pipeline's
+    schema GROWS over time: generation 1 of a table lands without a
+    column, generation 2 adds it, and consumers must read the union
+    without rewriting history. The query writes two real parquet
+    generations (even orderkeys without o_orderstatus, odd ones with it)
+    and reads them back through Spark's mergeSchema reconciliation —
+    earlier files surface the missing column as NULL — then audits the
+    merged view: row and null-status counts plus an integer-cents total
+    per generation. At 100 TB this is the zero-rewrite evolution story
+    (mergeSchema reconciles footers at planning time; no data pass), with
+    the caveat that production readers pin a CATALOG schema instead of
+    paying per-file footer merges on every read. Oracle recomputes the
+    union directly from orders."""
+    import tempfile
+
+    orders = catalog.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    with tempfile.TemporaryDirectory(prefix="schema_evo_") as tmp:
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{tmp}/gen=1")
+        orders.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{tmp}/gen=1", f"{tmp}/gen=2"
+        )
+        out = (
+            merged.groupBy((F.col("o_orderkey") % 2 == 1).alias("has_status"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_null_status"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .orderBy("has_status")
+        )
+        # Materialize before the TemporaryDirectory vanishes.
+        return spark.createDataFrame(out.collect(), out.schema)
