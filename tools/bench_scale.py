@@ -193,6 +193,20 @@ QUERIES = [
 ]
 
 
+def _all_curve_queries() -> list[str]:
+    """The curated list above UNION every registry query tagged 'scale',
+    so newly added scale-tagged queries get curves without anyone
+    remembering to extend the hardcoded list (round 9 dropped four that
+    way)."""
+    from gtec_etl_spark.plans import registry
+
+    tagged = [
+        n for n, s in registry.specs().items()
+        if "scale" in s.tags and n not in QUERIES
+    ]
+    return QUERIES + sorted(tagged)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sparkdata_sf1")
@@ -242,7 +256,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     total = 0.0
-    names = [n for n in args.only.split(",") if n] or QUERIES
+    names = [n for n in args.only.split(",") if n] or _all_curve_queries()
     for name in names:
         # SAME-SESSION baseline, measured back-to-back with the scaled
         # run: a long bench session slows as JVM heap / GC / state-store
