@@ -2299,3 +2299,57 @@ def text_kl_mixture_drift(spark, sf_dir):
         .orderBy(F.col("drift_score").desc(), "token")
         .limit(KL_TOP)
     )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "text_kfold_assign",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) - 1 AS rk
+      FROM documents
+    )
+    SELECT source, CAST(rk % {KFOLD_K} AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM ranked GROUP BY source, fold ORDER BY source, fold
+    """,
+    tags=("text",),
+)
+def text_kfold_assign(spark, sf_dir):
+    """Deterministic STRATIFIED k-fold assignment: within each source,
+    docs are ranked by their content-independent hash (shuffle-by-hash —
+    stable under reruns and insert order, unlike rand-based splits) and
+    dealt round-robin into {KFOLD_K} folds, so every fold carries each
+    source's share to within one document — the cross-validation split a
+    data-curation pipeline wants when sources are imbalanced (a plain
+    hash-mod split only balances in expectation; round-robin ranking
+    balances by construction). One window per source partition (parallel
+    across sources), then the per-(source, fold) rollup. Evaluated as the
+    fold-count audit a reviewer checks before training."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    rk = (
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                hash60(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        - 1
+    )
+    return (
+        docs.select("source", "doc_id", (rk % KFOLD_K).cast("long").alias("fold"))
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("source", "fold")
+    )
