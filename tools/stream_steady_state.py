@@ -141,6 +141,44 @@ def run_tumbling(spark, replay_dir: str) -> dict:
         return progress_stats(q)
 
 
+def run_hll_registers(spark, replay_dir: str) -> dict:
+    """Steady-state of the streaming HyperLogLog register maintenance
+    (stream_hll_distinct's topology): per-trigger cost of a 256-row
+    bounded-state aggregation — THE fixed-state streaming sketch, so the
+    steady median should be flat and small regardless of stream length."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.functions.hashing import hash60
+    from gtec_etl_spark.plans.sketch_queries import HLL_W
+    from gtec_etl_spark.streaming import pipelines as P
+
+    h = hash60(F.col("user_id").cast("string"))
+    w = h.bitwiseAND(F.lit((1 << HLL_W) - 1))
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        regs = (
+            ev.select(
+                F.shiftright(h, HLL_W).alias("bucket"),
+                F.when(w == 0, F.lit(HLL_W + 1))
+                .otherwise(F.lit(HLL_W) - F.length(F.bin(w)) + 1)
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("mj"))
+        )
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(f"hll_{uuid.uuid4().hex[:12]}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("hll replay did not finish")
+        return progress_stats(q)
+
+
 def run_cdc_maintenance(spark, sf_dir: str, tmp_root: str) -> dict:
     """Steady-state of the CDC dimension-maintenance loop: bootstrap load
     sliced into 4 triggers, then the update/insert wave, then the delete
@@ -191,6 +229,7 @@ def main() -> None:
         results = {
             "stream_stream_join": run_stream_stream_join(spark, replay_dir),
             "stream_tumbling_hourly": run_tumbling(spark, replay_dir),
+            "stream_hll_distinct": run_hll_registers(spark, replay_dir),
             "stream_cdc_snapshot": run_cdc_maintenance(
                 spark, args.sf_dir, replay_dir
             ),
