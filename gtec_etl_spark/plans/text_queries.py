@@ -2353,3 +2353,71 @@ def text_kfold_assign(spark, sf_dir):
         )
         .orderBy("source", "fold")
     )
+
+
+def _ccnet_bucket_oracle() -> str:
+    from gtec_etl_spark.plans import registry
+
+    fam = registry.oracles()["text_lm_familiarity"]
+    return f"""
+    WITH fam AS (SELECT * FROM ({fam})),
+    t AS (
+      SELECT lang, familiarity_e3,
+             ntile(3) OVER (
+               PARTITION BY lang ORDER BY familiarity_e3 DESC, doc_id
+             ) AS nt
+      FROM fam
+    )
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(familiarity_e3) AS BIGINT) AS min_fam_e3,
+           CAST(max(familiarity_e3) AS BIGINT) AS max_fam_e3
+    FROM t GROUP BY lang, nt ORDER BY lang, min(nt)
+    """
+
+
+@query("text_ccnet_bucket", oracle=_ccnet_bucket_oracle(), tags=("text", "quality"))
+def text_ccnet_bucket(spark, sf_dir):
+    """CCNet's head/middle/tail split: per LANGUAGE, rank documents by
+    target-LM familiarity and cut into population tertiles — the bucket
+    assignment CCNet feeds downstream (train on head+middle, drop or
+    down-weight tail). Composed from the gated text_lm_familiarity
+    (registry composition, the sim_recall_report precedent) so the score
+    and the bucketing can never drift apart; reported as the per-(lang,
+    bucket) audit with familiarity ranges. The exact ntile is one sorted
+    window per language partition (parallel across languages); the 100 TB
+    swap-in is approx-quantile thresholds + a map-side comparison, the
+    prof_equidepth_histogram convention for exact-at-test /
+    approximate-at-scale pairs."""
+    from pyspark.sql import Window
+
+    from gtec_etl_spark.plans import registry
+
+    fam = registry.queries()["text_lm_familiarity"](spark, sf_dir)
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.col("familiarity_e3").desc(), "doc_id"
+        )
+    )
+    t = fam.select("lang", "familiarity_e3", nt.alias("nt"))
+    return (
+        t.groupBy("lang", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("familiarity_e3").cast("long").alias("min_fam_e3"),
+            F.max("familiarity_e3").cast("long").alias("max_fam_e3"),
+        )
+        .orderBy("lang", "nt")
+        .select(
+            "lang",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "min_fam_e3",
+            "max_fam_e3",
+        )
+    )
