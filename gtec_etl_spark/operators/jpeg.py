@@ -486,6 +486,8 @@ def _decode_progressive(content: bytes) -> tuple[int, int, bytes]:
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         seg_len = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
         seg = content[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len

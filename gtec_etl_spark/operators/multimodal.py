@@ -194,9 +194,10 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
             return decode_jpeg(content)
         except (NotImplementedError, ValueError):
             # Spec-legal JPEGs outside the pure decoder's boundary
-            # (progressive/SOF2, fill bytes, multi-scan) fall through to
-            # PIL when it is importable; the except ImportError below
-            # re-raises the honest frontier message when it is not.
+            # (arithmetic/12-bit/hierarchical, fill bytes between
+            # segments) fall through to PIL when it is importable; the
+            # except ImportError below re-raises the honest frontier
+            # message when it is not.
             pass
     try:
         import io
@@ -209,7 +210,7 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             "decoding this format requires PIL (not in this container); "
             "supported without dependencies: FAKEIMG, netpbm P2/P3/P5/P6, "
-            "PNG (8/16-bit, Adam7), baseline JPEG"
+            "PNG (1/2/4/8/16-bit, Adam7), baseline + progressive JPEG"
         )
 
 
@@ -949,7 +950,9 @@ def decode_audio(media: DataFrame) -> DataFrame:
                         bits,
                         n // nch,
                         int(np.abs(s).max()) if n else 0,
-                        int(1000 * np.abs(s).sum()) // n if n else 0,
+                        # Python-int math: 32-bit samples would wrap an
+                        # int64 1000*abs-sum on clips past ~4M samples.
+                        int(np.abs(s).sum()) * 1000 // n if n else 0,
                     )
                 )
             yield pd.DataFrame(
@@ -1043,7 +1046,12 @@ def audio_rms_windows(media: DataFrame, window_frames: int = 160) -> DataFrame:
                     if lo >= hi:
                         break
                     seg = s[lo * nch : hi * nch]
-                    energy = int((seg * seg).sum())
+                    if int(np.abs(seg).max(initial=0)) > (1 << 24):
+                        # Python-int squares: two full-scale 32-bit
+                        # samples squared already exceed int64.
+                        energy = sum(int(v) * int(v) for v in seg)
+                    else:
+                        energy = int((seg * seg).sum())
                     rows.append(
                         (
                             mid,

@@ -514,8 +514,9 @@ def mm_decode_jpeg(spark, sf_dir):
     byte-unstuffed entropy runs, dequant + IDCT) inside the Arrow-
     batched mapInPandas pass — round 8 closes the last declared codec
     frontier (r6 netpbm -> r6 PNG -> r7 palette -> r8 16-bit/Adam7 PNG
-    + JPEG). The remaining NotImplementedError boundary is progressive
-    (SOF2) / arithmetic / 12-bit JPEG. Oracle = golden
+    + JPEG). Round 9 closed SOF2 too (see
+    mm_decode_jpeg_progressive); the remaining boundary is
+    arithmetic / 12-bit / hierarchical JPEG. Oracle = golden
     fixture recomputing the lossy DCT math in pure numpy WITHOUT the
     codec's bitstream layer (tools/make_multimodal_golden.py:
     decode_jpeg_golden), so Huffman/stuffing/restart handling is what
@@ -605,9 +606,12 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
     coefficient state, then the SAME dequant + IDCT as baseline
     (operators/jpeg.py:_decode_progressive). Layout cycle: gray, gray
     coarse-quant (sparse bands — EOB-run heavy), 4:4:4, 4:2:0; the
-    matching fixture encoder emits a libjpeg-style 2+4n scan script, and
-    a 210-combo roundtrip sweep pins encoder/decoder exactness against
-    the codec-free DCT math (tests/test_jpeg.py). The remaining JPEG
+    matching fixture encoder emits a libjpeg-style 2+4n scan script;
+    tests/test_multimodal.py::test_jpeg_progressive_roundtrip_exact pins
+    encoder/decoder exactness against the codec-free DCT math across
+    gray/4:4:4/4:2:0, dense and EOB-run-heavy sparse quants, and
+    non-MCU-multiple sizes (a wider 210-combo dev sweep passed before
+    commit; the suite keeps the 6 boundary-heavy cases). The remaining JPEG
     boundary: arithmetic coding, 12-bit precision, hierarchical/lossless
     SOF variants. Oracle = golden recomputing the lossy math only
     (tools/make_multimodal_golden.py:decode_jpeg_prog_golden) — the

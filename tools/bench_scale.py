@@ -204,7 +204,13 @@ def _all_curve_queries() -> list[str]:
         n for n, s in registry.specs().items()
         if "scale" in s.tags and n not in QUERIES
     ]
-    return QUERIES + sorted(tagged)
+    # Splice BEFORE the streaming block: stream_* must stay LAST (their
+    # state-store residue degrades whatever batch query runs next in the
+    # same session — see the comment above "stream_stream_join").
+    first_stream = next(
+        i for i, n in enumerate(QUERIES) if n.startswith("stream_")
+    )
+    return QUERIES[:first_stream] + sorted(tagged) + QUERIES[first_stream:]
 
 
 def main() -> None:
