@@ -41,6 +41,13 @@ def main() -> int:
     ap.add_argument("--out", default="CORRECTNESS_self.json", help="output path")
     args = ap.parse_args()
 
+    # A filtered run must not clobber the round-end full-registry
+    # artifact (round 8's exact slip: a stale 1-query CORRECTNESS_self
+    # got committed). Partial results go to a sibling file unless the
+    # caller overrode --out explicitly.
+    if (args.k or args.only_unverified) and args.out == "CORRECTNESS_self.json":
+        args.out = "CORRECTNESS_self_partial.json"
+
     import duckdb
     from pyspark.sql import SparkSession
 
