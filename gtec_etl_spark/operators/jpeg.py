@@ -12,8 +12,8 @@ chroma blocks are entropy-decoded (they must be, to advance the
 bitstream) but not reconstructed.
 
 Boundary (NotImplementedError, same discipline as the PNG frontier):
-arithmetic coding, 12-bit precision, hierarchical/lossless SOF
-variants, and a subsampled LUMA component (hY < hmax — never produced
+arithmetic coding, hierarchical/lossless SOF variants, and a
+subsampled LUMA component (hY < hmax — never produced
 by real encoders, which only subsample chroma).
 
 `fake_jpeg` is the matching deterministic encoder for fixtures: LCG
@@ -136,6 +136,7 @@ def decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     comps = None  # list of (cid, h, v, tq)
     w = h = None
+    prec = 8
     restart_interval = 0
     scan = None
     n = len(content)
@@ -171,7 +172,7 @@ def decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                 p += 17 + nsym
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG precision {prec}")
             comps = []
             for i in range(nc):
@@ -247,11 +248,12 @@ def decode_jpeg(content: bytes) -> tuple[int, int, bytes]:
                         k += 1
                     if ci != y_ci:
                         continue  # chroma: bitstream advanced, no IDCT
-                    block = _T.T @ (coef * qt[ctq]) @ _T + 128.0
+                    block = _T.T @ (coef * qt[ctq]) @ _T + float(1 << (prec - 1))
                     r0 = (my * cv + by) * 8
                     c0 = (mx * ch + bx) * 8
                     yplane[r0 : r0 + 8, c0 : c0 + 8] = block
-    luma = np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.uint8)
+    full = np.clip(np.rint(yplane[:h, :w]), 0, (1 << prec) - 1).astype(np.int64)
+    luma = (full >> (prec - 8)).astype(np.uint8)
     return w, h, luma.tobytes()
 
 
@@ -276,6 +278,20 @@ def _enc_table(bits_counts: list[int], symbols: bytes) -> dict:
 
 _DC_ENC = _enc_table(_DC_BITS, _DC_SYMS)
 _AC_ENC = _enc_table(_AC_BITS, _AC_SYMS)
+
+# 12-bit tables: DC diff categories reach 15 (|DC| <= 8*2048 after the
+# 2048 level shift, so diffs span +-32760 < 2^15) and AC size categories
+# reach 14 per spec Table F.2 — 16 DC codes at length 5, 226 AC codes at
+# length 8 (both leave the all-ones code unused: valid canonical sets).
+_DC12_SYMS = bytes(range(16))
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_AC12_SYMS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | sz for r in range(16) for sz in range(1, 15)]
+)
+_AC12_BITS = [0] * 7 + [len(_AC12_SYMS)] + [0] * 8
+_DC12_ENC = _enc_table(_DC12_BITS, _DC12_SYMS)
+_AC12_ENC = _enc_table(_AC12_BITS, _AC12_SYMS)
 
 
 class _BitWriter:
@@ -311,11 +327,15 @@ def _write_amplitude(bw: _BitWriter, v: int, size: int) -> None:
     bw.write(v if v >= 0 else v + (1 << size) - 1, size)
 
 
-def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int) -> int:
+def _encode_block(
+    bw: _BitWriter, coef: np.ndarray, pred: int, dc_enc=None, ac_enc=None
+) -> int:
+    dc_enc = dc_enc or _DC_ENC
+    ac_enc = ac_enc or _AC_ENC
     dc = int(coef[0, 0])
     diff = dc - pred
     s = _size_cat(diff)
-    bw.write(*_DC_ENC[s])
+    bw.write(*dc_enc[s])
     _write_amplitude(bw, diff, s)
     zz = [int(coef[ZIGZAG[k]]) for k in range(64)]
     k, last = 1, 0
@@ -329,23 +349,23 @@ def _encode_block(bw: _BitWriter, coef: np.ndarray, pred: int) -> int:
             run += 1
             continue
         while run >= 16:
-            bw.write(*_AC_ENC[0xF0])
+            bw.write(*ac_enc[0xF0])
             run -= 16
         s = _size_cat(v)
-        bw.write(*_AC_ENC[(run << 4) | s])
+        bw.write(*ac_enc[(run << 4) | s])
         _write_amplitude(bw, v, s)
         run = 0
     if last < 63:
-        bw.write(*_AC_ENC[0x00])  # EOB
+        bw.write(*ac_enc[0x00])  # EOB
     return dc
 
 
-def _plane_from_lcg(w: int, h: int, seed: int) -> np.ndarray:
+def _plane_from_lcg(w: int, h: int, seed: int, maxval: int = 255) -> np.ndarray:
     from gtec_etl_spark.operators.multimodal import netpbm_values
 
-    return np.array(netpbm_values(w, h, seed, 1, 255), dtype=np.float64).reshape(
-        h, w
-    )
+    return np.array(
+        netpbm_values(w, h, seed, 1, maxval), dtype=np.float64
+    ).reshape(h, w)
 
 
 def _quant_tables(q: int) -> tuple[np.ndarray, np.ndarray]:
@@ -365,6 +385,7 @@ def fake_jpeg(
     subsample: int = 1,
     q: int = 1,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Deterministic REAL baseline JPEG from the shared LCG stream.
     gray=True emits a 1-component scan; otherwise 3 components with
@@ -375,6 +396,12 @@ def fake_jpeg(
     roundtrip within DCT rounding of lossless)."""
     if subsample not in (1, 2):
         raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    maxval = (1 << precision) - 1
+    shift = float(1 << (precision - 1))
+    dc_enc = _DC12_ENC if precision == 12 else _DC_ENC
+    ac_enc = _AC12_ENC if precision == 12 else _AC_ENC
     ncomp = 1 if gray else 3
     hv = [(subsample, subsample) if i == 0 and ncomp > 1 else (1, 1)
           for i in range(ncomp)]
@@ -390,7 +417,7 @@ def fake_jpeg(
         ch, cv = hv[i]
         cw = -(-width * ch // hmax)
         chh = -(-height * cv // vmax)
-        p = _plane_from_lcg(cw, chh, seed + 101 * i)
+        p = _plane_from_lcg(cw, chh, seed + 101 * i, maxval)
         pw, ph = mcux * ch * 8, mcuy * cv * 8
         pad = np.zeros((ph, pw))
         pad[:chh, :cw] = p
@@ -417,11 +444,11 @@ def fake_jpeg(
                 for bx in range(ch):
                     r0 = (my * cv + by) * 8
                     c0 = (mx * ch + bx) * 8
-                    block = planes[i][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    block = planes[i][r0 : r0 + 8, c0 : c0 + 8] - shift
                     coef = np.rint((_T @ block @ _T.T) / qtab).astype(
                         np.int64
                     )
-                    pred[i] = _encode_block(bw, coef, pred[i])
+                    pred[i] = _encode_block(bw, coef, pred[i], dc_enc, ac_enc)
     bw.flush()
     chunks.append(bytes(bw.out))
     entropy = bytearray()
@@ -436,12 +463,16 @@ def fake_jpeg(
     zz_q = bytes(int(qtab[ZIGZAG[k]]) for k in range(64))
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + zz_q)
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", height, width) + bytes([ncomp])
     for i in range(ncomp):
         sof += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], 0])
     out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_SYMS)
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMS)
+    if precision == 12:
+        out += seg(0xC4, bytes([0x00]) + bytes(_DC12_BITS) + _DC12_SYMS)
+        out += seg(0xC4, bytes([0x10]) + bytes(_AC12_BITS) + _AC12_SYMS)
+    else:
+        out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_SYMS)
+        out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + _AC_SYMS)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -473,6 +504,7 @@ def _decode_progressive(content: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     w = h = None
+    prec = 8
     restart_interval = 0
     n = len(content)
     n_scans = 0
@@ -513,7 +545,7 @@ def _decode_progressive(content: bytes) -> tuple[int, int, bytes]:
                 p += 17 + nsym
         elif marker == 0xC2:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG precision {prec}")
             comps = []
             for i in range(nc):
@@ -572,9 +604,10 @@ def _decode_progressive(content: bytes) -> tuple[int, int, bytes]:
             coef = np.zeros((8, 8), dtype=np.int64)
             coef[zz_rows, zz_cols] = coefs[y_ci][by, bx]
             yplane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                _T.T @ (coef * qtab) @ _T + 128.0
+                _T.T @ (coef * qtab) @ _T + float(1 << (prec - 1))
             )
-    luma = np.clip(np.rint(yplane[:h, :w]), 0, 255).astype(np.uint8)
+    full = np.clip(np.rint(yplane[:h, :w]), 0, (1 << prec) - 1).astype(np.int64)
+    luma = (full >> (prec - 8)).astype(np.uint8)
     return w, h, luma.tobytes()
 
 

@@ -13,8 +13,8 @@ out frontier by frontier (r6 netpbm, r6 PNG, r7 palette PNG, r8
   4:4:4/4:2:0, restart markers), and progressive JPEG (SOF2, spectral
   selection + successive approximation), falling back to PIL when
   importable; what remains beyond the boundary raises
-  NotImplementedError (arithmetic/12-bit/hierarchical JPEG; PNG is
-  fully covered).
+  NotImplementedError (arithmetic/hierarchical JPEG; PNG is fully
+  covered; 12-bit baseline JPEG decodes natively too).
 - `byte_histogram_features` is a REAL feature extractor (numpy over raw
   bytes) producing an embedding column that feeds the similarity operators.
 
@@ -210,7 +210,7 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             "decoding this format requires PIL (not in this container); "
             "supported without dependencies: FAKEIMG, netpbm P2/P3/P5/P6, "
-            "PNG (1/2/4/8/16-bit, Adam7), baseline + progressive JPEG"
+            "PNG (1/2/4/8/16-bit, Adam7), baseline/progressive/12-bit JPEG"
         )
 
 
@@ -754,6 +754,37 @@ def jpeg_media_table(
                 "image",
                 bytearray(fake_jpeg(width, height, seed=i, **kw)),
                 ("image/jpeg", f"mem://jpeg/{i}.jpg"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# 12-bit baseline layout per media_id % 4: gray, gray+restart markers,
+# 4:4:4, 4:2:0 — the extended-precision mode medical/scientific JPEGs use.
+JPEG12_CYCLE = (
+    {"gray": True},
+    {"gray": True, "q": 3, "restart_interval": 2},
+    {"subsample": 1},
+    {"subsample": 2},
+)
+
+
+def jpeg12_media_table(
+    spark, n: int = 12, width: int = 24, height: int = 17
+) -> DataFrame:
+    """Deterministic media table of REAL 12-bit baseline JPEG payloads
+    cycling through JPEG12_CYCLE layouts by media_id."""
+    from gtec_etl_spark.operators.jpeg import fake_jpeg
+
+    rows = []
+    for i in range(n):
+        kw = JPEG12_CYCLE[i % len(JPEG12_CYCLE)]
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(fake_jpeg(width, height, seed=i, precision=12, **kw)),
+                ("image/jpeg", f"mem://jpeg12/{i}.jpg"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

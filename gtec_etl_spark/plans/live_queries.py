@@ -515,8 +515,9 @@ def mm_decode_jpeg(spark, sf_dir):
     batched mapInPandas pass — round 8 closes the last declared codec
     frontier (r6 netpbm -> r6 PNG -> r7 palette -> r8 16-bit/Adam7 PNG
     + JPEG). Round 9 closed SOF2 too (see
-    mm_decode_jpeg_progressive); the remaining boundary is
-    arithmetic / 12-bit / hierarchical JPEG. Oracle = golden
+    mm_decode_jpeg_progressive) and 12-bit precision
+    (mm_decode_jpeg_12bit); the remaining boundary is arithmetic /
+    hierarchical JPEG. Oracle = golden
     fixture recomputing the lossy DCT math in pure numpy WITHOUT the
     codec's bitstream layer (tools/make_multimodal_golden.py:
     decode_jpeg_golden), so Huffman/stuffing/restart handling is what
@@ -589,6 +590,45 @@ def mm_decode_png(spark, sf_dir):
 
 
 @query(
+    "mm_decode_jpeg_12bit",
+    oracle=f"""
+    SELECT media_id, layout, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_jpeg12.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_jpeg_12bit(spark, sf_dir):
+    """EXTENDED-PRECISION (12-bit) baseline JPEG — the mode scientific and
+    medical imagery uses — through the same pure-numpy decoder: level
+    shift 2048, sample range 0-4095, file-carried extended Huffman tables
+    (DC diff categories to 15, AC size categories to 14 per spec Table
+    F.2), luma collapsed to 8 bits by clip-then->>4 for the mm_*
+    pipeline. Layout cycle: gray, gray+restart markers, 4:4:4, 4:2:0.
+    With this the JPEG NotImplementedError boundary shrinks to arithmetic
+    coding and hierarchical/lossless SOF variants. Oracle = golden
+    recomputing the 12-bit lossy math codec-free
+    (tools/make_multimodal_golden.py:decode_jpeg12_golden)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.jpeg12_media_table(spark, n=12, width=24, height=17)
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            (F.col("media_id") % 4).cast("long").alias("layout"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_decode_jpeg_progressive",
     oracle=f"""
     SELECT media_id, layout, width, height, n_pixels, mean_intensity
@@ -612,8 +652,8 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
     gray/4:4:4/4:2:0, dense and EOB-run-heavy sparse quants, and
     non-MCU-multiple sizes (a wider 210-combo dev sweep passed before
     commit; the suite keeps the 6 boundary-heavy cases). The remaining JPEG
-    boundary: arithmetic coding, 12-bit precision, hierarchical/lossless
-    SOF variants. Oracle = golden recomputing the lossy math only
+    boundary: arithmetic coding and hierarchical/lossless SOF variants
+    (12-bit closed by mm_decode_jpeg_12bit). Oracle = golden recomputing the lossy math only
     (tools/make_multimodal_golden.py:decode_jpeg_prog_golden) — the
     bitstream layer is exactly what the hash gate checks."""
     from pyspark.sql import functions as F

@@ -575,3 +575,46 @@ def test_jpeg_progressive_roundtrip_exact():
         got = np.frombuffer(luma, dtype=np.uint8).reshape(dh, dw)
         assert (dw, dh) == (w, h)
         assert (got == expected(w, h, seed, q)).all(), (gray, sub, q, w, h)
+
+
+def test_jpeg_12bit_roundtrip_exact():
+    """12-bit baseline encode/decode must reproduce exactly the codec-free
+    12-bit DCT round-trip (level shift 2048, clip 0-4095, >>4 collapse),
+    across gray / color / 4:2:0 / restart-marker layouts."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import jpeg as J
+
+    def expected(w, h, seed, q, tile):
+        qtab, _ = J._quant_tables(q)
+        pw, ph = -(-w // tile) * tile, -(-h // tile) * tile
+        p = J._plane_from_lcg(w, h, seed, 4095)
+        pad = np.zeros((ph, pw))
+        pad[:h, :w] = p
+        if w < pw:
+            pad[:h, w:] = p[:, -1:]
+        if h < ph:
+            pad[h:, :] = pad[h - 1 : h, :]
+        out = np.zeros_like(pad)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                b = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+                coef = np.rint((J._T @ b @ J._T.T) / qtab).astype(np.int64)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    J._T.T @ (coef * qtab) @ J._T + 2048.0
+                )
+        full = np.clip(np.rint(out[:h, :w]), 0, 4095).astype(np.int64)
+        return (full >> 4).astype(np.uint8)
+
+    cases = [
+        (dict(gray=True), 8, 1, 23, 19, 5),
+        (dict(gray=True, q=3, restart_interval=2), 8, 3, 24, 17, 7),
+        (dict(subsample=1), 8, 1, 23, 19, 3),
+        (dict(subsample=2), 16, 1, 25, 21, 9),
+    ]
+    for kw, tile, q, w, h, seed in cases:
+        blob = J.fake_jpeg(w, h, seed, precision=12, **kw)
+        dw, dh, luma = J.decode_jpeg(blob)
+        got = np.frombuffer(luma, dtype=np.uint8).reshape(dh, dw)
+        assert (dw, dh) == (w, h)
+        assert (got == expected(w, h, seed, q, tile)).all(), kw

@@ -249,6 +249,66 @@ def decode_jpeg_golden(n: int = 12, width: int = 24, height: int = 17) -> pa.Tab
     return pa.Table.from_pylist(rows)
 
 
+def decode_jpeg12_golden(
+    n: int = 12, width: int = 24, height: int = 17
+) -> pa.Table:
+    """Expected output of mm_decode_jpeg_12bit: the extended-precision
+    baseline mode. Same codec-free flat-quant DCT recompute as the 8-bit
+    golden but on 12-bit LCG planes (values mod 4096, level shift 2048)
+    with the decoder's clip-to-4095-then->>4 luma collapse.
+    JPEG12_CYCLE: gray q=1, gray q=3 + DRI, 4:4:4 q=1, 4:2:0 q=1."""
+    T = np.zeros((8, 8))
+    for k in range(8):
+        for m in range(8):
+            c = (1 / np.sqrt(2)) if k == 0 else 1.0
+            T[k, m] = 0.5 * c * np.cos((2 * m + 1) * k * np.pi / 16)
+    layout_of = ((8, 1), (8, 3), (8, 1), (16, 1))  # (luma tile, q)
+
+    def lcg12(seed: int, count: int) -> np.ndarray:
+        x = (seed * 2654435761) % (2**32)
+        vals = np.empty(count, dtype=np.float64)
+        for i in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % 4096
+        return vals
+
+    rows = []
+    for mid in range(n):
+        tile, q = layout_of[mid % 4]
+        qtab = np.full((8, 8), 2.0 * q)
+        qtab[0, 0] = float(q)
+        pw = -(-width // tile) * tile
+        ph = -(-height // tile) * tile
+        plane = lcg12(mid, width * height).reshape(height, width)
+        pad = np.zeros((ph, pw))
+        pad[:height, :width] = plane
+        if width < pw:
+            pad[:height, width:] = plane[:, -1:]
+        if height < ph:
+            pad[height:, :] = pad[height - 1 : height, :]
+        recon = np.zeros_like(pad)
+        for r0 in range(0, ph, 8):
+            for c0 in range(0, pw, 8):
+                blk = pad[r0 : r0 + 8, c0 : c0 + 8] - 2048.0
+                coef = np.rint((T @ blk @ T.T) / qtab) * qtab
+                recon[r0 : r0 + 8, c0 : c0 + 8] = T.T @ coef @ T + 2048.0
+        full = np.clip(
+            np.rint(recon[:height, :width]), 0, 4095
+        ).astype(np.int64)
+        g = (full >> 4).astype(np.uint8)
+        rows.append(
+            {
+                "media_id": mid,
+                "layout": mid % 4,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(g.reshape(-1).mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def decode_jpeg_prog_golden(
     n: int = 12, width: int = 24, height: int = 17
 ) -> pa.Table:
@@ -499,6 +559,10 @@ def main() -> None:
     )
     pq.write_table(
         decode_jpeg_golden(), os.path.join(OUT_DIR, "mm_decode_jpeg.parquet")
+    )
+    pq.write_table(
+        decode_jpeg12_golden(),
+        os.path.join(OUT_DIR, "mm_decode_jpeg12.parquet"),
     )
     pq.write_table(
         decode_jpeg_prog_golden(),
