@@ -871,8 +871,16 @@ def fake_wav(
     the float path stays bit-deterministic end to end."""
     if audio_format == 3:
         vals = wav_values(n_frames * n_channels, seed, 16)
-        raster = b"".join(struct.pack("<f", v / 32768.0) for v in vals)
-        bits = 32
+        if bits == 64:
+            raster = b"".join(struct.pack("<d", v / 32768.0) for v in vals)
+        else:
+            raster = b"".join(struct.pack("<f", v / 32768.0) for v in vals)
+            bits = 32
+    elif audio_format in (6, 7):
+        vals = wav_values(n_frames * n_channels, seed, 16)
+        comp = alaw_compress if audio_format == 6 else mulaw_compress
+        raster = bytes(comp(v) for v in vals)
+        bits = 8
     else:
         vals = wav_values(n_frames * n_channels, seed, bits)
         if bits == 16:
@@ -899,15 +907,60 @@ def fake_wav(
     )
 
 
+def _mulaw_expand(b: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear 16-bit sample (exact integer formula;
+    complemented byte, sign bit SET means negative)."""
+    u = ((~b) & 0xFF).astype(np.int64)
+    sign = (u >> 7) & 1
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign == 1, -mag, mag)
+
+
+def _alaw_expand(b: np.ndarray) -> np.ndarray:
+    """G.711 a-law byte -> linear 16-bit sample (exact integer formula;
+    even bits toggled by 0x55, sign bit SET means POSITIVE)."""
+    a = (b ^ 0x55).astype(np.int64)
+    sign = (a >> 7) & 1
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign == 1, mag, -mag)
+
+
+def mulaw_compress(x: int) -> int:
+    """G.711 mu-law compress of a linear 16-bit sample (fixture encoder;
+    the inverse-of-expand segment search, BIAS 0x84, clip 32635)."""
+    sign = 0x80 if x < 0 else 0
+    m = min(abs(x), 32635) + 0x84
+    exp = m.bit_length() - 8
+    mant = (m >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def alaw_compress(x: int) -> int:
+    """G.711 a-law compress of a linear 16-bit sample (fixture encoder)."""
+    mask = 0xD5 if x >= 0 else 0x55
+    m = min(abs(x), 32767)
+    if m >= 256:
+        exp = m.bit_length() - 9
+        mant = (m >> (exp + 4)) & 0x0F
+        byte = ((exp + 1) << 4) | mant
+    else:
+        byte = m >> 4
+    return byte ^ mask
+
+
 def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
     """Pure-Python RIFF/WAVE parser -> (sample_rate, n_channels, bits,
     centered int64 samples). Walks the chunk list (so extra chunks like
     LIST/INFO are skipped, not assumed absent), accepts integer PCM
     (format 1) at 8/16/24/32 bits and IEEE float32 (format 3, scaled to
     1/32768 amplitude units and truncated toward zero — exact for
-    fixture streams, a documented quantization otherwise); ADPCM,
-    a-law/mu-law, and float64 are the remaining NotImplementedError
-    boundary. 8-bit unsigned samples center to value-128 so amplitude
+    fixture streams, a documented quantization otherwise), float64, and
+    G.711 a-law/mu-law companding; ADPCM is the remaining
+    NotImplementedError boundary. 8-bit unsigned samples center to value-128 so amplitude
     stats mean the same thing at every depth."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
@@ -926,15 +979,23 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
     audio_format, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
     if not (
         (audio_format == 1 and bits in (8, 16, 24, 32))
-        or (audio_format == 3 and bits == 32)
+        or (audio_format == 3 and bits in (32, 64))
+        or (audio_format in (6, 7) and bits == 8)
     ):
         raise NotImplementedError(
-            f"WAV format={audio_format} bits={bits}: integer PCM at"
-            " 8/16/24/32 bits and IEEE float32 are inside the pure-Python"
-            " decode boundary (ADPCM, a-law/mu-law, and float64 need an"
+            f"WAV format={audio_format} bits={bits}: integer PCM"
+            " (8/16/24/32), IEEE float32/float64, and G.711 a-law/mu-law"
+            " are inside the pure-Python decode boundary (ADPCM needs an"
             " audio library)"
         )
-    if audio_format == 3:
+    if audio_format == 6:  # G.711 a-law
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 7:  # G.711 mu-law
+        samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_format == 3 and bits == 64:
+        f = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
+        samples = np.trunc(f * 32768.0).astype(np.int64)
+    elif audio_format == 3:
         f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
         samples = np.trunc(f.astype(np.float64) * 32768.0).astype(np.int64)
     elif bits == 32:
@@ -1013,6 +1074,39 @@ def wav_media_table(
                     fake_wav(n_frames, sample_rate, seed=i, bits=bits, n_channels=nch)
                 ),
                 ("audio/wav", f"mem://wav/{i}.wav"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# (bits, channels, audio_format) — companded and double layouts: G.711
+# a-law (6) / mu-law (7) and IEEE float64, mono/stereo.
+WAV_G711_CYCLE = ((8, 1, 6), (8, 2, 6), (8, 1, 7), (8, 2, 7), (64, 1, 3), (64, 2, 3))
+
+
+def wav_g711_media_table(
+    spark, n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic media table of REAL G.711/float64 WAV payloads cycling
+    through WAV_G711_CYCLE layouts by media_id."""
+    rows = []
+    for i in range(n):
+        bits, nch, fmtc = WAV_G711_CYCLE[i % len(WAV_G711_CYCLE)]
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(
+                    fake_wav(
+                        n_frames,
+                        sample_rate,
+                        seed=i,
+                        bits=bits,
+                        n_channels=nch,
+                        audio_format=fmtc,
+                    )
+                ),
+                ("audio/wav", f"mem://wavg711/{i}.wav"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -740,14 +740,40 @@ def mm_decode_wav(spark, sf_dir):
     (operators/multimodal.py:_decode_wav) inside the same Arrow-batched
     mapInPandas boundary as the image decoders; emitted stats are exact
     integers (peak, 1000x mean |amplitude|), so no float parity games.
-    The audio NotImplementedError boundary now covers only ADPCM,
-    a-law/mu-law, and float64 (mm_decode_wav_deep exercises the wide
-    24/32-bit and float32 layouts). Oracle = golden fixture recomputed straight
+    The audio NotImplementedError boundary now covers only ADPCM
+    (mm_decode_wav_deep exercises the wide 24/32-bit and float32
+    layouts; mm_decode_wav_g711 the companded and float64 ones). Oracle = golden fixture recomputed straight
     from the LCG sample stream WITHOUT the RIFF writer or parser
     (tools/make_multimodal_golden.py:decode_wav_golden)."""
     from gtec_etl_spark.operators import multimodal as M
 
     media = M.wav_media_table(spark, n=12, n_frames=480, sample_rate=8000)
+    return M.decode_audio(media).orderBy("media_id")
+
+
+@query(
+    "mm_decode_wav_g711",
+    oracle=f"""
+    SELECT media_id, sample_rate, n_channels, bits, n_frames,
+           peak_abs, mean_abs_e3
+    FROM '{_MM_GOLDEN}/mm_decode_wav_g711.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_wav_g711(spark, sf_dir):
+    """TELEPHONY audio through the chunk walker: G.711 a-law and mu-law
+    companded clips (format 6/7 — the classic 8 kHz codecs, expanded by
+    the exact integer segment formulas, sign conventions and all: a-law's
+    set sign bit means POSITIVE, mu-law's means negative) plus IEEE
+    float64 (format 3, 64-bit), mono/stereo. The WAV NotImplementedError
+    boundary is now ADPCM only. Oracle = golden recomputing compress +
+    expand from the LCG stream with INDEPENDENT G.711 implementations
+    (tools/make_multimodal_golden.py:decode_wav_g711_golden), so the
+    formulas are cross-checked, not self-certified."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.wav_g711_media_table(spark, n=12, n_frames=480, sample_rate=8000)
     return M.decode_audio(media).orderBy("media_id")
 
 

@@ -392,9 +392,10 @@ def test_wav_boundary_rejects_unsupported():
         body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", len(data)) + data
         return b"RIFF" + st.pack("<I", len(body)) + body
 
-    # Round 9 moved 24/32-bit int PCM and float32 INSIDE the boundary;
-    # what remains out: ADPCM (2), a-law (6), mu-law (7), float64 (3, 64).
-    for audio_format, bits in ((2, 4), (6, 8), (7, 8), (3, 64)):
+    # Round 9 moved all integer PCM depths, float32/float64, and the
+    # G.711 companded formats INSIDE the boundary; what remains out:
+    # MS-ADPCM (2), IMA-ADPCM (17), and malformed bit widths.
+    for audio_format, bits in ((2, 4), (17, 4), (1, 12), (3, 16)):
         with pytest.raises(NotImplementedError):
             M._decode_wav(wav_with_fmt(audio_format, bits))
 
@@ -489,16 +490,17 @@ def test_wav_deep_roundtrip_vs_stdlib_wave():
         assert (ref == s).all()
 
 
-def test_wav_decode_boundary_rejects_alaw():
-    """a-law (format 6) stays beyond the boundary with a descriptive error."""
+def test_wav_decode_boundary_rejects_adpcm():
+    """ADPCM (format 2) stays beyond the boundary with a descriptive
+    error (a-law moved inside in round 9 — see mm_decode_wav_g711)."""
     import struct
 
     import pytest as _pytest
 
     blob = bytearray(M.fake_wav(16, 8000, seed=1, bits=8, n_channels=1))
     fmt_pos = blob.index(b"fmt ") + 8
-    blob[fmt_pos : fmt_pos + 2] = struct.pack("<H", 6)
-    with _pytest.raises(NotImplementedError, match="format=6"):
+    blob[fmt_pos : fmt_pos + 2] = struct.pack("<H", 2)
+    with _pytest.raises(NotImplementedError, match="format=2"):
         M._decode_wav(bytes(blob))
 
 
@@ -618,3 +620,29 @@ def test_jpeg_12bit_roundtrip_exact():
         got = np.frombuffer(luma, dtype=np.uint8).reshape(dh, dw)
         assert (dw, dh) == (w, h)
         assert (got == expected(w, h, seed, q, tile)).all(), kw
+
+
+def test_wav_g711_expand_reference_points():
+    """The G.711 expansion formulas hit the published reference values and
+    the companding error stays within the top-segment quantization bound."""
+    import numpy as np
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    assert list(M._mulaw_expand(np.array([0xFF, 0x7F, 0x80, 0x00], dtype=np.uint8))) == [
+        0, 0, 32124, -32124,
+    ]
+    assert list(M._alaw_expand(np.array([0xD5, 0x55, 0xAA, 0x2A], dtype=np.uint8))) == [
+        8, -8, 32256, -32256,
+    ]
+    vals = np.array(M.wav_values(960, 3, 16), dtype=np.int64)
+    for fmt, comp, exp, bound in (
+        (6, M.alaw_compress, M._alaw_expand, 512),
+        (7, M.mulaw_compress, M._mulaw_expand, 512),
+    ):
+        got = exp(np.array([comp(int(v)) for v in vals], dtype=np.uint8))
+        assert int(np.abs(got - vals).max()) <= bound
+        blob = M.fake_wav(480, 8000, seed=3, bits=8, n_channels=2, audio_format=fmt)
+        rate, nch, bits, s = M._decode_wav(blob)
+        assert (rate, nch, bits) == (8000, 2, 8)
+        assert (s == got).all()

@@ -368,6 +368,72 @@ def decode_jpeg_prog_golden(
     return pa.Table.from_pylist(rows)
 
 
+def decode_wav_g711_golden(
+    n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> pa.Table:
+    """Expected output of mm_decode_wav_g711: G.711 a-law/mu-law companded
+    clips and IEEE float64, recomputed from the LCG stream with
+    INDEPENDENT compress+expand implementations of the G.711 formulas
+    (the operator module is never imported here)."""
+    cycle = ((8, 1, 6), (8, 2, 6), (8, 1, 7), (8, 2, 7), (64, 1, 3), (64, 2, 3))
+
+    def mu_comp(x):
+        sign = 0x80 if x < 0 else 0
+        m = min(abs(x), 32635) + 0x84
+        exp = m.bit_length() - 8
+        return (~(sign | (exp << 4) | ((m >> (exp + 3)) & 0x0F))) & 0xFF
+
+    def mu_exp(b):
+        u = (~b) & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -mag if (u >> 7) & 1 else mag
+
+    def al_comp(x):
+        mask = 0xD5 if x >= 0 else 0x55
+        m = min(abs(x), 32767)
+        if m >= 256:
+            exp = m.bit_length() - 9
+            byte = ((exp + 1) << 4) | ((m >> (exp + 4)) & 0x0F)
+        else:
+            byte = m >> 4
+        return byte ^ mask
+
+    def al_exp(b):
+        a = b ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << max(exp - 1, 0)
+        return mag if (a >> 7) & 1 else -mag
+
+    rows = []
+    for mid in range(n):
+        bits, nch, fmtc = cycle[mid % len(cycle)]
+        x = (mid * 2654435761) % (2**32)
+        vals = []
+        for _ in range(n_frames * nch):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append((x % 65536) - 32768)
+        if fmtc == 3:
+            out = vals  # float64 v/32768 expands back exactly
+        elif fmtc == 6:
+            out = [al_exp(al_comp(v)) for v in vals]
+        else:
+            out = [mu_exp(mu_comp(v)) for v in vals]
+        s = np.array(out, dtype=np.int64)
+        rows.append(
+            {
+                "media_id": mid,
+                "sample_rate": sample_rate,
+                "n_channels": nch,
+                "bits": bits,
+                "n_frames": n_frames,
+                "peak_abs": int(np.abs(s).max()),
+                "mean_abs_e3": int(np.abs(s).sum()) * 1000 // len(s),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def decode_png_subbyte_golden(
     n: int = 12, width: int = 23, height: int = 19
 ) -> pa.Table:
@@ -559,6 +625,10 @@ def main() -> None:
     )
     pq.write_table(
         decode_jpeg_golden(), os.path.join(OUT_DIR, "mm_decode_jpeg.parquet")
+    )
+    pq.write_table(
+        decode_wav_g711_golden(),
+        os.path.join(OUT_DIR, "mm_decode_wav_g711.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
