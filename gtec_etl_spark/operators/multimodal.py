@@ -976,19 +976,24 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    audio_format, nch, rate, _br, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
     if not (
         (audio_format == 1 and bits in (8, 16, 24, 32))
         or (audio_format == 3 and bits in (32, 64))
         or (audio_format in (6, 7) and bits == 8)
+        or (audio_format == 17 and bits == 4)
     ):
         raise NotImplementedError(
             f"WAV format={audio_format} bits={bits}: integer PCM"
-            " (8/16/24/32), IEEE float32/float64, and G.711 a-law/mu-law"
-            " are inside the pure-Python decode boundary (ADPCM needs an"
-            " audio library)"
+            " (8/16/24/32), IEEE float32/float64, G.711 a-law/mu-law, and"
+            " IMA ADPCM are inside the pure-Python decode boundary"
+            " (MS-ADPCM needs an audio library)"
         )
-    if audio_format == 6:  # G.711 a-law
+    if audio_format == 17:  # IMA ADPCM
+        samples = _decode_ima_adpcm(data, nch, block_align)
+    elif audio_format == 6:  # G.711 a-law
         samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     elif audio_format == 7:  # G.711 mu-law
         samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
@@ -1216,4 +1221,132 @@ def byte_histogram_counts(media: DataFrame, bins: int = 16) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         run, "media_id long, hist array<long>"
+    )
+
+
+# IMA ADPCM (WAV format 17) — the 4-bit differential codec. Both tables
+# are the published IMA/DVI spec constants.
+IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, step index) -> updated pair
+    after absorbing the 4-bit code. Pure integer arithmetic."""
+    step = IMA_STEP[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
+    """Standard IMA quantizer: pick the 4-bit code for `sample` given the
+    current predictor state (the encoder then advances via ima_step)."""
+    step = IMA_STEP[idx]
+    diff = sample - pred
+    nib = 8 if diff < 0 else 0
+    diff = abs(diff)
+    mask = 4
+    while mask:
+        if diff >= step:
+            nib |= mask
+            diff -= step
+        step >>= 1
+        mask >>= 1
+    return nib
+
+
+def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM raster -> interleaved int64 samples. Blocks carry a
+    per-channel (predictor, step index) header then 4-byte data words
+    interleaved per channel, 2 samples per byte low-nibble-first."""
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    pos = 0
+    n = len(data)
+    while pos + 4 * nch <= n:
+        block = data[pos : pos + block_align]
+        pos += block_align
+        preds, idxs = [], []
+        for c in range(nch):
+            pred = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            idx = min(max(block[4 * c + 2], 0), 88)
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)  # the header IS the block's first sample
+        p = 4 * nch
+        while p + 4 * nch <= len(block):
+            for c in range(nch):
+                for byte in block[p + 4 * c : p + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+            p += 4 * nch
+    out = np.empty(sum(len(c) for c in chans), dtype=np.int64)
+    for c in range(nch):
+        out[c::nch] = chans[c]
+    return out
+
+
+def fake_wav_ima_adpcm(
+    n_frames: int, sample_rate: int, seed: int, n_channels: int = 1,
+    samples_per_block: int = 249,
+) -> bytes:
+    """Deterministic REAL IMA ADPCM WAV (format 17) encoding the 16-bit
+    LCG stream with the standard quantizer. samples_per_block must be
+    1 + 8k (whole 4-byte data words); n_frames a multiple of it."""
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + 8k")
+    if n_frames % samples_per_block:
+        raise ValueError("n_frames must be a multiple of samples_per_block")
+    vals = wav_values(n_frames * n_channels, seed, 16)
+    chans = [vals[c::n_channels] for c in range(n_channels)]
+    block_align = (4 + (samples_per_block - 1) // 2) * n_channels
+    raster = bytearray()
+    idxs = [0] * n_channels
+    for b0 in range(0, n_frames, samples_per_block):
+        preds = []
+        for c in range(n_channels):
+            pred = chans[c][b0]
+            preds.append(pred)
+            raster += int(pred & 0xFFFF).to_bytes(2, "little")
+            raster += bytes([idxs[c], 0])
+        nibs: list[list[int]] = [[] for _ in range(n_channels)]
+        for c in range(n_channels):
+            for s in chans[c][b0 + 1 : b0 + samples_per_block]:
+                nib = ima_encode_nibble(s, preds[c], idxs[c])
+                preds[c], idxs[c] = ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        for w0 in range(0, samples_per_block - 1, 8):
+            for c in range(n_channels):
+                for k in range(0, 8, 2):
+                    raster.append(
+                        nibs[c][w0 + k] | (nibs[c][w0 + k + 1] << 4)
+                    )
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, n_channels, sample_rate, byte_rate, block_align, 4,
+        2, samples_per_block,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raster))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raster)) + bytes(raster)
     )
