@@ -958,9 +958,11 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
     LIST/INFO are skipped, not assumed absent), accepts integer PCM
     (format 1) at 8/16/24/32 bits and IEEE float32 (format 3, scaled to
     1/32768 amplitude units and truncated toward zero — exact for
-    fixture streams, a documented quantization otherwise), float64, and
-    G.711 a-law/mu-law companding; ADPCM is the remaining
-    NotImplementedError boundary. 8-bit unsigned samples center to value-128 so amplitude
+    fixture streams, a documented quantization otherwise), float64,
+    G.711 a-law/mu-law companding, and both ADPCM families (IMA format
+    17, MS format 2); the NotImplementedError boundary is now only
+    genuinely library-grade formats (MP3, WAVE_FORMAT_EXTENSIBLE).
+    8-bit unsigned samples center to value-128 so amplitude
     stats mean the same thing at every depth."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
@@ -983,16 +985,19 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, np.ndarray]:
         (audio_format == 1 and bits in (8, 16, 24, 32))
         or (audio_format == 3 and bits in (32, 64))
         or (audio_format in (6, 7) and bits == 8)
-        or (audio_format == 17 and bits == 4)
+        or (audio_format in (2, 17) and bits == 4)
     ):
         raise NotImplementedError(
             f"WAV format={audio_format} bits={bits}: integer PCM"
-            " (8/16/24/32), IEEE float32/float64, G.711 a-law/mu-law, and"
-            " IMA ADPCM are inside the pure-Python decode boundary"
-            " (MS-ADPCM needs an audio library)"
+            " (8/16/24/32), IEEE float32/float64, G.711 a-law/mu-law,"
+            " IMA ADPCM, and MS-ADPCM are inside the pure-Python decode"
+            " boundary (compressed formats like MP3/extensible need an"
+            " audio library)"
         )
     if audio_format == 17:  # IMA ADPCM
         samples = _decode_ima_adpcm(data, nch, block_align)
+    elif audio_format == 2:  # MS-ADPCM
+        samples = _decode_ms_adpcm(data, nch, block_align)
     elif audio_format == 6:  # G.711 a-law
         samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
     elif audio_format == 7:  # G.711 mu-law
@@ -1276,6 +1281,11 @@ def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
     """IMA ADPCM raster -> interleaved int64 samples. Blocks carry a
     per-channel (predictor, step index) header then 4-byte data words
     interleaved per channel, 2 samples per byte low-nibble-first."""
+    if block_align < 4 * nch:
+        raise ValueError(
+            f"IMA ADPCM block_align={block_align} smaller than the"
+            f" {4 * nch}-byte per-block channel header (nch={nch})"
+        )
     chans: list[list[int]] = [[] for _ in range(nch)]
     pos = 0
     n = len(data)
@@ -1350,3 +1360,200 @@ def fake_wav_ima_adpcm(
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(raster)) + bytes(raster)
     )
+
+
+# MS-ADPCM (WAVE format 2) tables: the seven standard predictor
+# coefficient pairs (8.8 fixed point) and the 16-entry step adaption.
+MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def ms_step(
+    s1: int, s2: int, delta: int, coef1: int, coef2: int, nib: int
+) -> tuple[int, int]:
+    """One MS-ADPCM decode step: given the two previous samples, the
+    current quantizer delta, and the block's coefficient pair, absorb a
+    4-bit code -> (new sample, new delta). Pure integer arithmetic."""
+    pred = (s1 * coef1 + s2 * coef2) >> 8
+    signed = nib - 16 if nib >= 8 else nib
+    samp = max(-32768, min(32767, pred + signed * delta))
+    delta = max(16, (MS_ADAPT[nib] * delta) >> 8)
+    return samp, delta
+
+
+def ms_encode_nibble(sample: int, s1: int, s2: int, delta: int, coef1: int, coef2: int) -> int:
+    """Fixture-grade MS-ADPCM quantizer: truncate-toward-zero code for
+    `sample` against the current predictor (the encoder then advances
+    via ms_step). Any nibble stream is spec-decodable; this one just
+    tracks the signal closely enough for meaningful fixtures."""
+    pred = (s1 * coef1 + s2 * coef2) >> 8
+    diff = sample - pred
+    return max(-8, min(7, int(diff / delta))) & 0x0F
+
+
+def _decode_ms_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
+    """MS-ADPCM raster -> interleaved int64 samples. Each block carries a
+    per-channel header (1-byte predictor index, int16 delta, int16
+    sample1, int16 sample2 — sample2 is the EARLIER of the two seed
+    samples) then 4-bit codes high-nibble-first, round-robin across
+    channels."""
+    hdr = 7 * nch
+    if block_align < hdr:
+        raise ValueError(
+            f"MS-ADPCM block_align={block_align} smaller than the"
+            f" {hdr}-byte per-block channel header (nch={nch})"
+        )
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    pos = 0
+    n = len(data)
+    while pos + hdr <= n:
+        block = data[pos : pos + block_align]
+        pos += block_align
+        coef1, coef2, deltas, s1s, s2s = [], [], [], [], []
+        for c in range(nch):
+            bpred = block[c]
+            if bpred >= len(MS_COEF1):
+                raise ValueError(
+                    f"MS-ADPCM predictor index {bpred} out of range"
+                    f" (must be < {len(MS_COEF1)})"
+                )
+            coef1.append(MS_COEF1[bpred])
+            coef2.append(MS_COEF2[bpred])
+            deltas.append(
+                int.from_bytes(
+                    block[nch + 2 * c : nch + 2 * c + 2], "little", signed=True
+                )
+            )
+            s1s.append(
+                int.from_bytes(
+                    block[3 * nch + 2 * c : 3 * nch + 2 * c + 2],
+                    "little",
+                    signed=True,
+                )
+            )
+            s2s.append(
+                int.from_bytes(
+                    block[5 * nch + 2 * c : 5 * nch + 2 * c + 2],
+                    "little",
+                    signed=True,
+                )
+            )
+            chans[c].append(s2s[c])  # sample2 is the block's first sample
+            chans[c].append(s1s[c])
+        k = 0  # nibble counter, round-robin channel assignment
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                c = k % nch
+                samp, deltas[c] = ms_step(
+                    s1s[c], s2s[c], deltas[c], coef1[c], coef2[c], nib
+                )
+                s2s[c], s1s[c] = s1s[c], samp
+                chans[c].append(samp)
+                k += 1
+    out = np.empty(sum(len(c) for c in chans), dtype=np.int64)
+    for c in range(nch):
+        out[c::nch] = chans[c]
+    return out
+
+
+def fake_wav_ms_adpcm(
+    n_frames: int, sample_rate: int, seed: int, n_channels: int = 1,
+    samples_per_block: int = 64,
+) -> bytes:
+    """Deterministic REAL MS-ADPCM WAV (format 2) encoding the 16-bit LCG
+    stream: per-block predictor index cycles through all seven standard
+    coefficient pairs, initial delta is a deterministic per-block value.
+    (samples_per_block - 2) * n_channels must be even (whole data bytes);
+    n_frames a multiple of samples_per_block."""
+    if ((samples_per_block - 2) * n_channels) % 2:
+        raise ValueError("(samples_per_block - 2) * n_channels must be even")
+    if n_frames % samples_per_block:
+        raise ValueError("n_frames must be a multiple of samples_per_block")
+    vals = wav_values(n_frames * n_channels, seed, 16)
+    chans = [vals[c::n_channels] for c in range(n_channels)]
+    block_align = 7 * n_channels + (samples_per_block - 2) * n_channels // 2
+    raster = bytearray()
+    for bi, b0 in enumerate(range(0, n_frames, samples_per_block)):
+        bpred = (bi + seed) % 7
+        coef1, coef2 = MS_COEF1[bpred], MS_COEF2[bpred]
+        deltas, s1s, s2s = [], [], []
+        for c in range(n_channels):
+            deltas.append(16 + (b0 * 7919 + seed * 131 + c * 17) % 1000)
+            s2s.append(chans[c][b0])
+            s1s.append(chans[c][b0 + 1])
+        for c in range(n_channels):
+            raster.append(bpred)
+        for c in range(n_channels):
+            raster += int(deltas[c] & 0xFFFF).to_bytes(2, "little")
+        for c in range(n_channels):
+            raster += int(s1s[c] & 0xFFFF).to_bytes(2, "little")
+        for c in range(n_channels):
+            raster += int(s2s[c] & 0xFFFF).to_bytes(2, "little")
+        nibs = []
+        per_ch = [2] * n_channels  # samples already emitted per channel
+        for k in range((samples_per_block - 2) * n_channels):
+            c = k % n_channels
+            target = chans[c][b0 + per_ch[c]]
+            nib = ms_encode_nibble(target, s1s[c], s2s[c], deltas[c], coef1, coef2)
+            samp, deltas[c] = ms_step(s1s[c], s2s[c], deltas[c], coef1, coef2, nib)
+            s2s[c], s1s[c] = s1s[c], samp
+            per_ch[c] += 1
+            nibs.append(nib)
+        for j in range(0, len(nibs), 2):
+            raster.append((nibs[j] << 4) | nibs[j + 1])
+    byte_rate = sample_rate * block_align // samples_per_block
+    coefs = b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in zip(MS_COEF1, MS_COEF2)
+    )
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, n_channels, sample_rate, byte_rate, block_align, 4,
+        4 + len(coefs), samples_per_block, len(MS_COEF1),
+    ) + coefs
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raster))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raster)) + bytes(raster)
+    )
+
+
+# (audio_format, channels, samples_per_block) — both ADPCM families:
+# IMA (17) needs spb = 1 + 8k, MS (2) needs (spb-2)*nch even.
+WAV_ADPCM_CYCLE = ((17, 1, 249), (17, 2, 249), (17, 1, 9), (2, 1, 64), (2, 2, 64), (2, 2, 9))
+
+
+def adpcm_frames(n_frames: int, samples_per_block: int) -> int:
+    """Round n_frames UP to a whole number of ADPCM blocks (both fixture
+    encoders require whole blocks)."""
+    blocks = -(-n_frames // samples_per_block)
+    return blocks * samples_per_block
+
+
+def wav_adpcm_media_table(
+    spark, n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic media table of REAL ADPCM WAV payloads cycling
+    through WAV_ADPCM_CYCLE layouts by media_id; per-clip frame count is
+    n_frames rounded up to whole blocks."""
+    rows = []
+    for i in range(n):
+        fmtc, nch, spb = WAV_ADPCM_CYCLE[i % len(WAV_ADPCM_CYCLE)]
+        frames = adpcm_frames(n_frames, spb)
+        enc = fake_wav_ima_adpcm if fmtc == 17 else fake_wav_ms_adpcm
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(
+                    enc(frames, sample_rate, seed=i, n_channels=nch,
+                        samples_per_block=spb)
+                ),
+                ("audio/wav", f"mem://wavadpcm/{i}.wav"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

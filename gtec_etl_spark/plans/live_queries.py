@@ -778,6 +778,35 @@ def mm_decode_wav_g711(spark, sf_dir):
 
 
 @query(
+    "mm_decode_wav_adpcm",
+    oracle=f"""
+    SELECT media_id, sample_rate, n_channels, bits, n_frames,
+           peak_abs, mean_abs_e3
+    FROM '{_MM_GOLDEN}/mm_decode_wav_adpcm.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_wav_adpcm(spark, sf_dir):
+    """COMPRESSED audio through the chunk walker: IMA-ADPCM (format 17,
+    4-byte per-channel block headers + low-nibble-first codes, step-index
+    carried across blocks) and MS-ADPCM (format 2, seven standard 8.8
+    fixed-point predictor pairs, high-nibble-first round-robin codes,
+    sample2-then-sample1 block seeds), mono/stereo, several block sizes.
+    This closes the WAV NotImplementedError boundary to genuinely
+    library-grade formats (MP3, extensible). Oracle = golden recomputing
+    both codecs' quantize+reconstruct loops from spec tables alone
+    (tools/make_multimodal_golden.py:decode_wav_adpcm_golden — never
+    imports the operator module), exploiting that ADPCM decoder state
+    mirrors encoder state, so the decoded stream IS the encoder's
+    reconstruction track."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.wav_adpcm_media_table(spark, n=12, n_frames=480, sample_rate=8000)
+    return M.decode_audio(media).orderBy("media_id")
+
+
+@query(
     "mm_decode_wav_deep",
     oracle=f"""
     SELECT media_id, sample_rate, n_channels, bits, n_frames,

@@ -392,12 +392,25 @@ def test_wav_boundary_rejects_unsupported():
         body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", len(data)) + data
         return b"RIFF" + st.pack("<I", len(body)) + body
 
-    # Round 9 moved all integer PCM depths, float32/float64, and the
-    # G.711 companded formats INSIDE the boundary; what remains out:
-    # MS-ADPCM (2), IMA-ADPCM (17), and malformed bit widths.
-    for audio_format, bits in ((2, 4), (17, 4), (1, 12), (3, 16)):
+    # Rounds 9-10 moved all integer PCM depths, float32/float64, the
+    # G.711 companded formats, and BOTH ADPCM families (IMA 17, MS 2)
+    # INSIDE the boundary; what remains out: genuinely library-grade
+    # formats (MP3, extensible) and malformed bit widths.
+    for audio_format, bits in ((85, 16), (0xFFFE, 16), (1, 12), (3, 16)):
         with pytest.raises(NotImplementedError):
             M._decode_wav(wav_with_fmt(audio_format, bits))
+    # Well-formed ADPCM decodes; a malformed block_align (smaller than
+    # the per-channel block header) must raise a descriptive ValueError
+    # instead of IndexError / looping forever.
+    blob = M.fake_wav_ima_adpcm(9, 8000, seed=1, samples_per_block=9)
+    rate, nch, bits, s = M._decode_wav(blob)
+    assert (rate, nch, bits) == (8000, 1, 4) and len(s) == 9
+    blob = M.fake_wav_ms_adpcm(8, 8000, seed=1, samples_per_block=8)
+    rate, nch, bits, s = M._decode_wav(blob)
+    assert (rate, nch, bits) == (8000, 1, 4) and len(s) == 8
+    for bad_fmt in (17, 2):
+        with pytest.raises(ValueError, match="block_align"):
+            M._decode_wav(wav_with_fmt(bad_fmt, 4))
 
 
 def test_decode_audio_distributed(spark):
@@ -646,3 +659,55 @@ def test_wav_g711_expand_reference_points():
         rate, nch, bits, s = M._decode_wav(blob)
         assert (rate, nch, bits) == (8000, 2, 8)
         assert (s == got).all()
+
+
+def test_wav_adpcm_decode_properties():
+    """Both ADPCM codecs: header samples are exact, the reconstruction
+    tracks the source (lossy but correlated), and malformed predictor
+    indices are rejected descriptively."""
+    import numpy as np
+
+    for fmtc, nch, spb in M.WAV_ADPCM_CYCLE:
+        frames = M.adpcm_frames(480, spb)
+        enc = M.fake_wav_ima_adpcm if fmtc == 17 else M.fake_wav_ms_adpcm
+        blob = enc(frames, 8000, seed=5, n_channels=nch, samples_per_block=spb)
+        rate, n2, bits, s = M._decode_wav(blob)
+        assert (rate, n2, bits) == (8000, nch, 4)
+        assert len(s) == frames * nch
+        vals = np.array(M.wav_values(frames * nch, 5, 16), dtype=np.float64)
+        corr = np.corrcoef(vals, s.astype(np.float64))[0, 1]
+        assert corr > 0.7, (fmtc, nch, spb, corr)
+        # block-seed samples decode exactly: IMA seeds 1/block, MS 2/block
+        seeds = 1 if fmtc == 17 else 2
+        for c in range(nch):
+            ch_vals = vals[c::nch].astype(np.int64)
+            ch_dec = s[c::nch]
+            for b0 in range(0, frames, spb):
+                assert (ch_dec[b0 : b0 + seeds] == ch_vals[b0 : b0 + seeds]).all()
+    # malformed MS predictor index (>= 7) must raise, not index OOB
+    blob = bytearray(M.fake_wav_ms_adpcm(8, 8000, seed=1, samples_per_block=8))
+    at = blob.index(b"data") + 8
+    blob[at] = 9  # first block's predictor byte
+    with pytest.raises(ValueError, match="predictor index"):
+        M._decode_wav(bytes(blob))
+
+
+def test_decode_audio_adpcm_distributed(spark):
+    """wav_adpcm_media_table through the real mapInPandas path matches the
+    direct per-clip parse."""
+    import numpy as np
+
+    media = M.wav_adpcm_media_table(spark, n=6, n_frames=480, sample_rate=8000)
+    rows = {r["media_id"]: r for r in M.decode_audio(media).collect()}
+    for i in range(6):
+        fmtc, nch, spb = M.WAV_ADPCM_CYCLE[i % len(M.WAV_ADPCM_CYCLE)]
+        frames = M.adpcm_frames(480, spb)
+        enc = M.fake_wav_ima_adpcm if fmtc == 17 else M.fake_wav_ms_adpcm
+        _, _, _, s = M._decode_wav(
+            enc(frames, 8000, seed=i, n_channels=nch, samples_per_block=spb)
+        )
+        r = rows[i]
+        assert (r["sample_rate"], r["n_channels"], r["bits"]) == (8000, nch, 4)
+        assert r["n_frames"] == frames
+        assert r["peak_abs"] == int(np.abs(s).max())
+        assert r["mean_abs_e3"] == int(np.abs(s).sum()) * 1000 // len(s)

@@ -608,6 +608,120 @@ def image_hist_golden(
     return pa.Table.from_pylist(rows)
 
 
+def decode_wav_adpcm_golden(
+    n: int = 12, n_frames: int = 480, sample_rate: int = 8000
+) -> pa.Table:
+    """Expected output of mm_decode_wav_adpcm: IMA-ADPCM (format 17) and
+    MS-ADPCM (format 2) clips, recomputed from the LCG stream with an
+    INDEPENDENT simulation of both codecs' quantize+reconstruct loops
+    (the operator module is never imported here). Because ADPCM decode
+    state mirrors encode state exactly, the decoded stream equals the
+    encoder's reconstruction track — which this recomputes from spec
+    tables alone."""
+    cycle = ((17, 1, 249), (17, 2, 249), (17, 1, 9), (2, 1, 64), (2, 2, 64), (2, 2, 9))
+    ima_steps = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ]
+    ima_idx_adj = [-1, -1, -1, -1, 2, 4, 6, 8]
+    ms_c1 = [256, 512, 0, 192, 240, 460, 392]
+    ms_c2 = [0, -256, 0, 64, 0, -208, -232]
+    ms_adapt = [230, 230, 230, 230, 307, 409, 512, 614,
+                768, 614, 512, 409, 307, 230, 230, 230]
+
+    def clamp16(v):
+        return max(-32768, min(32767, v))
+
+    def ima_reconstruct(samples, spb):
+        """Per-channel IMA track: header restarts predictor at the true
+        sample each block; step index carries across blocks."""
+        out, idx = [], 0
+        for b0 in range(0, len(samples), spb):
+            pred = samples[b0]
+            out.append(pred)
+            for s in samples[b0 + 1 : b0 + spb]:
+                # quantize (truncating successive-halving search) ...
+                step, diff = ima_steps[idx], s - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                for bit in (4, 2, 1):
+                    if diff >= step:
+                        nib |= bit
+                        diff -= step
+                    step >>= 1
+                # ... then reconstruct with the same nibble
+                step = ima_steps[idx]
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                pred = clamp16(pred - d if nib & 8 else pred + d)
+                idx = max(0, min(88, idx + ima_idx_adj[nib & 7]))
+                out.append(pred)
+        return out
+
+    def ms_reconstruct(samples, spb, seed, ch):
+        """Per-channel MS track: each block seeds (s2, s1) with the first
+        two true samples, a deterministic delta, and a cycling predictor
+        index; the quantizer is truncate-toward-zero diff/delta."""
+        out = []
+        for bi, b0 in enumerate(range(0, len(samples), spb)):
+            c1, c2 = ms_c1[(bi + seed) % 7], ms_c2[(bi + seed) % 7]
+            delta = 16 + (b0 * 7919 + seed * 131 + ch * 17) % 1000
+            s2, s1 = samples[b0], samples[b0 + 1]
+            out += [s2, s1]
+            for s in samples[b0 + 2 : b0 + spb]:
+                pred = (s1 * c1 + s2 * c2) >> 8
+                code = max(-8, min(7, int((s - pred) / delta)))
+                nib = code & 0x0F
+                signed = nib - 16 if nib >= 8 else nib
+                samp = clamp16(pred + signed * delta)
+                delta = max(16, (ms_adapt[nib] * delta) >> 8)
+                s2, s1 = s1, samp
+                out.append(samp)
+        return out
+
+    rows = []
+    for mid in range(n):
+        fmtc, nch, spb = cycle[mid % len(cycle)]
+        frames = -(-n_frames // spb) * spb
+        x = (mid * 2654435761) % (2**32)
+        vals = []
+        for _ in range(frames * nch):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append((x % 65536) - 32768)
+        tracks = []
+        for c in range(nch):
+            ch_vals = vals[c::nch]
+            if fmtc == 17:
+                tracks.append(ima_reconstruct(ch_vals, spb))
+            else:
+                tracks.append(ms_reconstruct(ch_vals, spb, mid, c))
+        s = np.empty(frames * nch, dtype=np.int64)
+        for c in range(nch):
+            s[c::nch] = tracks[c]
+        rows.append(
+            {
+                "media_id": mid,
+                "sample_rate": sample_rate,
+                "n_channels": nch,
+                "bits": 4,
+                "n_frames": frames,
+                "peak_abs": int(np.abs(s).max()),
+                "mean_abs_e3": int(np.abs(s).sum()) * 1000 // len(s),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -629,6 +743,10 @@ def main() -> None:
     pq.write_table(
         decode_wav_g711_golden(),
         os.path.join(OUT_DIR, "mm_decode_wav_g711.parquet"),
+    )
+    pq.write_table(
+        decode_wav_adpcm_golden(),
+        os.path.join(OUT_DIR, "mm_decode_wav_adpcm.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
