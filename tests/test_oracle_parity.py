@@ -140,3 +140,46 @@ def test_query_matches_oracle(spark, name):
         f"{name}: value mismatch at sorted-row idx {mism}; "
         f"spark sample={[s_norm[i] for i in mism]}; duck sample={[d_norm[i] for i in mism]}"
     )
+
+
+def test_selfcheck_coverage_preflight():
+    """Structural version of the round-close full-sweep discipline
+    (VERDICT r9 #7): every registered query must hold a GREEN row
+    somewhere in the committed correctness-artifact union — the
+    full-registry sweep (CORRECTNESS_self.json), the merge-accumulating
+    partial file (CORRECTNESS_self_partial.json), or any driver round
+    file (CORRECTNESS_r*.json). A query that was registered but never
+    swept cannot ride to round close unchecked; the fix is one
+    `python selfcheck.py -k <name>` run (partials merge, never
+    clobber)."""
+    import glob
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    covered: set[str] = set()
+    paths = [root / "CORRECTNESS_self.json", root / "CORRECTNESS_self_partial.json"]
+    paths += [pathlib.Path(p) for p in glob.glob(str(root / "CORRECTNESS_r*.json"))]
+    for path in paths:
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or name == "__meta__":
+                continue
+            if row.get("err") not in (None, "no_oracle"):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("hash_match") is None and row.get("rows_match") is True
+            ) or row.get("err") == "no_oracle":
+                covered.add(name)
+    missing = sorted(set(registry.specs()) - covered)
+    assert not missing, (
+        f"{len(missing)} registered queries have no committed green "
+        f"selfcheck/driver row: {missing} — run "
+        f"`python selfcheck.py -k <name>` for each"
+    )
