@@ -1118,3 +1118,123 @@ def etl_incremental_join(spark, sf_dir):
         )
         .orderBy("nation_id")
     )
+
+
+@query(
+    "q47_spatial_grid_scaled",
+    oracle=f"""
+    WITH nn AS (
+      SELECT (SELECT count(*) FROM customer)
+             + (SELECT count(*) FROM supplier) AS npts
+    ),
+    kk AS (
+      SELECT min(k) AS k FROM range(0, 21) t(k), nn
+      WHERE npts <= 64 * (1::BIGINT << (2 * k))
+    ),
+    gg AS (SELECT (1::BIGINT << k) * {GRID_CELL} AS gn FROM kk),
+    cpts AS (
+      SELECT c_custkey AS cust_id,
+             (c_custkey * 7919) % gn AS cx,
+             (c_custkey * 104729) % gn AS cy
+      FROM customer, gg
+    ),
+    spts AS (
+      SELECT s_suppkey AS supp_id,
+             (s_suppkey * 12007) % gn AS sx,
+             (s_suppkey * 30011) % gn AS sy
+      FROM supplier, gg
+    ),
+    near AS (
+      SELECT c.cust_id, s.supp_id,
+             (c.cx - s.sx) * (c.cx - s.sx)
+             + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+      FROM cpts c JOIN spts s
+        ON (c.cx - s.sx) * (c.cx - s.sx)
+           + (c.cy - s.sy) * (c.cy - s.sy) <= {GRID_R2}
+    )
+    SELECT cust_id,
+           CAST(count(*) AS BIGINT) AS n_near,
+           CAST(min(struct_pack(d := d2, s := supp_id)).s AS BIGINT)
+             AS nearest_supp,
+           CAST(min(d2) AS BIGINT) AS nearest_d2
+    FROM near GROUP BY cust_id ORDER BY cust_id
+    """,
+    tags=("extended", "join", "scale"),
+)
+def q47_spatial_grid_scaled(spark, sf_dir):
+    """DENSITY-SCALED spatial radius join — q43's 100 TB path. q43's
+    fixed {GRID_N}x{GRID_N} plane SATURATES: 10x points on the same area
+    means 10x density on BOTH sides, so candidate pairs AND true matches
+    grow ~100x (measured at sf1: 50.5M candidates / 17.5M matches vs
+    sf0.1's 505k / 175k — the 9.93 sf1 ratio is intrinsic output
+    quadrature, not a plan defect). This twin grows the plane with the
+    corpus instead: cells-per-side = 2^k for the smallest k with
+    n_points <= 64 * 4^k (integer ladder, exact in both engines), so
+    per-cell occupancy — and with it candidates per point and matches
+    per point — stays bounded as N grows. Same K~sqrt(N) reasoning as
+    sim_semdedup_scaled (SEMDEDUP_K.json). The radius and cell edge stay
+    {GRID_CELL} (cell >= radius keeps the 3x3 probe exact); only the
+    plane, i.e. the coordinate modulus, scales. The two driver-side
+    count() calls are bounded scalar collects (the planning statistic a
+    catalog serves for free at scale). Oracle = the naive quadratic join
+    computing the identical ladder in SQL."""
+    cust_raw = catalog.table(spark, sf_dir, "customer")
+    supp_raw = catalog.table(spark, sf_dir, "supplier")
+    npts = cust_raw.count() + supp_raw.count()
+    k = 0
+    while npts > 64 * (4 ** k):
+        k += 1
+    cps, gn = 2 ** k, (2 ** k) * GRID_CELL
+    cust = cust_raw.select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") * 7919) % gn).alias("cx"),
+        ((F.col("c_custkey") * 104729) % gn).alias("cy"),
+    )
+    supp = supp_raw.select(
+        F.col("s_suppkey").alias("supp_id"),
+        ((F.col("s_suppkey") * 12007) % gn).alias("sx"),
+        ((F.col("s_suppkey") * 30011) % gn).alias("sy"),
+    )
+    c_cells = cust.withColumn(
+        "cell",
+        (F.col("cx") / GRID_CELL).cast("long") * cps
+        + (F.col("cy") / GRID_CELL).cast("long"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1),"
+        " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    # Probe cells CLAMPED to the plane: at small cps (<= 2) an
+    # out-of-range (dx, dy) replica's id (ax*cps + ay) ALIASES a real
+    # cell — (dx1-dx2)*cps == dy2-dy1 is satisfiable when cps <= 2 —
+    # which duplicated supplier replicas within one cell and
+    # double-counted pairs. In-range replicas can never collide (the
+    # id is a bijection on [0,cps)^2), and out-of-range ones can never
+    # match a customer cell, so the bounds filter is exactly the
+    # dedup. q43's fixed cps=16 cannot alias; this twin's ladder can.
+    ax = ((F.col("sx") / GRID_CELL).cast("long") + F.col("o.dx"))
+    ay = ((F.col("sy") / GRID_CELL).cast("long") + F.col("o.dy"))
+    s_cells = (
+        supp.select("*", offsets.alias("o"))
+        .filter((ax >= 0) & (ax < cps) & (ay >= 0) & (ay < cps))
+        .select("supp_id", "sx", "sy", (ax * cps + ay).alias("cell"))
+    )
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    near = (
+        c_cells.join(s_cells, "cell")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= GRID_R2)
+    )
+    return (
+        near.groupBy("cust_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min_by(
+                F.col("supp_id"), F.struct(F.col("d2"), F.col("supp_id"))
+            ).alias("nearest_supp"),
+            F.min("d2").cast("long").alias("nearest_d2"),
+        )
+        .orderBy("cust_id")
+    )

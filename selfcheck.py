@@ -143,7 +143,7 @@ def main() -> int:
     }
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=1)
-    print(f"\n{n_pass} pass, {n_fail} fail of {len(names)} -> {args.out}")
+    print(f"\n{n_pass} pass, {n_fail} fail of {n_pass + n_fail} -> {args.out}")
     return 1 if n_fail else 0
 
 
