@@ -511,6 +511,8 @@ def fake_png(
     ctype: int = 2,
     depth: int = 8,
     interlace: int = 0,
+    perturb: int = 0,
+    perturb_delta: int = 32,
 ) -> bytes:
     """Deterministic REAL PNG file from the shared LCG value stream. Rows
     cycle through all five filter types (y % 5) so every unfilter branch
@@ -540,6 +542,17 @@ def fake_png(
     else:
         nch = _PNG_NCH[ctype]
         vals = netpbm_values(width, height * nch * bps, seed, 1, 255)
+    if perturb:
+        # Near-duplicate fixture hook: bump `perturb` deterministic
+        # positions by perturb_delta (mod 256) — a "re-encoded with
+        # slight noise" copy for perceptual-hash tests. Grayscale only
+        # so the luma change is direct and analyzable.
+        if ctype != 0 or depth != 8:
+            raise ValueError("fake_png: perturb needs ctype=0 depth=8")
+        vals = list(vals)
+        for j in range(perturb):
+            pos = (seed * 48271 + j * 40503 + 12345) % len(vals)
+            vals[pos] = (vals[pos] + perturb_delta) % 256
     bpp = nch * bps
     stride = width * bpp
     rowsrc = [vals[y * stride : (y + 1) * stride] for y in range(height)]
@@ -1555,5 +1568,81 @@ def wav_adpcm_media_table(
                 ),
                 ("audio/wav", f"mem://wavadpcm/{i}.wav"),
             )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def wht_phash64(pix: bytes, w: int, h: int) -> int:
+    """Integer perceptual hash of a decoded grayscale image: box-average
+    to an 8x8 grid (exact truncating integer mean — w and h must be
+    multiples of 8), 2-D Walsh-Hadamard transform (pure integer
+    butterflies — chosen over the classic DCT precisely because every
+    step is exact integer arithmetic, so Spark, the golden tool, and any
+    reimplementation agree bit-for-bit), then one bit per AC coefficient:
+    1 iff the coefficient strictly exceeds the median of the 63 AC
+    coefficients (the 32nd smallest — an exact integer order statistic).
+    Returns a 63-bit int (bit i = AC coefficient i in row-major order)."""
+    if w % 8 or h % 8:
+        raise ValueError(f"wht_phash64 needs w,h multiples of 8 (got {w}x{h})")
+    a = np.frombuffer(pix, dtype=np.uint8).astype(np.int64).reshape(h, w)
+    bh, bw = h // 8, w // 8
+    # exact integer box means: sum within each cell, truncate-divide
+    g = a.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+
+    def wht8(v: np.ndarray) -> np.ndarray:
+        v = v.copy()
+        size = 1
+        while size < 8:
+            for i in range(0, 8, size * 2):
+                for j in range(i, i + size):
+                    x, y = v[j], v[j + size]
+                    v[j], v[j + size] = x + y, x - y
+            size *= 2
+        return v
+
+    rows = np.stack([wht8(g[r]) for r in range(8)])
+    full = np.stack([wht8(rows[:, c]) for c in range(8)], axis=1)
+    flat = [int(full[r, c]) for r in range(8) for c in range(8)][1:]  # drop DC
+    med = sorted(flat)[31]
+    return sum(1 << i for i, v in enumerate(flat) if v > med)
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual-hash pass: binary image -> 63-bit integer WHT hash,
+    through the same Arrow-batched mapInPandas boundary as the decoders
+    (real codec decode per blob, tiny fixed-size output per row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, pix = _decode_one(bytes(content))
+                rows.append((mid, wht_phash64(pix, w, h)))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.select("media_id", "content").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_media_table(
+    spark, n_base: int = 12, width: int = 24, height: int = 24
+) -> DataFrame:
+    """Near-duplicate image fixture: n_base grayscale PNG originals
+    (media_id 0..n_base-1) plus one perturbed re-encode of each
+    (media_id 100+i: 3 pixels bumped by 32 — the 'same image, slight
+    noise' class a perceptual dedup pass must catch)."""
+    rows = []
+    for i in range(n_base):
+        rows.append(
+            (i, "image", bytearray(fake_png(width, height, seed=i, ctype=0)),
+             ("image/png", f"mem://phash/{i}.png"))
+        )
+        rows.append(
+            (100 + i, "image",
+             bytearray(fake_png(width, height, seed=i, ctype=0,
+                                perturb=3, perturb_delta=32)),
+             ("image/png", f"mem://phash/{100 + i}.png"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

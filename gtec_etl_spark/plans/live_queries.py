@@ -778,6 +778,77 @@ def mm_decode_wav_g711(spark, sf_dir):
 
 
 @query(
+    "mm_phash_neardup",
+    oracle=f"""
+    WITH ph AS (SELECT media_id, phash FROM '{_MM_GOLDEN}/mm_phash.parquet'),
+    bands AS (
+      SELECT media_id, phash, b, (phash >> (8 * b)) & 255 AS band
+      FROM ph, range(0, 8) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+             a.phash AS a_hash, b.phash AS b_hash
+      FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band
+       AND a.media_id < b.media_id
+    )
+    SELECT a_id, b_id, CAST(bit_count(xor(a_hash, b_hash)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(a_hash, b_hash)) <= 6
+    ORDER BY a_id, b_id
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_phash_neardup(spark, sf_dir):
+    """PERCEPTUAL near-duplicate image detection — the multimodal twin of
+    dedup_simhash: every image (real PNGs through the real decoder) maps
+    to a 63-bit integer Walsh-Hadamard perceptual hash
+    (operators/multimodal.py:wht_phash64 — WHT instead of the classic
+    DCT so every step is EXACT integer arithmetic and both engines agree
+    bit-for-bit), candidate pairs come from an 8x8-bit BAND equi-join
+    (pigeonhole: any pair within Hamming distance 7 shares at least one
+    of 8 bands — never all-pairs, the same blocking shape that makes
+    SimHash scale), and candidates verify with bit_count(xor) <= 6.
+    Fixture: 12 grayscale originals + 12 slightly-perturbed re-encodes;
+    the measured margin is dup pairs <= 6 vs cross pairs >= 16. At 100 TB
+    the band join shuffles on (band_idx, band_value) — bounded bucket
+    sizes for non-adversarial corpora; wider bands + multiprobe are the
+    pressure valve. Oracle = the same banded SQL over a golden hash
+    table recomputed with an INDEPENDENT Hadamard-matrix-product
+    implementation (tools/make_multimodal_golden.py:decode_phash_golden
+    — never imports the operator module)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.phash_media_table(spark, n_base=12, width=24, height=24)
+    ph = M.image_phash(media)
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(8)])).alias("b"),
+    ).withColumn("band", F.expr("(phash >> (8 * b)) & 255"))
+    a = bands.select(
+        F.col("media_id").alias("a_id"), F.col("phash").alias("a_hash"),
+        "b", "band",
+    )
+    bb = bands.select(
+        F.col("media_id").alias("b_id"), F.col("phash").alias("b_hash"),
+        "b", "band",
+    )
+    cand = (
+        a.join(bb, ["b", "band"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(a_hash ^ b_hash)"))
+        .filter(F.col("hamming") <= 6)
+        .select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@query(
     "mm_decode_wav_adpcm",
     oracle=f"""
     SELECT media_id, sample_rate, n_channels, bits, n_frames,

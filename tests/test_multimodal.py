@@ -711,3 +711,28 @@ def test_decode_audio_adpcm_distributed(spark):
         assert r["n_frames"] == frames
         assert r["peak_abs"] == int(np.abs(s).max())
         assert r["mean_abs_e3"] == int(np.abs(s).sum()) * 1000 // len(s)
+
+
+def test_wht_phash_properties():
+    """pHash invariants: 63-bit range, exact separation on the fixture
+    classes (perturbed copies within Hamming 6, distinct originals far),
+    and dimension validation."""
+    hashes = []
+    for i in range(6):
+        _, _, p0 = M._decode_png(M.fake_png(24, 24, seed=i, ctype=0))
+        _, _, p1 = M._decode_png(
+            M.fake_png(24, 24, seed=i, ctype=0, perturb=3, perturb_delta=32)
+        )
+        h0 = M.wht_phash64(p0, 24, 24)
+        h1 = M.wht_phash64(p1, 24, 24)
+        assert 0 <= h0 < (1 << 63) and 0 <= h1 < (1 << 63)
+        assert bin(h0 ^ h1).count("1") <= 6
+        hashes.append(h0)
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert bin(hashes[i] ^ hashes[j]).count("1") > 6
+    with pytest.raises(ValueError, match="multiples of 8"):
+        M.wht_phash64(b"\x00" * 100, 10, 10)
+    # perturb hook is grayscale-only
+    with pytest.raises(ValueError, match="perturb"):
+        M.fake_png(24, 24, seed=0, ctype=2, perturb=1)

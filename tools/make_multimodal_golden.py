@@ -722,6 +722,52 @@ def decode_wav_adpcm_golden(
     return pa.Table.from_pylist(rows)
 
 
+def decode_phash_golden(n_base: int = 12, width: int = 24, height: int = 24) -> pa.Table:
+    """Expected (media_id, phash) for mm_phash_neardup's fixture:
+    recomputed from the LCG gray stream with an INDEPENDENT plain-Python
+    pipeline — perturbation, 8x8 truncating box means, recursive-definition
+    Walsh-Hadamard (H_2n = [[H_n, H_n], [H_n, -H_n]] expanded as an
+    explicit sign-matrix product rather than in-place butterflies), and
+    the strict-median sign bits. The operator module is never imported."""
+    # explicit 8x8 Hadamard sign matrix from the recursive definition
+    had = [[1]]
+    while len(had) < 8:
+        had = [r + r for r in had] + [r + [-x for x in r] for r in had]
+
+    def phash(vals):
+        cells = []
+        bh, bw = height // 8, width // 8
+        for r in range(8):
+            for c in range(8):
+                s = 0
+                for y in range(r * bh, (r + 1) * bh):
+                    for x in range(c * bw, (c + 1) * bw):
+                        s += vals[y * width + x]
+                cells.append(s // (bh * bw))
+        # 2-D WHT as H @ G @ H^T (H symmetric) in exact int arithmetic
+        g = [cells[r * 8 : r * 8 + 8] for r in range(8)]
+        hg = [[sum(had[i][k] * g[k][j] for k in range(8)) for j in range(8)] for i in range(8)]
+        full = [[sum(hg[i][k] * had[k][j] for k in range(8)) for j in range(8)] for i in range(8)]
+        flat = [full[r][c] for r in range(8) for c in range(8)][1:]
+        med = sorted(flat)[31]
+        return sum(1 << i for i, v in enumerate(flat) if v > med)
+
+    rows = []
+    for i in range(n_base):
+        x = (i * 2654435761) % (2**32)
+        vals = []
+        for _ in range(width * height):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append(x % 256)
+        rows.append({"media_id": i, "phash": phash(vals)})
+        pv = list(vals)
+        for j in range(3):
+            pos = (i * 48271 + j * 40503 + 12345) % len(pv)
+            pv[pos] = (pv[pos] + 32) % 256
+        rows.append({"media_id": 100 + i, "phash": phash(pv)})
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["media_id"]))
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -747,6 +793,10 @@ def main() -> None:
     pq.write_table(
         decode_wav_adpcm_golden(),
         os.path.join(OUT_DIR, "mm_decode_wav_adpcm.parquet"),
+    )
+    pq.write_table(
+        decode_phash_golden(),
+        os.path.join(OUT_DIR, "mm_phash.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
