@@ -351,3 +351,85 @@ def prof_join_cardinality(spark, sf_dir):
             ),
         )
     )
+
+
+def _skew_branch_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS key_col,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           CAST((SELECT sum(c) FROM (
+                 SELECT c FROM (SELECT count(*) AS c FROM {table}
+                                GROUP BY {col})
+                 ORDER BY c DESC LIMIT 10)) AS BIGINT) AS top10_rows,
+           CAST(1000 * max(c) * count(*) // sum(c) AS BIGINT)
+             AS skew_ratio_e3
+    FROM (SELECT count(*) AS c FROM {table} GROUP BY {col})
+    """
+
+
+@query(
+    "prof_skew_report",
+    oracle=" UNION ALL ".join(
+        _skew_branch_sql(t, c)
+        for t, c in (
+            ("lineitem", "l_orderkey"),
+            ("lineitem", "l_partkey"),
+            ("lineitem", "l_suppkey"),
+            ("orders", "o_custkey"),
+        )
+    )
+    + " ORDER BY key_col",
+    tags=("profile", "scale"),
+)
+def prof_skew_report(spark, sf_dir):
+    """JOIN-KEY SKEW report — the planning statistic behind the
+    salt-or-not decision (q39_salted_skew_join / SKEW_BENCH.json): for
+    each candidate join key, rows, distinct keys, the hottest key's row
+    count, the top-10 keys' total, and a scale-free skew ratio
+    (hottest/average, x1000 — 1000 = perfectly uniform). A key whose
+    ratio stays near 1000 sort-merge-joins cleanly at 100 TB; a
+    four-digit ratio says salt it or lean on AQE skew handling. One
+    keyed count per key column (map-side partials), then a 10-row
+    top-K and four 1-row aggregates — nothing corpus-sized leaves the
+    executors. All-integer output, exact in both engines."""
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    orders = catalog.table(spark, sf_dir, "orders")
+
+    def branch(df, col):
+        per_key = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        top10 = (
+            per_key.orderBy(F.col("c").desc(), F.col(col))
+            .limit(10)
+            .agg(F.sum("c").cast("long").alias("top10_rows"))
+        )
+        return (
+            per_key.agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max("c").cast("long").alias("max_key_rows"),
+            )
+            .crossJoin(top10)  # 1-row x 1-row
+            .select(
+                F.lit(col).alias("key_col"),
+                "n_rows",
+                "n_distinct",
+                "max_key_rows",
+                "top10_rows",
+                F.floor(
+                    F.col("max_key_rows") * 1000 * F.col("n_distinct")
+                    / F.col("n_rows")
+                )
+                .cast("long")
+                .alias("skew_ratio_e3"),
+            )
+        )
+
+    out = (
+        branch(lineitem, "l_orderkey")
+        .unionByName(branch(lineitem, "l_partkey"))
+        .unionByName(branch(lineitem, "l_suppkey"))
+        .unionByName(branch(orders, "o_custkey"))
+    )
+    return out.orderBy("key_col")

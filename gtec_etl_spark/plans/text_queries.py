@@ -2421,3 +2421,113 @@ def text_ccnet_bucket(spark, sf_dir):
             "max_fam_e3",
         )
     )
+
+
+@query(
+    "text_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+             AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(100 * sum(len(regexp_extract_all(text, '{TOKEN_RE}')))
+                // sum(len(string_split(text, ' '))) AS BIGINT)
+             AS tokens_per_100_words,
+           CAST(1000 * sum(n_chars)
+                // sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+             AS chars_per_token_e3
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("text",),
+)
+def text_fertility_by_lang(spark, sf_dir):
+    """Tokenizer FERTILITY per language — the statistic that decides
+    whether a tokenizer under-serves a language (high tokens-per-word =
+    the vocabulary fragments that language's words; high chars-per-token
+    = the opposite). Reuses text_token_stats' BPE-ish segmentation,
+    grouped by the corpus language tag; ratios are truncating BIGINT
+    divisions on corpus-level sums (exact cross-engine, no float
+    averaging). One scan, one keyed agg over a 5-value key domain —
+    map-side partials make the shuffle rows-per-language regardless of
+    corpus size."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    toks = F.sum(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    )
+    words = F.sum(F.size(F.split(F.col("text"), " ")))
+    chars = F.sum("n_chars")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            toks.cast("long").alias("total_tokens"),
+            words.cast("long").alias("total_words"),
+            chars.cast("long").alias("total_chars"),
+            F.floor(toks * 100 / words).cast("long").alias("tokens_per_100_words"),
+            F.floor(chars * 1000 / toks).cast("long").alias("chars_per_token_e3"),
+        )
+        .orderBy("lang")
+    )
+
+
+N_SHARDS = 16
+
+
+@query(
+    "text_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT epoch, doc_id, n_chars,
+             {hash60_sql("concat(CAST(doc_id AS VARCHAR), ':', CAST(epoch AS VARCHAR))")} AS skey
+      FROM documents, (SELECT unnest([0, 1]) AS epoch)
+    )
+    SELECT epoch, skey % {N_SHARDS} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(skey) AS first_key,
+           CAST(min_by(doc_id, skey) AS BIGINT) AS first_doc
+    FROM keyed GROUP BY epoch, shard ORDER BY epoch, shard
+    """,
+    tags=("text", "sample"),
+)
+def text_global_shuffle(spark, sf_dir):
+    """Deterministic EPOCH SHUFFLE — how a training pipeline randomizes
+    corpus order without a global sort-by-random: every (doc, epoch)
+    pair hashes to a reshuffle key; shard = key % {N_SHARDS} is the
+    training shard, and ordering within a shard by key is the epoch's
+    document order. Different epochs give independent permutations from
+    the same pure function — resumable, replayable, no stored
+    permutation table, no driver state. The output summarizes each
+    (epoch, shard): size, payload bytes, and the first (key, doc) as an
+    order fingerprint, so the oracle checks the permutation itself, not
+    just shard balance. At 100 TB this is one map pass + one keyed agg;
+    the actual shard WRITE would be partitionBy(epoch, shard) with
+    sortWithinPartitions(key) — no global shuffle beyond the bucketing
+    exchange."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    ).withColumn(
+        "skey",
+        hash60(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ),
+    )
+    return (
+        keyed.groupBy("epoch", (F.col("skey") % N_SHARDS).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("skey").alias("first_key"),
+            F.min_by("doc_id", "skey").cast("long").alias("first_doc"),
+        )
+        .orderBy("epoch", "shard")
+    )
