@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, content binary,"
@@ -875,6 +876,8 @@ def fake_wav(
     bits: int = 16,
     n_channels: int = 1,
     audio_format: int = 1,
+    perturb: int = 0,
+    perturb_delta: int = 0,
 ) -> bytes:
     """Deterministic REAL RIFF/WAVE PCM file — canonical 44-byte header +
     interleaved little-endian raster. Any WAV reader (including stdlib
@@ -896,6 +899,17 @@ def fake_wav(
         bits = 8
     else:
         vals = wav_values(n_frames * n_channels, seed, bits)
+        if perturb:
+            # Near-duplicate fixture hook (16-bit PCM only): bump
+            # `perturb` deterministic sample positions by perturb_delta
+            # with int16 wraparound — the 'same clip, slight noise'
+            # class an audio fingerprint must still match.
+            if bits != 16 or audio_format != 1:
+                raise ValueError("fake_wav: perturb needs 16-bit PCM")
+            vals = list(vals)
+            for j in range(perturb):
+                pos = (seed * 48271 + j * 40503 + 12345) % len(vals)
+                vals[pos] = ((vals[pos] + 32768 + perturb_delta) % 65536) - 32768
         if bits == 16:
             raster = b"".join(struct.pack("<h", v) for v in vals)
         elif bits == 24:
@@ -1646,3 +1660,110 @@ def phash_media_table(
              ("image/png", f"mem://phash/{100 + i}.png"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _wht_pow2(v: list) -> list:
+    """In-place integer Walsh-Hadamard butterflies for any power-of-two
+    length (natural/Hadamard coefficient order)."""
+    v = list(v)
+    size = 1
+    while size < len(v):
+        for i in range(0, len(v), size * 2):
+            for j in range(i, i + size):
+                x, y = v[j], v[j + size]
+                v[j], v[j + size] = x + y, x - y
+        size *= 2
+    return v
+
+
+def audio_wht_fp64(samples: np.ndarray, n_win: int = 64) -> int:
+    """Integer audio fingerprint: the clip's absolute-amplitude envelope
+    over n_win equal windows (truncating any tail), integer WHT, then one
+    bit per AC coefficient — 1 iff strictly above the AC median. The
+    audio analogue of wht_phash64: exact integer arithmetic end to end,
+    robust to small sample-level noise because each window sums hundreds
+    of samples."""
+    n = len(samples) // n_win * n_win
+    if n < n_win:
+        raise ValueError(f"audio_wht_fp64 needs >= {n_win} samples")
+    env = np.abs(samples[:n].astype(np.int64)).reshape(n_win, -1).sum(axis=1)
+    coefs = _wht_pow2([int(x) for x in env])[1:]
+    med = sorted(coefs)[(len(coefs) - 1) // 2]
+    return sum(1 << i for i, v in enumerate(coefs) if v > med)
+
+
+AUDIO_FP_SCHEMA = "media_id long, phash long"
+
+
+def audio_fingerprint(media: DataFrame, n_win: int = 64) -> DataFrame:
+    """Fingerprint pass: binary audio -> 63-bit integer envelope hash,
+    through the same Arrow-batched mapInPandas boundary as decode_audio
+    (real WAV decode per clip, tiny fixed-size output per row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, _, _, s = _decode_wav(bytes(content))
+                rows.append((mid, audio_wht_fp64(s, n_win)))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.select("media_id", "content").mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def audio_fp_media_table(
+    spark, n_base: int = 12, n_frames: int = 1920, sample_rate: int = 8000
+) -> DataFrame:
+    """Near-duplicate audio fixture: n_base 16-bit mono originals
+    (media_id 0..n_base-1) plus one noise-perturbed re-encode of each
+    (media_id 100+i: 16 samples bumped by 3000)."""
+    rows = []
+    for i in range(n_base):
+        rows.append(
+            (i, "audio", bytearray(fake_wav(n_frames, sample_rate, seed=i)),
+             ("audio/wav", f"mem://afp/{i}.wav"))
+        )
+        rows.append(
+            (100 + i, "audio",
+             bytearray(fake_wav(n_frames, sample_rate, seed=i,
+                                perturb=16, perturb_delta=3000)),
+             ("audio/wav", f"mem://afp/{100 + i}.wav"))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame, n_bands: int, band_bits: int, max_hamming: int
+) -> DataFrame:
+    """Banded Hamming near-dup join over a (media_id, phash) frame:
+    candidates come from an equi-join on any shared (band index, band
+    value) — pigeonhole guarantees every pair within Hamming distance
+    n_bands-1 is generated, and the join NEVER goes all-pairs — then
+    exact bit_count(xor) verification. Returns (a_id, b_id, hamming),
+    a_id < b_id. The shared blocking engine behind mm_phash_neardup and
+    mm_audio_fingerprint."""
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("b"),
+    ).withColumn("band", F.expr(f"(phash >> ({band_bits} * b)) & {mask}"))
+    a = bands.select(
+        F.col("media_id").alias("a_id"), F.col("phash").alias("a_hash"),
+        "b", "band",
+    )
+    bb = bands.select(
+        F.col("media_id").alias("b_id"), F.col("phash").alias("b_hash"),
+        "b", "band",
+    )
+    cand = (
+        a.join(bb, ["b", "band"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(a_hash ^ b_hash)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+    )

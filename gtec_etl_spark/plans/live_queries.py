@@ -777,13 +777,14 @@ def mm_decode_wav_g711(spark, sf_dir):
     return M.decode_audio(media).orderBy("media_id")
 
 
-@query(
-    "mm_phash_neardup",
-    oracle=f"""
-    WITH ph AS (SELECT media_id, phash FROM '{_MM_GOLDEN}/mm_phash.parquet'),
+def _banded_hamming_oracle(src: str, n_bands: int, band_bits: int, max_h: int) -> str:
+    """DuckDB twin of operators/multimodal.py:banded_hamming_pairs."""
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH ph AS (SELECT media_id, phash FROM {src}),
     bands AS (
-      SELECT media_id, phash, b, (phash >> (8 * b)) & 255 AS band
-      FROM ph, range(0, 8) t(b)
+      SELECT media_id, phash, b, (phash >> ({band_bits} * b)) & {mask} AS band
+      FROM ph, range(0, {n_bands}) t(b)
     ),
     cand AS (
       SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
@@ -792,9 +793,14 @@ def mm_decode_wav_g711(spark, sf_dir):
        AND a.media_id < b.media_id
     )
     SELECT a_id, b_id, CAST(bit_count(xor(a_hash, b_hash)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(a_hash, b_hash)) <= 6
+    FROM cand WHERE bit_count(xor(a_hash, b_hash)) <= {max_h}
     ORDER BY a_id, b_id
-    """,
+    """
+
+
+@query(
+    "mm_phash_neardup",
+    oracle=_banded_hamming_oracle(f"'{_MM_GOLDEN}/mm_phash.parquet'", 8, 8, 6),
     tags=("multimodal", "dedup"),
 )
 def mm_phash_neardup(spark, sf_dir):
@@ -820,32 +826,37 @@ def mm_phash_neardup(spark, sf_dir):
     from gtec_etl_spark.operators import multimodal as M
 
     media = M.phash_media_table(spark, n_base=12, width=24, height=24)
-    ph = M.image_phash(media)
-    bands = ph.select(
-        "media_id",
-        "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(8)])).alias("b"),
-    ).withColumn("band", F.expr("(phash >> (8 * b)) & 255"))
-    a = bands.select(
-        F.col("media_id").alias("a_id"), F.col("phash").alias("a_hash"),
-        "b", "band",
-    )
-    bb = bands.select(
-        F.col("media_id").alias("b_id"), F.col("phash").alias("b_hash"),
-        "b", "band",
-    )
-    cand = (
-        a.join(bb, ["b", "band"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_hash", "b_hash")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(a_hash ^ b_hash)"))
-        .filter(F.col("hamming") <= 6)
-        .select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
-        .orderBy("a_id", "b_id")
-    )
+    return M.banded_hamming_pairs(
+        M.image_phash(media), n_bands=8, band_bits=8, max_hamming=6
+    ).orderBy("a_id", "b_id")
+
+
+@query(
+    "mm_audio_fingerprint",
+    oracle=_banded_hamming_oracle(f"'{_MM_GOLDEN}/mm_audio_fp.parquet'", 8, 8, 6),
+    tags=("multimodal", "dedup"),
+)
+def mm_audio_fingerprint(spark, sf_dir):
+    """AUDIO near-duplicate detection — the acoustic sibling of
+    mm_phash_neardup: every clip (real WAVs through the real chunk-walker
+    decoder) maps to a 63-bit integer envelope fingerprint
+    (operators/multimodal.py:audio_wht_fp64 — absolute-amplitude sums
+    over 64 windows, integer Walsh-Hadamard, strict-median sign bits;
+    window sums over hundreds of samples make it robust to sample-level
+    noise while staying EXACT integer arithmetic), then the same shared
+    8x8-bit banded Hamming join (banded_hamming_pairs — pigeonhole
+    covers distance <= 7, never all-pairs) verifies bit_count(xor) <= 6.
+    Fixture: 12 originals + 12 noise-perturbed re-encodes; measured
+    margin dup <= 2 vs cross >= 20. Oracle = the same banded SQL over a
+    golden fingerprint table recomputed with an INDEPENDENT
+    Hadamard-matrix-product implementation
+    (tools/make_multimodal_golden.py:audio_fp_golden)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.audio_fp_media_table(spark, n_base=12, n_frames=1920)
+    return M.banded_hamming_pairs(
+        M.audio_fingerprint(media), n_bands=8, band_bits=8, max_hamming=6
+    ).orderBy("a_id", "b_id")
 
 
 @query(

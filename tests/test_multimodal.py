@@ -736,3 +736,27 @@ def test_wht_phash_properties():
     # perturb hook is grayscale-only
     with pytest.raises(ValueError, match="perturb"):
         M.fake_png(24, 24, seed=0, ctype=2, perturb=1)
+
+
+def test_audio_wht_fp_properties():
+    """Audio fingerprint invariants: perturbed copies within Hamming 6,
+    distinct clips far, minimum-length validation."""
+    import numpy as np
+
+    hashes = []
+    for i in range(6):
+        _, _, _, s0 = M._decode_wav(M.fake_wav(1920, 8000, seed=i))
+        _, _, _, s1 = M._decode_wav(
+            M.fake_wav(1920, 8000, seed=i, perturb=16, perturb_delta=3000)
+        )
+        h0, h1 = M.audio_wht_fp64(s0), M.audio_wht_fp64(s1)
+        assert 0 <= h0 < (1 << 63)
+        assert bin(h0 ^ h1).count("1") <= 6
+        hashes.append(h0)
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert bin(hashes[i] ^ hashes[j]).count("1") > 6
+    with pytest.raises(ValueError, match="samples"):
+        M.audio_wht_fp64(np.zeros(10, dtype=np.int64))
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        M.fake_wav(64, 8000, seed=0, bits=8, perturb=1)

@@ -768,6 +768,40 @@ def decode_phash_golden(n_base: int = 12, width: int = 24, height: int = 24) -> 
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["media_id"]))
 
 
+def audio_fp_golden(n_base: int = 12, n_frames: int = 1920, n_win: int = 64) -> pa.Table:
+    """Expected (media_id, phash) for mm_audio_fingerprint's fixture:
+    recomputed from the 16-bit LCG sample stream with an INDEPENDENT
+    plain-Python pipeline — int16-wraparound perturbation, absolute-
+    amplitude window sums, and a size-64 Hadamard MATRIX product (the
+    recursive sign-matrix definition, not butterflies). The operator
+    module is never imported."""
+    had = [[1]]
+    while len(had) < n_win:
+        had = [r + r for r in had] + [r + [-x for x in r] for r in had]
+
+    def fp(vals):
+        per = len(vals) // n_win
+        env = [sum(abs(v) for v in vals[w * per : (w + 1) * per]) for w in range(n_win)]
+        coefs = [sum(had[i][k] * env[k] for k in range(n_win)) for i in range(n_win)][1:]
+        med = sorted(coefs)[(len(coefs) - 1) // 2]
+        return sum(1 << i for i, v in enumerate(coefs) if v > med)
+
+    rows = []
+    for i in range(n_base):
+        x = (i * 2654435761) % (2**32)
+        vals = []
+        for _ in range(n_frames):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append((x % 65536) - 32768)
+        rows.append({"media_id": i, "phash": fp(vals)})
+        pv = list(vals)
+        for j in range(16):
+            pos = (i * 48271 + j * 40503 + 12345) % len(pv)
+            pv[pos] = ((pv[pos] + 32768 + 3000) % 65536) - 32768
+        rows.append({"media_id": 100 + i, "phash": fp(pv)})
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["media_id"]))
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -797,6 +831,10 @@ def main() -> None:
     pq.write_table(
         decode_phash_golden(),
         os.path.join(OUT_DIR, "mm_phash.parquet"),
+    )
+    pq.write_table(
+        audio_fp_golden(),
+        os.path.join(OUT_DIR, "mm_audio_fp.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
