@@ -2531,3 +2531,138 @@ def text_global_shuffle(spark, sf_dir):
         )
         .orderBy("epoch", "shard")
     )
+
+
+@query(
+    "text_doremi_reweight",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             (400 * n_stop + 300 * n_distinct
+              + 3 * least(n_words, 100) * n_words) * 10 // n_words AS q
+      FROM (
+        SELECT source,
+               len(string_split(lower(text), ' ')) AS n_words,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains({_EN_STOP_SQL}, x))) AS n_stop,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+        FROM documents
+      )
+    ),
+    per AS (
+      SELECT source, count(*) AS n_docs, sum(q) AS q_sum FROM scored GROUP BY source
+    ),
+    w0 AS (
+      SELECT source, n_docs,
+             1000000 * n_docs // (SELECT sum(n_docs) FROM per) AS w0_ppm,
+             q_sum // n_docs AS mean_quality,
+             (SELECT sum(q_sum) FROM per) // (SELECT sum(n_docs) FROM per)
+               AS corpus_mean
+      FROM per
+    ),
+    boosted AS (
+      SELECT source, n_docs, w0_ppm, mean_quality,
+             least(1000 * greatest(corpus_mean - mean_quality, 0)
+                   // greatest(corpus_mean, 1), 500) AS boost_bp
+      FROM w0
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(w0_ppm AS BIGINT) AS w0_ppm,
+           CAST(mean_quality AS BIGINT) AS mean_quality,
+           CAST(boost_bp AS BIGINT) AS boost_bp,
+           CAST(1000000 * (w0_ppm * (1000 + boost_bp))
+                // (SELECT sum(w0_ppm * (1000 + boost_bp)) FROM boosted)
+                AS BIGINT) AS new_w_ppm
+    FROM boosted ORDER BY source
+    """,
+    tags=("text", "pipeline"),
+)
+def text_doremi_reweight(spark, sf_dir):
+    """One DOMAIN-REWEIGHTING step (the DoReMi shape: upweight domains
+    whose proxy loss runs above the corpus average, renormalize): domain
+    = source, proxy loss = the corpus quality score inverted (a domain
+    whose mean quality lags the corpus mean is the 'hard' domain the
+    reference-vs-proxy excess loss would flag). The exponential update is
+    LINEARIZED to a bounded multiplicative boost (w * (1000 + boost_bp),
+    boost capped at 500 bp) so every step is exact integer arithmetic —
+    no exp/ln cross-engine drift — and the renormalization is truncating
+    ppm division. Plan: one pass over the corpus computing per-domain
+    (count, quality sum) map-side partials; everything after operates on
+    the domain-count-sized frame via unbounded windows (the
+    mixture_rebalance lesson — no second corpus scan, no driver state).
+    Iterating = feeding new_w_ppm back as w0 next round (the constant-
+    iteration unroll discipline would oracle K steps as chained CTEs)."""
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    scored = docs.select(
+        "source",
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    ).select(
+        "source",
+        F.expr(
+            "CAST((400 * n_stop + 300 * n_distinct"
+            " + 3 * least(n_words, 100) * n_words) * 10 div n_words AS BIGINT)"
+        ).alias("q"),
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("q").alias("q_sum")
+    )
+    w = Window.partitionBy()
+    boosted = per.select(
+        "source",
+        "n_docs",
+        F.expr("1000000 * n_docs").alias("_w0_num"),
+        F.sum("n_docs").over(w).alias("_n_all"),
+        F.expr("q_sum div n_docs").alias("mean_quality"),
+        F.sum("q_sum").over(w).alias("_q_all"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr("_w0_num div _n_all").cast("long").alias("w0_ppm"),
+        F.col("mean_quality").cast("long").alias("mean_quality"),
+        # integer div, never double-divide-then-floor: a quotient just
+        # below an integer can double-round UP across the boundary
+        F.expr("_q_all div _n_all").cast("long").alias("_corpus_mean"),
+    ).select(
+        "source",
+        "n_docs",
+        "w0_ppm",
+        "mean_quality",
+        F.least(
+            F.expr(
+                "1000 * greatest(_corpus_mean - mean_quality, 0)"
+                " div greatest(_corpus_mean, 1)"
+            ),
+            F.lit(500),
+        ).cast("long").alias("boost_bp"),
+    )
+    return boosted.select(
+        "source",
+        "n_docs",
+        "w0_ppm",
+        "mean_quality",
+        "boost_bp",
+        F.expr("w0_ppm * (1000 + boost_bp)").alias("_raw"),
+    ).select(
+        "source",
+        "n_docs",
+        "w0_ppm",
+        "mean_quality",
+        "boost_bp",
+        F.expr("CAST(1000000 * _raw AS BIGINT)").alias("_raw_num"),
+        F.sum("_raw").over(Window.partitionBy()).alias("_raw_sum"),
+    ).select(
+        "source",
+        "n_docs",
+        "w0_ppm",
+        "mean_quality",
+        "boost_bp",
+        F.expr("_raw_num div _raw_sum").cast("long").alias("new_w_ppm"),
+    ).orderBy("source")
