@@ -2440,7 +2440,7 @@ def text_ccnet_bucket(spark, sf_dir):
              AS chars_per_token_e3
     FROM documents GROUP BY lang ORDER BY lang
     """,
-    tags=("text",),
+    tags=("text", "scale"),
 )
 def text_fertility_by_lang(spark, sf_dir):
     """Tokenizer FERTILITY per language — the statistic that decides
@@ -2490,7 +2490,7 @@ N_SHARDS = 16
            CAST(min_by(doc_id, skey) AS BIGINT) AS first_doc
     FROM keyed GROUP BY epoch, shard ORDER BY epoch, shard
     """,
-    tags=("text", "sample"),
+    tags=("text", "sample", "scale"),
 )
 def text_global_shuffle(spark, sf_dir):
     """Deterministic EPOCH SHUFFLE — how a training pipeline randomizes
@@ -2575,7 +2575,7 @@ def text_global_shuffle(spark, sf_dir):
                 AS BIGINT) AS new_w_ppm
     FROM boosted ORDER BY source
     """,
-    tags=("text", "pipeline"),
+    tags=("text", "pipeline", "scale"),
 )
 def text_doremi_reweight(spark, sf_dir):
     """One DOMAIN-REWEIGHTING step (the DoReMi shape: upweight domains
