@@ -1767,3 +1767,146 @@ def banded_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def fake_avi_mjpeg(
+    n_frames: int, width: int, height: int, fps: int, seed: int
+) -> bytes:
+    """Deterministic REAL AVI container (RIFF 'AVI ') carrying an MJPEG
+    video stream: hdrl (avih + strl/strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER) then a movi LIST with one '00dc' chunk per frame,
+    each a REAL baseline grayscale JPEG (operators/jpeg.py:fake_jpeg,
+    q=1) of the per-frame LCG plane (frame f uses seed*1000+f). fps is
+    carried as strh dwRate/dwScale = fps/1 (exact) and avih
+    dwMicroSecPerFrame = 1000000//fps (truncated, informational). No
+    idx1 index — streaming parsers (and ours) walk movi directly."""
+    from gtec_etl_spark.operators.jpeg import fake_jpeg
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    frames = [
+        fake_jpeg(width, height, seed=seed * 1000 + f, gray=True, q=1)
+        for f in range(n_frames)
+    ]
+    avih = struct.pack(
+        "<14I", 1000000 // fps, 0, 0, 0, n_frames, 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames, 0, 0)
+        + struct.pack("<I", 0)  # sampleSize
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi(content: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Pure-stdlib RIFF/AVI walker -> (width, height, fps, n_frames,
+    frame payloads). Walks the chunk tree (unknown chunks skipped, word
+    alignment honored — the same contract as the WAV walker), reads
+    dimensions + declared frame count from avih, exact fps from the
+    first 'vids' strh's dwRate/dwScale, and collects '00dc'/'00db'
+    bodies from the movi LIST in stream order."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    avih = strh = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal avih, strh
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            ln = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"avih" and avih is None:
+                avih = body
+            elif tag == b"strh" and strh is None and body[:4] == b"vids":
+                strh = body
+            elif tag in (b"00dc", b"00db"):
+                frames.append(body)
+
+    walk(content[12:])
+    if avih is None or strh is None:
+        raise ValueError("AVI missing avih/strh headers")
+    n_declared = int.from_bytes(avih[16:20], "little")
+    width, height = struct.unpack("<II", avih[32:40])
+    scale, rate = struct.unpack("<II", strh[20:28])
+    if scale == 0:
+        raise ValueError("AVI strh dwScale is zero")
+    return width, height, rate // scale, n_declared, frames
+
+
+VIDEO_SCHEMA = (
+    "media_id long, width long, height long, fps long,"
+    " n_frames long, frames_decoded long, total_luma long"
+)
+
+
+def decode_video(media: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """Video decode pass: AVI/MJPEG binary -> container metadata + exact
+    integer luma total over every frame_stride-th frame, each decoded by
+    the REAL baseline JPEG decoder — the decode/frame-sample pattern a
+    video pipeline runs (sample, don't exhaust). One Arrow round-trip;
+    per-row output is fixed-size regardless of clip length."""
+    from gtec_etl_spark.operators.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, n_frames, frames = _decode_avi(bytes(content))
+                total = 0
+                decoded = 0
+                for fr in frames[::frame_stride]:
+                    fw, fh, gray = decode_jpeg(fr)
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"frame {decoded}: {fw}x{fh} != container {w}x{h}"
+                        )
+                    total += int(np.frombuffer(gray, dtype=np.uint8).astype(np.int64).sum())
+                    decoded += 1
+                rows.append((mid, w, h, fps, n_frames, decoded, total))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "fps",
+                    "n_frames", "frames_decoded", "total_luma",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, VIDEO_SCHEMA)
+
+
+# (n_frames, width, height, fps) AVI layout cycle
+AVI_CYCLE = ((6, 16, 16, 10), (4, 24, 16, 15), (8, 16, 8, 30), (5, 8, 8, 25))
+
+
+def avi_media_table(spark, n: int = 8) -> DataFrame:
+    """Deterministic media table of REAL AVI/MJPEG payloads cycling
+    through AVI_CYCLE layouts by media_id."""
+    rows = []
+    for i in range(n):
+        nf, w, h, fps = AVI_CYCLE[i % len(AVI_CYCLE)]
+        rows.append(
+            (i, "video", bytearray(fake_avi_mjpeg(nf, w, h, fps, seed=i)),
+             ("video/x-msvideo", f"mem://avi/{i}.avi"))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

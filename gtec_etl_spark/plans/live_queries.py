@@ -860,6 +860,35 @@ def mm_audio_fingerprint(spark, sf_dir):
 
 
 @query(
+    "mm_decode_video_mjpeg",
+    oracle=f"""
+    SELECT media_id, width, height, fps, n_frames, frames_decoded, total_luma
+    FROM '{_MM_GOLDEN}/mm_video.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_video_mjpeg(spark, sf_dir):
+    """VIDEO through the media pipeline with a REAL container + REAL
+    codec: deterministic AVI files (RIFF 'AVI ' — hdrl/avih/strh/strf
+    headers, movi LIST of '00dc' chunks) each carrying an MJPEG stream
+    of real baseline JPEGs, parsed by a pure-stdlib chunk-tree walker
+    (operators/multimodal.py:_decode_avi — the WAV walker's contract
+    lifted to nested LISTs) with every SECOND frame decoded by the
+    proven JPEG decoder (frame-sample, don't exhaust — the video
+    pipeline's first rule). Exact fps from strh dwRate/dwScale; emitted
+    stats are exact integers (declared vs decoded frame counts, total
+    luma over sampled frames). Oracle = golden recomputing the sampled
+    frames with the codec-free flat-quant DCT math — byte-exact against
+    the real entropy decode (tools/make_multimodal_golden.py:
+    decode_video_golden)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.avi_media_table(spark, n=8)
+    return M.decode_video(media, frame_stride=2).orderBy("media_id")
+
+
+@query(
     "mm_decode_wav_adpcm",
     oracle=f"""
     SELECT media_id, sample_rate, n_channels, bits, n_frames,

@@ -760,3 +760,48 @@ def test_audio_wht_fp_properties():
         M.audio_wht_fp64(np.zeros(10, dtype=np.int64))
     with pytest.raises(ValueError, match="16-bit PCM"):
         M.fake_wav(64, 8000, seed=0, bits=8, perturb=1)
+
+
+def test_avi_mjpeg_container_contract():
+    """AVI walker: exact header round-trip, frame collection in order,
+    word alignment with odd-length JPEG frames, malformed rejection."""
+    for i, (nf, w, h, fps) in enumerate(M.AVI_CYCLE):
+        blob = M.fake_avi_mjpeg(nf, w, h, fps, seed=i)
+        pw, ph, pfps, pn, frames = M._decode_avi(blob)
+        assert (pw, ph, pfps, pn, len(frames)) == (w, h, fps, nf, nf)
+        # every frame is a standalone JPEG the real decoder opens
+        from gtec_etl_spark.operators.jpeg import decode_jpeg
+
+        for fr in frames:
+            fw, fh, gray = decode_jpeg(fr)
+            assert (fw, fh) == (w, h) and len(gray) == w * h
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        M._decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # headerless movi-only file is malformed
+    import struct as st
+
+    movi = b"LIST" + st.pack("<I", 4) + b"movi"
+    with pytest.raises(ValueError, match="avih/strh"):
+        M._decode_avi(b"RIFF" + st.pack("<I", 4 + len(movi)) + b"AVI " + movi)
+
+
+def test_decode_video_distributed(spark):
+    """decode_video through the real mapInPandas path matches the direct
+    per-clip parse+decode, including the frame stride."""
+    import numpy as np
+
+    from gtec_etl_spark.operators.jpeg import decode_jpeg
+
+    media = M.avi_media_table(spark, n=4)
+    rows = {r["media_id"]: r for r in M.decode_video(media, frame_stride=2).collect()}
+    for i in range(4):
+        nf, w, h, fps = M.AVI_CYCLE[i]
+        _, _, _, _, frames = M._decode_avi(M.fake_avi_mjpeg(nf, w, h, fps, seed=i))
+        total = sum(
+            int(np.frombuffer(decode_jpeg(fr)[2], dtype=np.uint8).astype(np.int64).sum())
+            for fr in frames[::2]
+        )
+        r = rows[i]
+        assert (r["width"], r["height"], r["fps"], r["n_frames"]) == (w, h, fps, nf)
+        assert r["frames_decoded"] == len(frames[::2])
+        assert r["total_luma"] == total

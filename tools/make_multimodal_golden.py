@@ -802,6 +802,54 @@ def audio_fp_golden(n_base: int = 12, n_frames: int = 1920, n_win: int = 64) -> 
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["media_id"]))
 
 
+def decode_video_golden(n: int = 8, frame_stride: int = 2) -> pa.Table:
+    """Expected output of mm_decode_video_mjpeg: AVI/MJPEG clips whose
+    sampled frames are recomputed with the SAME codec-free flat-quant
+    DCT math as decode_jpeg_golden (LCG luma plane -> orthonormal DCT ->
+    rint quant round-trip -> IDCT -> rint+clip) — the container walker,
+    JPEG bitstream, and operator module are never touched. Frame f of
+    video mid uses LCG seed mid*1000+f; the cycle mirrors AVI_CYCLE."""
+    cycle = ((6, 16, 16, 10), (4, 24, 16, 15), (8, 16, 8, 30), (5, 8, 8, 25))
+    T = np.zeros((8, 8))
+    for k in range(8):
+        for m in range(8):
+            c = (1 / np.sqrt(2)) if k == 0 else 1.0
+            T[k, m] = 0.5 * c * np.cos((2 * m + 1) * k * np.pi / 16)
+    qtab = np.full((8, 8), 2.0)
+    qtab[0, 0] = 1.0
+
+    def lcg(seed: int, count: int) -> np.ndarray:
+        x = (seed * 2654435761) % (2**32)
+        vals = np.empty(count, dtype=np.float64)
+        for i in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % 256
+        return vals
+
+    rows = []
+    for mid in range(n):
+        nf, w, h, fps = cycle[mid % 4]
+        total = decoded = 0
+        for f in range(0, nf, frame_stride):
+            plane = lcg(mid * 1000 + f, w * h).reshape(h, w)
+            recon = np.zeros_like(plane)
+            for r0 in range(0, h, 8):
+                for c0 in range(0, w, 8):
+                    blk = plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    coef = np.rint((T @ blk @ T.T) / qtab) * qtab
+                    recon[r0 : r0 + 8, c0 : c0 + 8] = T.T @ coef @ T + 128.0
+            g = np.clip(np.rint(recon), 0, 255).astype(np.uint8)
+            total += int(g.astype(np.int64).sum())
+            decoded += 1
+        rows.append(
+            {
+                "media_id": mid, "width": w, "height": h, "fps": fps,
+                "n_frames": nf, "frames_decoded": decoded, "total_luma": total,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -835,6 +883,10 @@ def main() -> None:
     pq.write_table(
         audio_fp_golden(),
         os.path.join(OUT_DIR, "mm_audio_fp.parquet"),
+    )
+    pq.write_table(
+        decode_video_golden(),
+        os.path.join(OUT_DIR, "mm_video.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
