@@ -188,6 +188,8 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         return _decode_netpbm(content)
     if content[:8] == PNG_MAGIC:
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     if content[:2] == b"\xff\xd8":
         from gtec_etl_spark.operators.jpeg import decode_jpeg
 
@@ -1908,5 +1910,266 @@ def avi_media_table(spark, n: int = 8) -> DataFrame:
         rows.append(
             (i, "video", bytearray(fake_avi_mjpeg(nf, w, h, fps, seed=i)),
              ("video/x-msvideo", f"mem://avi/{i}.avi"))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) — header/palette/descriptor walker + variable-width LZW in
+# pure stdlib. GIF's LZW is LOSSLESS, so the golden recomputes the index
+# stream straight from the LCG without touching the codec.
+# ---------------------------------------------------------------------------
+
+
+class _LSBBitWriter:
+    """LSB-first bit packer (GIF's LZW bit order — the opposite of
+    JPEG's MSB-first entropy stream)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: list, mcs: int) -> bytes:
+    """GIF LZW: emit an initial clear code, build the string table
+    greedily, grow the code width when next_free exceeds the current
+    width's range ((1 << width) + 1 — the encoder-side twin of the
+    decoder's next_free == 1 << width rule, offset by one because the
+    decoder's table add lags the encoder's by one code), and finish with
+    EOI. Dictionary resets at 4096 entries (the 12-bit ceiling)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = _LSBBitWriter()
+    width = mcs + 1
+    table: dict = {}
+    next_free = eoi + 1
+    bw.write(clear, width)
+    w = (indices[0],)
+    for k in indices[1:]:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        bw.write(w[0] if len(w) == 1 else table[w], width)
+        table[wk] = next_free
+        next_free += 1
+        if next_free == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_free == 4096:  # 12-bit ceiling: code 4095 was the last
+            bw.write(clear, width)  # decoder reads this at width 12 too
+            table.clear()
+            next_free = eoi + 1
+            width = mcs + 1
+        w = (k,)
+    bw.write(w[0] if len(w) == 1 else table[w], width)
+    bw.write(eoi, width)
+    return bw.finish()
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list:
+    """GIF LZW decode: variable width starting at mcs+1, clear/EOI
+    handling, the KwKwK self-reference case, width growth at
+    next_free == 1 << width (capped at 12 bits)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = nbits = acc = 0
+    width = mcs + 1
+    table: dict = {}
+    next_free = eoi + 1
+    prev = None
+    out: list = []
+
+    def read() -> int:
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    roots = {i: (i,) for i in range(1 << mcs)}
+    while len(out) < n_expected:
+        code = read()
+        if code == clear:
+            table.clear()
+            next_free = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            raise ValueError(
+                f"GIF LZW EOI after {len(out)} of {n_expected} pixels"
+            )
+        if prev is None:
+            if code >= (1 << mcs):
+                raise ValueError(f"GIF LZW first code {code} is not a root")
+            out.extend(roots[code])
+            prev = roots[code]
+            continue
+        if code < (1 << mcs):
+            entry = roots[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_free:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table ({next_free})")
+        if next_free < 4096:  # 12-bit ceiling: freeze adds until clear
+            table[next_free] = prev + entry[:1]
+            next_free += 1
+            if next_free == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_expected]
+
+
+GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+GIF_PAL_SEED_OFF = 7717
+
+
+def fake_gif(
+    width: int, height: int, seed: int, depth: int = 8, interlace: bool = False
+) -> bytes:
+    """Deterministic REAL GIF89a: logical screen descriptor, 2^depth-entry
+    global color table from the LCG palette stream, a graphic-control
+    extension block (exercises the extension-skipping walker), one image
+    descriptor (optionally interlaced), and the REAL variable-width LZW
+    encoding of the LCG index stream."""
+    if depth not in (2, 4, 8):
+        raise ValueError("fake_gif: depth must be 2, 4, or 8")
+    n_colors = 1 << depth
+    pal = bytes(netpbm_values(n_colors, 1, seed + GIF_PAL_SEED_OFF, 3, 255))
+    idx = netpbm_values(width, height, seed, 1, n_colors - 1)
+    if interlace:
+        rows = [idx[y * width : (y + 1) * width] for y in range(height)]
+        ordered: list = []
+        for start, step in GIF_INTERLACE_PASSES:
+            for y in range(start, height, step):
+                ordered.extend(rows[y])
+        idx = ordered
+    mcs = max(2, depth)
+    lzw = _gif_lzw_encode(idx, mcs)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        blockb = lzw[i : i + 255]
+        sub.append(len(blockb))
+        sub += blockb
+    sub.append(0)
+    lsd_flags = 0x80 | ((depth - 1) << 4) | (depth - 1)  # global table, size bits
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # ext the walker must skip
+    img_flags = 0x40 if interlace else 0
+    desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, img_flags)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, lsd_flags, 0, 0)
+        + pal
+        + gce
+        + desc
+        + bytes([mcs])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
+def _decode_gif(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib GIF decoder -> (width, height, BT.601 luma bytes of
+    the FIRST image). Walks the block list (extensions skipped by their
+    sub-block chains), honors local color tables over the global one,
+    de-interlaces the four-pass row order, and inflates the real
+    variable-width LZW stream (_gif_lzw_decode)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = content[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(content):
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(content) and content[pos]:
+                pos += 1 + content[pos]
+            if pos >= len(content):
+                raise ValueError("GIF block stream truncated")
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        _l, _t, iw, ih, iflags = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        pal = gpal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = content[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = content[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(content) and content[pos]:
+            ln = content[pos]
+            lzw += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(content):
+            raise ValueError("GIF block stream truncated")
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), mcs, iw * ih)
+        if iflags & 0x40:  # de-interlace
+            rows: list = [None] * ih
+            src = 0
+            for start, step in GIF_INTERLACE_PASSES:
+                for y in range(start, ih, step):
+                    rows[y] = idx[src * iw : (src + 1) * iw]
+                    src += 1
+            idx = [v for row in rows for v in row]
+        arr = np.array(idx, dtype=np.int64)
+        pal_arr = np.frombuffer(pal, dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+        rgb = pal_arr[arr]
+        luma = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        return iw, ih, bytes(luma.astype(np.uint8))
+    raise ValueError("GIF contains no image block")
+
+
+# (depth, interlace) GIF layout cycle
+GIF_CYCLE = ((8, False), (8, True), (4, False), (2, True))
+
+
+def gif_media_table(
+    spark, n: int = 12, width: int = 23, height: int = 19
+) -> DataFrame:
+    """Deterministic media table of REAL GIF payloads cycling through
+    GIF_CYCLE (depth, interlace) layouts by media_id."""
+    rows = []
+    for i in range(n):
+        depth, il = GIF_CYCLE[i % len(GIF_CYCLE)]
+        rows.append(
+            (i, "image",
+             bytearray(fake_gif(width, height, seed=i, depth=depth, interlace=il)),
+             ("image/gif", f"mem://gif/{i}.gif"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

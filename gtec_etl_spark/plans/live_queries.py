@@ -860,6 +860,52 @@ def mm_audio_fingerprint(spark, sf_dir):
 
 
 @query(
+    "mm_decode_gif",
+    oracle=f"""
+    SELECT media_id, depth, interlace, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_gif.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_gif(spark, sf_dir):
+    """GIF through the media pipeline with a REAL dependency-free codec:
+    deterministic GIF89a files (logical screen descriptor, 2^depth global
+    color tables, a graphic-control extension the walker must skip,
+    four-pass interlacing) inflated by a pure-stdlib variable-width LZW
+    decoder (operators/multimodal.py:_gif_lzw_decode — clear/EOI codes,
+    the KwKwK self-reference, width growth at next_free == 1 << width,
+    12-bit table freeze) and projected through the palette to the same
+    BT.601 luma as the PNG path. The fixture encoder is a REAL LZW
+    compressor (dictionary growth + 12-bit reset, hand-checked against a
+    spec vector in tests). Oracle = golden recomputing palette + indices
+    straight from the LCG (LZW is lossless, so the coder is exactly what
+    the hash gate tests)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.gif_media_table(spark, n=12, width=23, height=19)
+    cyc = M.GIF_CYCLE
+    depths = F.array(*[F.lit(d) for d, _ in cyc])
+    ils = F.array(*[F.lit(int(i)) for _, i in cyc])
+    pos = (F.col("media_id") % len(cyc) + 1).cast("int")
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            F.element_at(depths, pos).cast("long").alias("depth"),
+            F.element_at(ils, pos).cast("long").alias("interlace"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_decode_video_mjpeg",
     oracle=f"""
     SELECT media_id, width, height, fps, n_frames, frames_decoded, total_luma

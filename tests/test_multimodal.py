@@ -805,3 +805,65 @@ def test_decode_video_distributed(spark):
         assert (r["width"], r["height"], r["fps"], r["n_frames"]) == (w, h, fps, nf)
         assert r["frames_decoded"] == len(frames[::2])
         assert r["total_luma"] == total
+
+
+def test_gif_lzw_spec_vectors():
+    """Hand-derived GIF LZW vectors: [1,1,1] at mcs=2 encodes as codes
+    4(clear),1,6(KwKwK),5(EOI) in 3-bit LSB-first packing; decoder
+    inverts, including width growth and the 12-bit ceiling on a
+    high-entropy stream."""
+    import hashlib
+
+    enc = M._gif_lzw_encode([1, 1, 1], 2)
+    bits = [(byte >> b) & 1 for byte in enc for b in range(8)]
+
+    def take(w):
+        nonlocal bits
+        v = sum(bit << i for i, bit in enumerate(bits[:w]))
+        bits = bits[w:]
+        return v
+
+    assert [take(3) for _ in range(4)] == [4, 1, 6, 5]
+    assert M._gif_lzw_decode(enc, 2, 3) == [1, 1, 1]
+    # 12-bit dictionary ceiling: ~12000 md5 bytes force >4096 entries,
+    # an encoder reset, and a decoder freeze — round-trip stays exact
+    idx, i = [], 0
+    while len(idx) < 12000:
+        idx.extend(hashlib.md5(str(i).encode()).digest())
+        i += 1
+    idx = list(idx[:12000])
+    assert M._gif_lzw_decode(M._gif_lzw_encode(idx, 8), 8, len(idx)) == idx
+
+
+def test_gif_roundtrip_all_layouts():
+    """Every GIF_CYCLE layout decodes to the exact LCG palette+index luma
+    (LZW lossless), including interlaced row order; malformed and
+    truncated streams raise descriptively."""
+    import numpy as np
+
+    for depth, il in M.GIF_CYCLE:
+        for seed in (0, 5):
+            w, h = 23, 19
+            dw, dh, luma = M._decode_gif(M.fake_gif(w, h, seed, depth=depth, interlace=il))
+            assert (dw, dh) == (w, h)
+            n = 1 << depth
+            pal = np.array(
+                M.netpbm_values(n, 1, seed + M.GIF_PAL_SEED_OFF, 3, 255),
+                dtype=np.int64,
+            ).reshape(-1, 3)
+            idx = np.array(M.netpbm_values(w, h, seed, 1, n - 1), dtype=np.int64)
+            rgb = pal[idx]
+            want = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+            assert (np.frombuffer(luma, dtype=np.uint8).astype(np.int64) == want).all()
+    with pytest.raises(ValueError, match="not a GIF"):
+        M._decode_gif(b"GIF90a" + b"\x00" * 16)
+    blob = bytearray(M.fake_gif(23, 19, 0))
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_gif(bytes(blob[:-5]))  # cut trailer + sub-block tail
+
+
+def test_gif_through_spark_pipeline(spark):
+    media = M.gif_media_table(spark, n=8, width=23, height=19)
+    rows = M.decode_image(media).orderBy("media_id").collect()
+    assert [r["width"] for r in rows] == [23] * 8
+    assert [r["n_pixels"] for r in rows] == [23 * 19] * 8

@@ -850,6 +850,48 @@ def decode_video_golden(n: int = 8, frame_stride: int = 2) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def decode_gif_golden(n: int = 12, width: int = 23, height: int = 19) -> pa.Table:
+    """Expected output of mm_decode_gif. GIF's LZW is LOSSLESS, so the
+    golden recomputes palette + index streams straight from the LCG and
+    projects BT.601 luma — the LZW coder, interlace reorder, and block
+    walker are exactly what the query tests and are never touched here.
+    Cycle mirrors GIF_CYCLE: (8, plain), (8, interlaced), (4, plain),
+    (2, interlaced)."""
+    cycle = ((8, 0), (8, 1), (4, 0), (2, 1))
+    pal_off = 7717
+
+    def lcg_vals(count, seed, maxval):
+        x = (seed * 2654435761) % (2**32)
+        out = []
+        for _ in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            out.append(x % (maxval + 1))
+        return out
+
+    rows = []
+    for mid in range(n):
+        depth, il = cycle[mid % 4]
+        ncol = 1 << depth
+        pal = np.array(
+            lcg_vals(ncol * 3, mid + pal_off, 255), dtype=np.int64
+        ).reshape(-1, 3)
+        idx = np.array(lcg_vals(width * height, mid, ncol - 1), dtype=np.int64)
+        rgb = pal[idx]
+        luma = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        rows.append(
+            {
+                "media_id": mid,
+                "depth": depth,
+                "interlace": il,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(luma.mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -887,6 +929,10 @@ def main() -> None:
     pq.write_table(
         decode_video_golden(),
         os.path.join(OUT_DIR, "mm_video.parquet"),
+    )
+    pq.write_table(
+        decode_gif_golden(),
+        os.path.join(OUT_DIR, "mm_decode_gif.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
