@@ -213,7 +213,8 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             "decoding this format requires PIL (not in this container); "
             "supported without dependencies: FAKEIMG, netpbm P2/P3/P5/P6, "
-            "PNG (1/2/4/8/16-bit, Adam7), baseline/progressive/12-bit JPEG"
+            "PNG (1/2/4/8/16-bit, Adam7), GIF (LZW, interlace), "
+            "baseline/progressive/12-bit JPEG"
         )
 
 
