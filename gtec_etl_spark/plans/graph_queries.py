@@ -490,3 +490,108 @@ def graph_triangle_estimate(spark, sf_dir):
             "est_triangles"
         ),
     )
+
+
+LP_ITERS = 3
+
+
+def _label_prop_oracle(iters: int) -> str:
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT 2 * ck AS src, 2 * sk + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * sk + 1 AS src, 2 * ck AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+      FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+      GROUP BY e.src, l.label
+    ),
+    l{i} AS (
+      SELECT node,
+             min(struct_pack(nc := -cnt, l := label)).l AS label
+      FROM c{i} GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers
+    FROM l{iters} GROUP BY label ORDER BY community"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_label_prop_oracle(LP_ITERS), tags=("graph", "scale"))
+def graph_label_propagation(spark, sf_dir):
+    """COMMUNITY DETECTION by synchronous label propagation over the
+    bipartite purchase graph ({LP_ITERS} fixed iterations): every node
+    starts as its own label (numeric encoding: customer ck -> 2ck,
+    supplier sk -> 2sk+1); each round a node adopts the most frequent
+    label among its neighbors, ties broken toward the SMALLEST label —
+    both rules exact integer argmax, so the unrolled-CTE DuckDB oracle
+    reproduces the trajectory bit-for-bit (the constant-iteration
+    discipline of graph_pagerank/text_bpe_train; sync updates on a
+    bipartite graph can oscillate, which is immaterial here precisely
+    because the iteration count is pinned). Output: one row per
+    surviving community (size, smallest member, customer count).
+
+    Scale: per round one keyed join edges><labels (hash-partitioned on
+    the join key) + two keyed aggs; labels localCheckpoint each round so
+    the lineage stays flat; edges built once and reused. Never collects
+    a node- or edge-proportional structure to the driver."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(LP_ITERS):
+        counts = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.groupBy(F.col("n").alias("node"))
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+        )
+        .orderBy("community")
+    )
