@@ -190,6 +190,8 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     if content[:2] == b"\xff\xd8":
         from gtec_etl_spark.operators.jpeg import decode_jpeg
 
@@ -213,7 +215,7 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             "decoding this format requires PIL (not in this container); "
             "supported without dependencies: FAKEIMG, netpbm P2/P3/P5/P6, "
-            "PNG (1/2/4/8/16-bit, Adam7), GIF (LZW, interlace), "
+            "PNG (1/2/4/8/16-bit, Adam7), GIF (LZW, interlace), BMP (8/24-bit), "
             "baseline/progressive/12-bit JPEG"
         )
 
@@ -2172,5 +2174,105 @@ def gif_media_table(
             (i, "image",
              bytearray(fake_gif(width, height, seed=i, depth=depth, interlace=il)),
              ("image/gif", f"mem://gif/{i}.gif"))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def fake_bmp(width: int, height: int, seed: int, bpp: int = 24) -> bytes:
+    """Deterministic REAL Windows BMP (BITMAPINFOHEADER): bottom-up rows
+    padded to 4 bytes, 24-bit BGR or 8-bit indexed with a 256-entry BGRA
+    palette — the two classic uncompressed layouts."""
+    if bpp not in (8, 24):
+        raise ValueError("fake_bmp: bpp must be 8 or 24")
+    if bpp == 24:
+        vals = netpbm_values(width, height * 3, seed, 1, 255)
+        rows = []
+        for y in range(height):
+            row = bytearray()
+            for x in range(width):
+                r, g, b = vals[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                row += bytes((b, g, r))  # BMP stores BGR
+            row += b"\x00" * ((-len(row)) % 4)
+            rows.append(bytes(row))
+        palette = b""
+    else:
+        pal = netpbm_values(256, 1, seed + GIF_PAL_SEED_OFF, 3, 255)
+        palette = b"".join(
+            bytes((pal[3 * i + 2], pal[3 * i + 1], pal[3 * i], 0))
+            for i in range(256)
+        )
+        idx = netpbm_values(width, height, seed, 1, 255)
+        rows = []
+        for y in range(height):
+            row = bytes(idx[y * width : (y + 1) * width])
+            rows.append(row + b"\x00" * ((-len(row)) % 4))
+    raster = b"".join(reversed(rows))  # bottom-up
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(raster), 0, 0,
+        256 if bpp == 8 else 0, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(raster), 0, 0, offset)
+    return hdr + info + palette + raster
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib BMP decoder -> (width, height, BT.601 luma). Handles
+    the BITMAPINFOHEADER uncompressed layouts: 8-bit indexed (BGRA
+    palette) and 24-bit BGR, bottom-up or top-down row order, 4-byte row
+    padding."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    offset = int.from_bytes(content[10:14], "little")
+    hsize = int.from_bytes(content[14:18], "little")
+    if hsize < 40:
+        raise NotImplementedError(f"BMP header size {hsize} (core/OS2) unsupported")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression}: only uncompressed"
+            " 8-bit indexed and 24-bit BGR are inside the boundary"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * bpp // 8 + 3) & ~3
+    raster = content[offset : offset + stride * height]
+    if len(raster) < stride * height:
+        raise ValueError("BMP raster truncated")
+    rows = [raster[y * stride : y * stride + width * bpp // 8] for y in range(height)]
+    if not top_down:
+        rows.reverse()
+    flat = np.frombuffer(b"".join(rows), dtype=np.uint8).astype(np.int64)
+    if bpp == 24:
+        bgr = flat.reshape(-1, 3)
+        luma = (299 * bgr[:, 2] + 587 * bgr[:, 1] + 114 * bgr[:, 0]) // 1000
+    else:
+        ncol = (offset - 14 - hsize) // 4
+        pal = np.frombuffer(
+            content[14 + hsize : 14 + hsize + 4 * ncol], dtype=np.uint8
+        ).astype(np.int64).reshape(-1, 4)
+        bgr = pal[flat]
+        luma = (299 * bgr[:, 2] + 587 * bgr[:, 1] + 114 * bgr[:, 0]) // 1000
+    return width, height, bytes(luma.astype(np.uint8))
+
+
+# (bpp,) BMP layout cycle
+BMP_CYCLE = (24, 8)
+
+
+def bmp_media_table(
+    spark, n: int = 8, width: int = 23, height: int = 19
+) -> DataFrame:
+    """Deterministic media table of REAL BMP payloads alternating 24-bit
+    BGR and 8-bit indexed layouts by media_id."""
+    rows = []
+    for i in range(n):
+        bpp = BMP_CYCLE[i % len(BMP_CYCLE)]
+        rows.append(
+            (i, "image", bytearray(fake_bmp(width, height, seed=i, bpp=bpp)),
+             ("image/bmp", f"mem://bmp/{i}.bmp"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -860,6 +860,44 @@ def mm_audio_fingerprint(spark, sf_dir):
 
 
 @query(
+    "mm_decode_bmp",
+    oracle=f"""
+    SELECT media_id, bpp, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_bmp.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_bmp(spark, sf_dir):
+    """BMP through the media pipeline: the classic uncompressed Windows
+    layouts (24-bit BGR and 8-bit indexed with a BGRA palette),
+    bottom-up row order, 4-byte stride padding, decoded by a pure-stdlib
+    walker (operators/multimodal.py:_decode_bmp) to the shared BT.601
+    luma. Oracle = golden recomputing the LCG BGR/palette streams
+    (uncompressed = lossless, so the header/stride logic is exactly what
+    the hash gate tests)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.bmp_media_table(spark, n=8, width=23, height=19)
+    bpps = F.array(*[F.lit(b) for b in M.BMP_CYCLE])
+    pos = (F.col("media_id") % len(M.BMP_CYCLE) + 1).cast("int")
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            F.element_at(bpps, pos).cast("long").alias("bpp"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_decode_gif",
     oracle=f"""
     SELECT media_id, depth, interlace, width, height, n_pixels, mean_intensity

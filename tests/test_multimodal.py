@@ -867,3 +867,30 @@ def test_gif_through_spark_pipeline(spark):
     rows = M.decode_image(media).orderBy("media_id").collect()
     assert [r["width"] for r in rows] == [23] * 8
     assert [r["n_pixels"] for r in rows] == [23 * 19] * 8
+
+
+def test_bmp_roundtrip_and_boundary():
+    """BMP: both layouts decode to the exact LCG luma, top-down rows
+    honored, RLE/16-bit rejected as NotImplementedError."""
+    import numpy as np
+    import struct as st
+
+    for bpp in M.BMP_CYCLE:
+        blob = M.fake_bmp(23, 19, seed=2, bpp=bpp)
+        dw, dh, luma = M._decode_bmp(blob)
+        assert (dw, dh) == (23, 19) and len(luma) == 23 * 19
+    # top-down variant (negative height) must equal reversed bottom-up
+    blob = bytearray(M.fake_bmp(8, 4, seed=1, bpp=24))
+    _, _, up = M._decode_bmp(bytes(blob))
+    blob[22:26] = st.pack("<i", -4)
+    offset = int.from_bytes(blob[10:14], "little")
+    stride = (8 * 3 + 3) & ~3
+    rows = [bytes(blob[offset + y * stride : offset + (y + 1) * stride]) for y in range(4)]
+    blob[offset:] = b"".join(reversed(rows))
+    _, _, down = M._decode_bmp(bytes(blob))
+    assert up == down
+    # compressed/16-bit out of boundary
+    bad = bytearray(M.fake_bmp(8, 4, seed=1, bpp=24))
+    bad[30:34] = st.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        M._decode_bmp(bytes(bad))

@@ -892,6 +892,49 @@ def decode_gif_golden(n: int = 12, width: int = 23, height: int = 19) -> pa.Tabl
     return pa.Table.from_pylist(rows)
 
 
+def decode_bmp_golden(n: int = 8, width: int = 23, height: int = 19) -> pa.Table:
+    """Expected output of mm_decode_bmp: uncompressed BMP is lossless,
+    so the golden recomputes the LCG BGR/palette streams and projects
+    BT.601 luma — the header/stride/bottom-up walker is what the query
+    tests. Cycle mirrors BMP_CYCLE: 24-bit, 8-bit indexed."""
+    pal_off = 7717
+
+    def lcg_vals(count, seed, maxval):
+        x = (seed * 2654435761) % (2**32)
+        out = []
+        for _ in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            out.append(x % (maxval + 1))
+        return out
+
+    rows = []
+    for mid in range(n):
+        bpp = (24, 8)[mid % 2]
+        if bpp == 24:
+            vals = np.array(
+                lcg_vals(width * height * 3, mid, 255), dtype=np.int64
+            ).reshape(-1, 3)
+            luma = (299 * vals[:, 0] + 587 * vals[:, 1] + 114 * vals[:, 2]) // 1000
+        else:
+            pal = np.array(
+                lcg_vals(256 * 3, mid + pal_off, 255), dtype=np.int64
+            ).reshape(-1, 3)
+            idx = np.array(lcg_vals(width * height, mid, 255), dtype=np.int64)
+            rgb = pal[idx]
+            luma = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        rows.append(
+            {
+                "media_id": mid,
+                "bpp": bpp,
+                "width": width,
+                "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(luma.mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -933,6 +976,10 @@ def main() -> None:
     pq.write_table(
         decode_gif_golden(),
         os.path.join(OUT_DIR, "mm_decode_gif.parquet"),
+    )
+    pq.write_table(
+        decode_bmp_golden(),
+        os.path.join(OUT_DIR, "mm_decode_bmp.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
