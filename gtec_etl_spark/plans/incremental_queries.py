@@ -367,3 +367,94 @@ def etl_schema_evolution(spark, sf_dir):
         )
         # Materialize before the TemporaryDirectory vanishes.
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "etl_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment
+      FROM customer
+    ),
+    v2 AS ({CDC_ORACLE_SQL}),
+    added AS (SELECT cust_id FROM v2 ANTI JOIN v1 USING (cust_id)),
+    deleted AS (SELECT cust_id FROM v1 ANTI JOIN v2 USING (cust_id)),
+    changed AS (
+      SELECT a.cust_id FROM v1 a JOIN v2 b USING (cust_id)
+      WHERE a.name IS DISTINCT FROM b.name
+         OR a.segment IS DISTINCT FROM b.segment
+    )
+    SELECT 'v1' AS snapshot, (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_added, CAST(NULL AS BIGINT) AS n_deleted,
+           CAST(NULL AS BIGINT) AS n_changed
+    UNION ALL
+    SELECT 'v2', (SELECT count(*) FROM v2),
+           (SELECT count(*) FROM added), (SELECT count(*) FROM deleted),
+           (SELECT count(*) FROM changed)
+    ORDER BY snapshot
+    """,
+    tags=("incremental", "etl"),
+)
+def etl_time_travel(spark, sf_dir):
+    """TIME TRAVEL over a versioned snapshot store — the lakehouse read
+    primitive `VERSION AS OF`: the dimension's v1 (bootstrap) and v2
+    (after one CDC wave, reusing etl_cdc_upsert's collapse+merge) are
+    written as REAL parquet snapshot directories (v=1, v=2 — the
+    idempotent layout stream_cdc_snapshot maintains); time-travel = the
+    reader pinning a version path instead of 'latest'. The query reads
+    BOTH pinned versions back and emits the version-diff audit (adds /
+    deletes / attribute changes between snapshots) — the report a
+    pipeline runs before vacuuming old versions. Oracle recomputes both
+    versions logically (v2 via the CDC oracle verbatim) and the same
+    anti-join/IS DISTINCT FROM diff."""
+    import tempfile
+
+    from gtec_etl_spark.operators import cdc
+
+    base = _base_dim(spark, sf_dir)
+    uilog, dlog = changelog_parts(spark, sf_dir)
+    latest = cdc.collapse_changelog(
+        uilog.unionByName(dlog), "cust_id", ["name", "segment"]
+    )
+    v2 = cdc.apply_changes(base, latest, "cust_id", ["name", "segment"])
+    with tempfile.TemporaryDirectory(prefix="time_travel_") as tmp:
+        base.write.mode("overwrite").parquet(f"{tmp}/v=1")
+        v2.write.mode("overwrite").parquet(f"{tmp}/v=2")
+        s1 = spark.read.parquet(f"{tmp}/v=1")  # VERSION AS OF 1
+        s2 = spark.read.parquet(f"{tmp}/v=2")  # VERSION AS OF 2
+        a = s1.select("cust_id", F.col("name").alias("n1"), F.col("segment").alias("g1"))
+        b = s2.select("cust_id", F.col("name").alias("n2"), F.col("segment").alias("g2"))
+        added = b.join(a, "cust_id", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_added")
+        )
+        deleted = a.join(b, "cust_id", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_deleted")
+        )
+        changed = (
+            a.join(b, "cust_id")
+            .filter(
+                ~F.col("n1").eqNullSafe(F.col("n2"))
+                | ~F.col("g1").eqNullSafe(F.col("g2"))
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_changed"))
+        )
+        row1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit("v1").alias("snapshot"),
+            "n_rows",
+            F.lit(None).cast("long").alias("n_added"),
+            F.lit(None).cast("long").alias("n_deleted"),
+            F.lit(None).cast("long").alias("n_changed"),
+        )
+        row2 = (
+            s2.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(added)   # all 1-row aggregates
+            .crossJoin(deleted)
+            .crossJoin(changed)
+            .select(
+                F.lit("v2").alias("snapshot"),
+                "n_rows", "n_added", "n_deleted", "n_changed",
+            )
+        )
+        out = row1.unionByName(row2).orderBy("snapshot")
+        # Materialize before the TemporaryDirectory vanishes.
+        return spark.createDataFrame(out.collect(), out.schema)
