@@ -894,3 +894,56 @@ def test_bmp_roundtrip_and_boundary():
     bad[30:34] = st.pack("<I", 1)  # BI_RLE8
     with pytest.raises(NotImplementedError, match="compression"):
         M._decode_bmp(bytes(bad))
+
+
+def test_codec_properties_hypothesis():
+    """Property tests for the round-10 codecs: GIF LZW round-trips any
+    index stream at any legal code size; ADPCM decoders track any input
+    within quantizer error bounds at block seams; BMP round-trips any
+    small dimensions."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8).flatmap(
+            lambda mcs: st.tuples(
+                st.just(mcs),
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    min_size=1,
+                    max_size=400,
+                ),
+            )
+        )
+    )
+    def lzw_roundtrip(case):
+        mcs, idx = case
+        assert M._gif_lzw_decode(M._gif_lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+    lzw_roundtrip()
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=30))
+    def bmp_roundtrip(w, h):
+        for bpp in (8, 24):
+            dw, dh, luma = M._decode_bmp(M.fake_bmp(w, h, seed=w * 31 + h, bpp=bpp))
+            assert (dw, dh, len(luma)) == (w, h, w * h)
+
+    bmp_roundtrip()
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(min_value=0, max_value=10000))
+    def adpcm_seeds(seed):
+        # IMA: block-seam samples exact (header carries them); MS: two
+        # seeds per block exact; decoded length always spb-aligned
+        blob = M.fake_wav_ima_adpcm(18, 8000, seed=seed, samples_per_block=9)
+        _, _, _, s = M._decode_wav(blob)
+        assert len(s) == 18
+        vals = M.wav_values(18, seed, 16)
+        assert s[0] == vals[0] and s[9] == vals[9]
+        blob = M.fake_wav_ms_adpcm(16, 8000, seed=seed, samples_per_block=8)
+        _, _, _, s = M._decode_wav(blob)
+        assert len(s) == 16
+        assert s[0] == vals[0] and s[1] == vals[1]
+
+    adpcm_seeds()
