@@ -595,3 +595,77 @@ def graph_label_propagation(spark, sf_dir):
         )
         .orderBy("community")
     )
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 49
+    ),
+    edges AS (
+      SELECT c AS a, s AS b FROM pairs
+      UNION ALL
+      SELECT s AS a, c AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS rep FROM nodes
+      UNION
+      SELECT e.b AS node, r.rep FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+      SELECT node, CAST(min(rep) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers
+    FROM comp GROUP BY component ORDER BY component
+    """,
+    tags=("graph", "scale"),
+)
+def graph_connected_components(spark, sf_dir):
+    """GENERIC connected components as a first-class graph query (the
+    dedup pipeline's operators/dedup.py:connected_components lifted off
+    the LSH pair graph onto an arbitrary edge table): the rare
+    high-quantity co-purchase graph (l_quantity >= 49 keeps it sparse,
+    so components are non-trivial instead of one giant blob), min-label
+    propagation to the fixpoint with per-round localCheckpoint, one row
+    per component (size, customer count). Oracle = recursive-CTE
+    reachability fixpoint — tractable exactly because the filtered graph
+    is sparse; the Spark side's round count is the component diameter,
+    data-independent of this choice."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    from gtec_etl_spark.operators import dedup as D
+
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_quantity") >= 49)
+        .select(
+            (F.col("o_custkey") * 2).alias("doc_a"),
+            (F.col("l_suppkey") * 2 + 1).alias("doc_b"),
+        )
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = D.connected_components(nodes, pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+        )
+        .select(F.col("component").cast("long").alias("component"), "n_nodes", "n_customers")
+        .orderBy("component")
+    )
