@@ -905,3 +905,154 @@ def sketch_sampled_quantiles(spark, sf_dir):
         )
         .orderBy("i")
     )
+
+
+@query(
+    "sketch_hll_trailing",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             {hash60_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT day, h >> {HLL_W} AS bucket,
+             CAST(max(CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W} - length(bin(h & {(1 << HLL_W) - 1})) + 1
+             END) AS BIGINT) AS mj
+      FROM h GROUP BY day, bucket
+    ),
+    days AS (SELECT DISTINCT day FROM regs),
+    merged AS (
+      SELECT d.day, r.bucket, CAST(max(r.mj) AS BIGINT) AS mj
+      FROM days d JOIN regs r
+        ON r.day BETWEEN d.day - INTERVAL 2 DAY AND d.day
+      GROUP BY d.day, r.bucket
+    ),
+    s AS (
+      SELECT day,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mj AS INTEGER))
+                  AS BIGINT) + ({HLL_M} - count(*)) * {1 << 53} AS s_int,
+             CAST({HLL_M} - count(*) AS BIGINT) AS n_zero
+      FROM merged GROUP BY day
+    ),
+    est AS (
+      SELECT day, s_int, n_zero,
+             {HLL_ALPHA!r} * {HLL_SCALE!r} / CAST(s_int AS DOUBLE) AS raw
+      FROM s
+    ),
+    ex AS (
+      SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_n
+      FROM days d JOIN (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+      ) e ON e.day BETWEEN d.day - INTERVAL 2 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(e.day AS DATE) AS day, e.exact_n, s.n_zero,
+           CAST(s.s_int AS BIGINT) AS s_int,
+           CAST(floor(CASE WHEN s.raw <= {2.5 * HLL_M} AND s.n_zero > 0
+                           THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                             / s.n_zero)
+                           ELSE s.raw END + 0.5) AS BIGINT) AS est_n
+    FROM ex e JOIN est s ON s.day = e.day
+    ORDER BY day
+    """,
+    tags=("sketch", "scale"),
+)
+def sketch_hll_trailing(spark, sf_dir):
+    """TRAILING-WINDOW distinct users per day via HLL register MERGE —
+    the sketch-algebra move that makes rolling distincts tractable at
+    100 TB: per-day register vectors are built ONCE from the data (one
+    keyed groupBy), and every day's trailing-3-day estimate comes from
+    register-wise max over the three daily sketches — {HLL_M} bytes per
+    day merged, the raw events never re-read per window (contrast
+    ev_trailing_distinct_users, the exact twin whose state is the
+    user-day table). Absent registers merge as zero, so the sparse
+    day x bucket join (bounded: <= days x {HLL_M} rows) is the whole
+    merge. The exact trailing distinct rides along as the validation
+    column. Same integer register construction and guarded estimate
+    branches as sketch_hll_distinct."""
+    ev = catalog.table(spark, sf_dir, "events")
+    h = ev.select(
+        F.to_date("ts").alias("day"),
+        hash60(F.col("user_id").cast("string")).alias("h"),
+    )
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_W) - 1))
+    regs = (
+        h.select(
+            "day",
+            F.shiftright(F.col("h"), HLL_W).alias("bucket"),
+            F.when(w == 0, F.lit(HLL_W + 1))
+            .otherwise(F.lit(HLL_W) - F.length(F.bin(w)) + 1)
+            .alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").cast("long").alias("mj"))
+    )
+    days = regs.select("day").distinct().select(F.col("day").alias("d"))
+    merged = (
+        days.join(
+            regs,
+            (F.col("day") >= F.date_sub(F.col("d"), 2))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("mj").cast("long").alias("mj"))
+    )
+    s = (
+        merged.groupBy("d")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))")
+            )
+            .cast("long")
+            .alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            "d",
+            (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << 53)
+            ).alias("s_int"),
+            (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("n_zero"),
+        )
+    )
+    est = s.select(
+        "d",
+        "s_int",
+        "n_zero",
+        (
+            F.lit(HLL_ALPHA) * F.lit(HLL_SCALE) / F.col("s_int").cast("double")
+        ).alias("raw"),
+    )
+    exact = (
+        days.join(
+            ev.select(F.to_date("ts").alias("day"), "user_id"),
+            (F.col("day") >= F.date_sub(F.col("d"), 2))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_n"))
+    )
+    return (
+        exact.join(est, "d")
+        .select(
+            F.col("d").alias("day"),
+            "exact_n",
+            "n_zero",
+            F.col("s_int").cast("long").alias("s_int"),
+            F.floor(
+                F.when(
+                    (F.col("raw") <= F.lit(2.5 * HLL_M))
+                    & (F.col("n_zero") > 0),
+                    F.lit(HLL_M)
+                    * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+                ).otherwise(F.col("raw"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("est_n"),
+        )
+        .orderBy("day")
+    )
