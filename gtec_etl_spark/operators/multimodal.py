@@ -192,6 +192,8 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         return _decode_gif(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:2] in (b"II", b"MM") and len(content) >= 4 and content[2:4] in (b"*\x00", b"\x00*"):
+        return _decode_tiff(content)
     if content[:2] == b"\xff\xd8":
         from gtec_etl_spark.operators.jpeg import decode_jpeg
 
@@ -215,7 +217,7 @@ def _decode_one(content: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(
             "decoding this format requires PIL (not in this container); "
             "supported without dependencies: FAKEIMG, netpbm P2/P3/P5/P6, "
-            "PNG (1/2/4/8/16-bit, Adam7), GIF (LZW, interlace), BMP (8/24-bit), "
+            "PNG (1/2/4/8/16-bit, Adam7), GIF (LZW, interlace), BMP (8/24-bit), TIFF (uncompressed), "
             "baseline/progressive/12-bit JPEG"
         )
 
@@ -2274,5 +2276,147 @@ def bmp_media_table(
         rows.append(
             (i, "image", bytearray(fake_bmp(width, height, seed=i, bpp=bpp)),
              ("image/bmp", f"mem://bmp/{i}.bmp"))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def fake_tiff(
+    width: int, height: int, seed: int, rgb: bool = False,
+    big_endian: bool = False, rows_per_strip: int = 7,
+) -> bytes:
+    """Deterministic REAL baseline TIFF: header in either byte order
+    ('II' little / 'MM' big), one IFD with the baseline tag set, and
+    UNCOMPRESSED strip-organized raster (multiple strips so the strip
+    walk is exercised). Grayscale (photometric 1) or RGB (photometric
+    2), 8 bits per sample, from the shared LCG stream."""
+    bo = ">" if big_endian else "<"
+    spp = 3 if rgb else 1
+    vals = bytes(netpbm_values(width, height * spp, seed, 1, 255))
+    stride = width * spp
+    strips = [
+        vals[y * stride : min(y + rows_per_strip, height) * stride]
+        for y in range(0, height, rows_per_strip)
+    ]
+    n = len(strips)
+    # layout: 8-byte header | raster strips | IFD | out-of-line arrays
+    offsets, pos = [], 8
+    for st in strips:
+        offsets.append(pos)
+        pos += len(st)
+    ifd_off = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:  # SHORT packs into the first 2 bytes
+            return struct.pack(f"{bo}HHI", tag, typ, count) + struct.pack(
+                f"{bo}HH", value, 0
+            )
+        return struct.pack(f"{bo}HHII", tag, typ, count, value)
+
+    n_entries = 9
+    arrays_off = ifd_off + 2 + 12 * n_entries + 4
+    extra = b""
+    if n == 1:
+        so_entry = entry(273, 4, 1, offsets[0])
+        sc_entry = entry(279, 4, 1, len(strips[0]))
+    else:
+        so_entry = entry(273, 4, n, arrays_off)
+        sc_entry = entry(279, 4, n, arrays_off + 4 * n)
+        extra = b"".join(struct.pack(f"{bo}I", o) for o in offsets) + b"".join(
+            struct.pack(f"{bo}I", len(s)) for s in strips
+        )
+    entries = [
+        entry(256, 3, 1, width),
+        entry(257, 3, 1, height),
+        entry(258, 3, 1, 8) if spp == 1 else entry(258, 3, 3, arrays_off + len(extra)),
+        entry(259, 3, 1, 1),  # no compression
+        entry(262, 3, 1, 2 if rgb else 1),
+        so_entry,
+        entry(277, 3, 1, spp),
+        entry(278, 3, 1, rows_per_strip),
+        sc_entry,
+    ]
+    if spp == 3:
+        extra += struct.pack(f"{bo}HHH", 8, 8, 8)
+    ifd = struct.pack(f"{bo}H", n_entries) + b"".join(entries) + struct.pack(f"{bo}I", 0)
+    magic = (b"MM" if big_endian else b"II") + struct.pack(f"{bo}H", 42)
+    return magic + struct.pack(f"{bo}I", ifd_off) + b"".join(strips) + ifd + extra
+
+
+def _decode_tiff(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib baseline TIFF decoder -> (width, height, BT.601 luma).
+    Handles both byte orders, inline and out-of-line tag values,
+    multi-strip uncompressed rasters, 8-bit grayscale and RGB."""
+    if content[:2] == b"II":
+        bo = "<"
+    elif content[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    if struct.unpack(f"{bo}H", content[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic number")
+    (ifd_off,) = struct.unpack(f"{bo}I", content[4:8])
+    (n_entries,) = struct.unpack(f"{bo}H", content[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(f"{bo}HHI", content[at : at + 8])
+        tags[tag] = (typ, count, content[at + 8 : at + 12])
+
+    sizes = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int, default=None) -> list:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, count, raw = tags[tag]
+        if typ not in sizes:
+            raise NotImplementedError(f"TIFF tag {tag} type {typ} unsupported")
+        total = sizes[typ] * count
+        buf = raw[:total] if total <= 4 else content[
+            struct.unpack(f"{bo}I", raw)[0] :
+        ][:total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack(f"{bo}{count}{fmt}", buf))
+
+    width, height = values(256)[0], values(257)[0]
+    compression = values(259, [1])[0]
+    spp = values(277, [1])[0]
+    bps = values(258, [8])
+    if compression != 1 or spp not in (1, 3) or any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"TIFF compression={compression} spp={spp} bits={bps}: only"
+            " uncompressed 8-bit gray/RGB baseline is inside the boundary"
+        )
+    raster = b"".join(
+        content[o : o + c] for o, c in zip(values(273), values(279))
+    )
+    if len(raster) < width * height * spp:
+        raise ValueError("TIFF raster truncated")
+    arr = np.frombuffer(
+        raster[: width * height * spp], dtype=np.uint8
+    ).astype(np.int64)
+    if spp == 3:
+        rgb = arr.reshape(-1, 3)
+        arr = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+    return width, height, bytes(arr.astype(np.uint8))
+
+
+# (rgb, big_endian) TIFF layout cycle
+TIFF_CYCLE = ((False, False), (True, False), (False, True), (True, True))
+
+
+def tiff_media_table(
+    spark, n: int = 8, width: int = 23, height: int = 19
+) -> DataFrame:
+    """Deterministic media table of REAL TIFF payloads cycling through
+    TIFF_CYCLE (rgb, byte order) layouts by media_id."""
+    rows = []
+    for i in range(n):
+        rgb, be = TIFF_CYCLE[i % len(TIFF_CYCLE)]
+        rows.append(
+            (i, "image",
+             bytearray(fake_tiff(width, height, seed=i, rgb=rgb, big_endian=be)),
+             ("image/tiff", f"mem://tiff/{i}.tif"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

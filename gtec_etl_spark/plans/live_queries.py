@@ -860,6 +860,48 @@ def mm_audio_fingerprint(spark, sf_dir):
 
 
 @query(
+    "mm_decode_tiff",
+    oracle=f"""
+    SELECT media_id, rgb, big_endian, width, height, n_pixels, mean_intensity
+    FROM '{_MM_GOLDEN}/mm_decode_tiff.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_tiff(spark, sf_dir):
+    """TIFF through the media pipeline: baseline uncompressed layouts in
+    BOTH byte orders ('II' little / 'MM' big — the tag-directory walker
+    must honor the header's endianness for every field), 8-bit gray and
+    RGB, multi-strip rasters with out-of-line offset/count arrays,
+    decoded by a pure-stdlib IFD walker
+    (operators/multimodal.py:_decode_tiff) to the shared BT.601 luma.
+    Compression/16-bit raise NotImplementedError. Oracle = golden
+    recomputing the LCG streams (uncompressed = lossless, so the
+    IFD/strip logic is exactly what the hash gate tests)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.tiff_media_table(spark, n=8, width=23, height=19)
+    rgbs = F.array(*[F.lit(int(r)) for r, _ in M.TIFF_CYCLE])
+    bes = F.array(*[F.lit(int(b)) for _, b in M.TIFF_CYCLE])
+    pos = (F.col("media_id") % len(M.TIFF_CYCLE) + 1).cast("int")
+    return (
+        M.decode_image(media)
+        .select(
+            "media_id",
+            F.element_at(rgbs, pos).cast("long").alias("rgb"),
+            F.element_at(bes, pos).cast("long").alias("big_endian"),
+            "width",
+            "height",
+            "n_pixels",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "mm_decode_bmp",
     oracle=f"""
     SELECT media_id, bpp, width, height, n_pixels, mean_intensity

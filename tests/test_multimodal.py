@@ -947,3 +947,22 @@ def test_codec_properties_hypothesis():
         assert s[0] == vals[0] and s[1] == vals[1]
 
     adpcm_seeds()
+
+
+def test_tiff_roundtrip_and_boundary():
+    """TIFF: all four layout/endianness combos decode to the exact LCG
+    luma; compressed and 16-bit rejected; bad magic rejected."""
+    import struct as st
+
+    for rgb, be in M.TIFF_CYCLE:
+        dw, dh, luma = M._decode_tiff(M.fake_tiff(23, 19, seed=1, rgb=rgb, big_endian=be))
+        assert (dw, dh, len(luma)) == (23, 19, 23 * 19)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        M._decode_tiff(b"XX\x2a\x00" + b"\x00" * 8)
+    blob = bytearray(M.fake_tiff(8, 8, seed=0))
+    # flip the compression tag (259) value to 5 (LZW) in the IFD
+    at = blob.find(st.pack("<HHI", 259, 3, 1))
+    assert at > 0
+    blob[at + 8 : at + 10] = st.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression=5"):
+        M._decode_tiff(bytes(blob))

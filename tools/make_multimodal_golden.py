@@ -935,6 +935,40 @@ def decode_bmp_golden(n: int = 8, width: int = 23, height: int = 19) -> pa.Table
     return pa.Table.from_pylist(rows)
 
 
+def decode_tiff_golden(n: int = 8, width: int = 23, height: int = 19) -> pa.Table:
+    """Expected output of mm_decode_tiff: uncompressed TIFF is lossless,
+    so the golden recomputes the LCG gray/RGB streams and projects
+    BT.601 luma — the IFD/strip/byte-order walker is what the query
+    tests. Cycle mirrors TIFF_CYCLE."""
+    cycle = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+    def lcg_vals(count, seed):
+        x = (seed * 2654435761) % (2**32)
+        out = []
+        for _ in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            out.append(x % 256)
+        return out
+
+    rows = []
+    for mid in range(n):
+        rgb, be = cycle[mid % 4]
+        if rgb:
+            v = np.array(lcg_vals(width * height * 3, mid), dtype=np.int64).reshape(-1, 3)
+            luma = (299 * v[:, 0] + 587 * v[:, 1] + 114 * v[:, 2]) // 1000
+        else:
+            luma = np.array(lcg_vals(width * height, mid), dtype=np.int64)
+        rows.append(
+            {
+                "media_id": mid, "rgb": rgb, "big_endian": be,
+                "width": width, "height": height,
+                "n_pixels": width * height,
+                "mean_intensity": spark_round(float(luma.mean()), 4),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(
@@ -980,6 +1014,10 @@ def main() -> None:
     pq.write_table(
         decode_bmp_golden(),
         os.path.join(OUT_DIR, "mm_decode_bmp.parquet"),
+    )
+    pq.write_table(
+        decode_tiff_golden(),
+        os.path.join(OUT_DIR, "mm_decode_tiff.parquet"),
     )
     pq.write_table(
         decode_jpeg12_golden(),
