@@ -1409,3 +1409,54 @@ def stream_hll_distinct(spark, sf_dir):
         .cast("long")
         .alias("est_n"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e."value" * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_micros
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2 ORDER BY segment, event_type
+    """,
+    tags=("streaming", "live"),
+)
+def stream_static_join(spark, sf_dir):
+    """STREAM-STATIC enrichment join as a REAL streaming job — the most
+    common production streaming shape (a fact stream enriched against a
+    slowly-changing dimension): the events file replays through
+    readStream and joins the STATIC customer dimension (Spark plans
+    stream-static inner joins stateless — the static side is simply read
+    per micro-batch, broadcast when small; no watermark, no state store),
+    then aggregates count + integer-micros value total per (segment,
+    event_type) — exact distincts are illegal on streams, which is
+    precisely why stream_hll_distinct exists as the sketch twin. On a
+    finite replay this equals the batch join, which is what the oracle
+    states. At 100 TB the static side would be a compacted dimension
+    snapshot; per-trigger cost tracks the batch, never the stream
+    history."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog as C
+    from gtec_etl_spark.streaming import pipelines as P
+
+    dim = C.table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, sf_dir)
+        joined = ev.join(dim, "user_id")  # stream-static: stateless
+        out = P.run_to_memory(
+            joined.groupBy("segment", "event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("total_micros"),
+            )
+        )
+    return out.orderBy("segment", "event_type")
