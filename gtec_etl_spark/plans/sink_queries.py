@@ -293,3 +293,54 @@ def k6_zorder_layout(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "k7_orc_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY 1 ORDER BY segment
+    """,
+    tags=("sinks",),
+)
+def k7_orc_roundtrip(spark, sf_dir):
+    """ORC interchange contract — the second columnar format a lake must
+    read and write (Hive-era tables are ORC; Spark's reader/writer is
+    native JVM, predicate pushdown and column pruning included): the
+    customer dimension is written as REAL ORC files partitioned by
+    segment (zlib-compressed stripes), read back through the ORC scan,
+    and audited per segment (counts, integer-cents balance total, key
+    range). Partition values round-trip through directory names —
+    string-typed on read, which is why the audit groups by the read-back
+    column. Oracle recomputes the audit straight from the source table
+    (the round trip is lossless by contract; what the gate tests is the
+    writer+reader pair)."""
+    import tempfile
+
+    cust = catalog.table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    with tempfile.TemporaryDirectory(prefix="orc_rt_") as tmp:
+        cust.write.mode("overwrite").partitionBy("c_mktsegment").orc(tmp)
+        back = spark.read.orc(tmp)
+        out = (
+            back.groupBy(F.col("c_mktsegment").cast("string").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("total_cents"),
+                F.min("c_custkey").cast("long").alias("min_key"),
+                F.max("c_custkey").cast("long").alias("max_key"),
+            )
+            .orderBy("segment")
+        )
+        # Materialize before the TemporaryDirectory vanishes.
+        return spark.createDataFrame(out.collect(), out.schema)
