@@ -663,3 +663,74 @@ def src_datacite_works(spark, sf_dir):
     return rec.withColumn(
         "n_title_dups", F.count(F.lit(1)).over(W.partitionBy("title"))
     ).orderBy("doi")
+
+
+@query(
+    "src_csv_quoted",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN contains(c_comment, ',') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_delims,
+           CAST(sum(CASE WHEN contains(c_comment, '"') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_quotes,
+           CAST(sum(CASE WHEN contains(c_comment, chr(10)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_multiline,
+           CAST(sum(length(c_comment)) AS BIGINT) AS total_comment_chars
+    FROM (
+      SELECT c_custkey,
+             CASE
+               WHEN c_custkey % 5 = 0 THEN c_name || ', "' || c_mktsegment || '"'
+               WHEN c_custkey % 5 = 1 THEN c_name || chr(10) || c_mktsegment
+               ELSE c_name
+             END AS c_comment
+      FROM customer
+    )
+    """,
+    tags=("sources",),
+)
+def src_csv_quoted(spark, sf_dir):
+    """CSV with the HARD cases — embedded delimiters, escaped quotes, and
+    embedded NEWLINES — written as a real RFC-4180 file by Spark's CSV
+    writer and read back with multiLine=true, then audited (row count,
+    how many values carried each hazard, total chars — any mis-split
+    row breaks all five numbers). The scale caveat is the point of the
+    docstring: multiLine=true makes a CSV file NON-SPLITTABLE (a record
+    can straddle any byte offset, so one file = one task) — at 100 TB
+    you shard the input into many files (as this write does naturally)
+    or forbid embedded newlines at ingest and keep byte-range splits.
+    Oracle recomputes the synthesized hazard column straight from
+    customer."""
+    import tempfile
+
+    from gtec_etl_spark import catalog
+
+    cust = catalog.table(spark, sf_dir, "customer")
+    hazard = (
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.col("c_name"), F.lit(', "'), F.col("c_mktsegment"), F.lit('"')),
+        )
+        .when(
+            F.col("c_custkey") % 5 == 1,
+            F.concat(F.col("c_name"), F.lit("\n"), F.col("c_mktsegment")),
+        )
+        .otherwise(F.col("c_name"))
+    )
+    df = cust.select("c_custkey", hazard.alias("c_comment"))
+    with tempfile.TemporaryDirectory(prefix="csv_rt_") as tmp:
+        df.write.mode("overwrite").option("header", "true").csv(tmp)
+        back = spark.read.option("header", "true").option("multiLine", "true").csv(tmp)
+        out = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("c_comment").contains(","), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_delims"),
+            F.sum(F.when(F.col("c_comment").contains('"'), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_quotes"),
+            F.sum(F.when(F.col("c_comment").contains("\n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_multiline"),
+            F.sum(F.length("c_comment")).cast("long").alias("total_comment_chars"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
