@@ -669,3 +669,62 @@ def graph_connected_components(spark, sf_dir):
         .select(F.col("component").cast("long").alias("component"), "n_nodes", "n_customers")
         .orderBy("component")
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src FROM pairs UNION ALL SELECT s AS src FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree,
+           CAST(sum(d) AS BIGINT) AS total_degree
+    FROM deg GROUP BY 1 ORDER BY log2_bucket
+    """,
+    tags=("graph", "scale"),
+)
+def graph_degree_distribution(spark, sf_dir):
+    """DEGREE DISTRIBUTION of the purchase graph in log2 buckets — the
+    graph-shape statistic every distributed graph algorithm consults
+    before choosing a strategy (a heavy-tailed distribution is why
+    triangle counting orients by degree and why PageRank salts hubs;
+    this is prof_skew_report's graph twin). One keyed count per node +
+    one 30-bucket agg; bucket = floor(log2(degree)) computed EXACTLY as
+    bit length (length(bin(d)) - 1), never float log. Map-side partials
+    make the shuffle rows-per-bucket."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("c").alias("src"))
+        .unionByName(pairs.select(F.col("s").alias("src")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.groupBy(
+            (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+            F.sum("d").cast("long").alias("total_degree"),
+        )
+        .orderBy("log2_bucket")
+    )

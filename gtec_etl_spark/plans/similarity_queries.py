@@ -1907,3 +1907,59 @@ def sim_batch_topk(spark, sf_dir):
         )
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "sim_ivf_balance",
+    oracle="""
+    WITH cells AS (
+      SELECT label AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(max(n_vecs) AS BIGINT) AS max_cell
+      FROM cells
+    )
+    SELECT c.cell, c.n_vecs,
+           CAST(1000000 * c.n_vecs // t.n_total AS BIGINT) AS share_ppm,
+           CAST(1000 * c.n_vecs * t.n_cells // t.n_total AS BIGINT)
+             AS balance_e3
+    FROM cells c CROSS JOIN tot t
+    ORDER BY cell
+    """,
+    tags=("similarity", "profile"),
+)
+def sim_ivf_balance(spark, sf_dir):
+    """IVF POSTING-LIST balance report — the ANN-planning statistic
+    prof_skew_report is for joins: per inverted-list cell, its size,
+    corpus share (ppm), and balance ratio (size x n_cells / total,
+    x1000 — 1000 = perfectly even). A cell whose balance runs hot makes
+    every probe that lands there scan too much — the signal to re-train
+    centroids, split the cell, or raise nprobe; at 100 TB this report
+    is one keyed count over the assignment (here the stored coarse
+    label; for trained IVF it composes over the assignment stage), a
+    few hundred rows out. All-integer output."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    cells = emb.groupBy(F.col("label").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    w = Window.partitionBy()
+    return (
+        cells.select(
+            "cell",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.sum("n_vecs").over(w).alias("_tot"),
+            F.count(F.lit(1)).over(w).alias("_ncells"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("1000000 * n_vecs div _tot").cast("long").alias("share_ppm"),
+            F.expr("1000 * n_vecs * _ncells div _tot").cast("long").alias("balance_e3"),
+        )
+        .orderBy("cell")
+    )

@@ -145,3 +145,48 @@ def q32_characteristic_pivot(spark, sf_dir):
     return dynamic_pivot(tall, ["subject_id"], "char_name", F.min("char_value")).orderBy(
         "subject_id"
     )
+
+
+@query(
+    "q48_percent_rank_cume",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS pr_ppm,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS cd_ppm
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window",),
+)
+def q48_percent_rank_cume(spark, sf_dir):
+    """The relative-position window pair q30's rank family left out:
+    percent_rank ((rank-1)/(n-1)) and cume_dist (rows<=current / n) —
+    the normalized forms percentile-based quality cuts use ("drop the
+    bottom decile per group"). Both are ratios of small integers, so
+    the double is exact (numerator, denominator < 2^26; one IEEE
+    division is identical in both engines) and the ppm quantization is
+    pure presentation. Same fingerprint-row convention and
+    deterministic tie-break as the rest of the window pack."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 30)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("pr_ppm"),
+            F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cd_ppm"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
