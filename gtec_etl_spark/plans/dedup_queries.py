@@ -1102,3 +1102,64 @@ def dedup_savings_report(spark, sf_dir):
         .withColumn("dup_bp", F.expr("n_dup_docs * 10000 div n_docs"))
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes(16, 4)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM documents),
+    reach AS (
+      SELECT doc_id, doc_id AS rep FROM nodes
+      UNION
+      SELECT e.b AS doc_id, r.rep FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, min(rep) AS component FROM reach GROUP BY doc_id
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz
+      FROM comp GROUP BY component
+    )
+    SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY 1 ORDER BY log2_bucket
+    """,
+    tags=("dedup", "scale"),
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """DUP-CLUSTER SIZE DISTRIBUTION — the report that tells a curation
+    team what kind of duplication they have before they act on it: many
+    tiny clusters (boilerplate variants) call for keep-canonical; a few
+    giant ones (mirrored dumps) call for source-level fixes. Composes
+    the gated MinHash-LSH + connected-components pipeline
+    (dedup_clusters_cc's exact plan), then buckets cluster sizes by
+    exact bit-length log2 and reports clusters / docs / removable docs
+    (size-1 per cluster — the savings headline dedup_savings_report
+    prices) per bucket. The distribution is a fixed <= 30-row output at
+    any corpus size."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    pairs = D.lsh_candidate_pairs(sigs, 16, 4)
+    nodes = docs.select("doc_id")
+    comp = D.connected_components(nodes, pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(
+            (F.length(F.bin(F.col("sz"))) - 1).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -1963,3 +1963,58 @@ def sim_ivf_balance(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "sim_embedding_profile",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(floor(sqrt({_dot_sql('embedding', 'embedding')}) * 1000
+                  + 0.5) AS BIGINT) AS norm_e3,
+             len(embedding) AS dim
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim,
+           CAST(min(norm_e3) AS BIGINT) AS min_norm_e3,
+           CAST(max(norm_e3) AS BIGINT) AS max_norm_e3,
+           CAST(sum(CASE WHEN norm_e3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_vectors
+    FROM n
+    """,
+    tags=("similarity", "profile"),
+)
+def sim_embedding_profile(spark, sf_dir):
+    """EMBEDDING-QUALITY preflight — the check an ANN pipeline runs
+    before building any index: vector count, dimension consistency
+    (ragged dims break every kernel downstream), the norm range
+    (unnormalized corpora silently turn cosine into dot), and
+    zero-vector count (cosine undefined — they must be quarantined).
+    Norms quantize to integer milli-units via the same sequential-fold
+    dot as the ANN queries, so the doubles are bit-reproducible. One
+    scan, one global aggregate — the cheapest query in the similarity
+    pack and the first one to run at 100 TB."""
+    from gtec_etl_spark.operators.similarity import dot
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        F.floor(
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("norm_e3"),
+        F.size("embedding").alias("dim"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.min("norm_e3").cast("long").alias("min_norm_e3"),
+        F.max("norm_e3").cast("long").alias("max_norm_e3"),
+        F.sum(F.when(F.col("norm_e3") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_vectors"),
+    )
