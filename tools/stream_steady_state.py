@@ -212,6 +212,40 @@ def run_cdc_maintenance(spark, sf_dir: str, tmp_root: str) -> dict:
     return progress_stats(q)
 
 
+def run_static_join(spark, sf_dir: str, replay_dir: str) -> dict:
+    """Steady-state of the stream-static enrichment join
+    (stream_static_join's topology): the static dimension re-reads per
+    trigger (stateless join, no state store), so the per-trigger median
+    should be flat and track the batch size plus one dimension scan."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog as C
+    from gtec_etl_spark.streaming import pipelines as P
+
+    dim = C.table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        agg = (
+            ev.join(dim, "user_id")
+            .groupBy("segment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"ssj_{uuid.uuid4().hex[:12]}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_static_join replay did not finish")
+        return progress_stats(q)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -230,6 +264,9 @@ def main() -> None:
             "stream_stream_join": run_stream_stream_join(spark, replay_dir),
             "stream_tumbling_hourly": run_tumbling(spark, replay_dir),
             "stream_hll_distinct": run_hll_registers(spark, replay_dir),
+            "stream_static_join": run_static_join(
+                spark, args.sf_dir, replay_dir
+            ),
             "stream_cdc_snapshot": run_cdc_maintenance(
                 spark, args.sf_dir, replay_dir
             ),
