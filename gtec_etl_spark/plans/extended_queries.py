@@ -1238,3 +1238,163 @@ def q47_spatial_grid_scaled(spark, sf_dir):
         )
         .orderBy("cust_id")
     )
+
+
+MB_MIN_SUPPORT = 12  # minimum baskets containing the item (pre-join prune)
+
+
+@query(
+    "q49_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    freq AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS supp FROM items
+      GROUP BY item HAVING count(*) >= {MB_MIN_SUPPORT}
+    ),
+    pruned AS (
+      SELECT i.basket, i.item, f.supp FROM items i JOIN freq f USING (item)
+    ),
+    pair AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS pair_supp,
+             CAST(min(a.supp) AS BIGINT) AS supp_a,
+             CAST(min(b.supp) AS BIGINT) AS supp_b
+      FROM pruned a JOIN pruned b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items)
+    SELECT item_a, item_b, pair_supp,
+           CAST(10000 * pair_supp // supp_a AS BIGINT) AS confidence_bp,
+           CAST(10000 * pair_supp * n_baskets // (supp_a * supp_b) AS BIGINT)
+             AS lift_e4
+    FROM pair CROSS JOIN nb
+    ORDER BY pair_supp DESC, item_a, item_b LIMIT 50
+    """,
+    tags=("extended", "join", "scale"),
+)
+def q49_market_basket(spark, sf_dir):
+    """MARKET-BASKET association mining (the a-priori FIRST PASS): top
+    co-purchased part pairs with support, confidence (P(b|a), basis
+    points), and lift (observed/expected co-occurrence, x1e4) — all
+    truncating integer ratios. The scale move is the CLASSIC one:
+    support-prune items BEFORE the pair self-join (an item in fewer
+    than {MB_MIN_SUPPORT} baskets can't form a frequent pair — monotone
+    support), so the quadratic blowup only happens within baskets of
+    frequent items; the pair join is an equi-join on basket id, never
+    all-pairs. At 100 TB the same prune carries the full a-priori /
+    FP-growth ladder."""
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    freq = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= MB_MIN_SUPPORT)
+    )
+    pruned = items.join(freq, "item")
+    a = pruned.select("basket", F.col("item").alias("item_a"), F.col("supp").alias("sa"))
+    b = pruned.select("basket", F.col("item").alias("item_b"), F.col("supp").alias("sb"))
+    pair = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pair_supp"),
+            F.min("sa").cast("long").alias("supp_a"),
+            F.min("sb").cast("long").alias("supp_b"),
+        )
+        .filter(F.col("pair_supp") >= 3)
+    )
+    nb = items.agg(F.count_distinct("basket").cast("long").alias("n_baskets"))
+    return (
+        pair.crossJoin(F.broadcast(nb))  # 1-row global aggregate
+        .select(
+            "item_a",
+            "item_b",
+            "pair_supp",
+            F.expr("10000 * pair_supp div supp_a").cast("long").alias("confidence_bp"),
+            F.expr("10000 * pair_supp * n_baskets div (supp_a * supp_b)")
+            .cast("long")
+            .alias("lift_e4"),
+        )
+        .orderBy(F.col("pair_supp").desc(), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+@query(
+    "q50_rfm_scores",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS cust_id,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT cust_id,
+             ntile(5) OVER (ORDER BY last_order, cust_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, cust_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents, cust_id) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(cust_id) AS BIGINT) AS min_cust
+    FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+    """,
+    tags=("extended", "window"),
+)
+def q50_rfm_scores(spark, sf_dir):
+    """RFM SEGMENTATION — the classic customer scoring pipeline: per
+    customer recency (last order date), frequency (order count), and
+    integer-cents monetary total, each quintiled by a GLOBAL ntile
+    (ties broken by cust_id so the quintile boundaries are
+    deterministic in both engines), then the 5x5x5 segment census. The
+    global ntile is the one deliberate single-partition window in the
+    registry — at 100 TB you swap it for approx-quantile boundary
+    lookup (prof_equidepth_histogram's machinery) and keep the census
+    keyed; the fixture-scale plan states the SEMANTICS the approximate
+    swap must preserve."""
+    from pyspark.sql import Window
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("cust_id")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "cust_id",
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy("last_order", "cust_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy("frequency", "cust_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.partitionBy().orderBy("monetary_cents", "cust_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("cust_id").cast("long").alias("min_cust"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
