@@ -591,3 +591,90 @@ def ev_cumulative_uniques(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ev_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS rev_micros
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+      SELECT p.event_id, p.rev_micros,
+             max(struct_pack(t := t.ts, e := t.event_id)).e AS last_touch,
+             min(struct_pack(t := t.ts, e := t.event_id)).e AS first_touch
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 7 DAY
+      GROUP BY p.event_id, p.rev_micros
+    ),
+    t AS (SELECT event_id, event_type FROM events)
+    SELECT a.kind, t.event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(a.rev_micros) AS BIGINT) AS rev_micros
+    FROM (
+      SELECT 'first' AS kind, first_touch AS touch, rev_micros FROM attributed
+      UNION ALL
+      SELECT 'last', last_touch, rev_micros FROM attributed
+    ) a JOIN t ON t.event_id = a.touch
+    GROUP BY 1, 2 ORDER BY kind, touch_type
+    """,
+    tags=("events", "join"),
+)
+def ev_attribution(spark, sf_dir):
+    """MARKETING ATTRIBUTION — first-touch and last-touch: every purchase
+    credits the earliest and latest click/view by the same user within a
+    7-day lookback, then revenue rolls up per (model, touch type). The
+    touch pick is an exact integer argmin/argmax over (ts, event_id) —
+    deterministic under timestamp ties — and revenue is quantized to
+    micros before summing (the q17 discipline). Plan: the per-purchase
+    window join is keyed on user_id (co-partitioned with the touch
+    stream; the 7-day band bounds the per-key fan-in the way q19's
+    as-of join does), ONE groupBy collapses both models from the same
+    joined intermediate. At 100 TB the lookback bound is what keeps
+    state finite — identical to the stream-stream join's watermark
+    math."""
+    ev = catalog.table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_micros"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_id").alias("t_id")
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    attributed = joined.groupBy("p_id", "rev_micros").agg(
+        F.max_by("t_id", F.struct("t_ts", "t_id")).alias("last_touch"),
+        F.min_by("t_id", F.struct("t_ts", "t_id")).alias("first_touch"),
+    )
+    both = attributed.select(
+        F.lit("first").alias("kind"), F.col("first_touch").alias("touch"), "rev_micros"
+    ).unionByName(
+        attributed.select(
+            F.lit("last").alias("kind"), F.col("last_touch").alias("touch"), "rev_micros"
+        )
+    )
+    types = ev.select(F.col("event_id").alias("touch"), "event_type")
+    return (
+        both.join(types, "touch")
+        .groupBy("kind", F.col("event_type").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("rev_micros").cast("long").alias("rev_micros"),
+        )
+        .orderBy("kind", "touch_type")
+    )
