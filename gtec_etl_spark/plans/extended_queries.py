@@ -1398,3 +1398,64 @@ def q50_rfm_scores(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "q51_referential_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            ANTI JOIN orders o ON o.o_orderkey = l.l_orderkey) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            ANTI JOIN part p ON p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            ANTI JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            ANTI JOIN customer c ON c.c_custkey = o.o_custkey)
+    ORDER BY fk_edge
+    """,
+    tags=("extended", "quality"),
+)
+def q51_referential_audit(spark, sf_dir):
+    """REFERENTIAL-INTEGRITY audit — the cross-table completeness report
+    q44's single-table expectations don't cover: every foreign-key edge
+    of the star schema gets (rows checked, orphan rows) via a left-anti
+    join against its dimension. A lake has no FK enforcement, so this
+    report IS the constraint — run post-ingest, alert on nonzero. Each
+    edge is one anti join keyed on the FK (dimension side
+    broadcast-able by AQE at any realistic dimension size); n_checked
+    pins the scan cardinality so a silently-short scan can't fake a
+    clean audit."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    orders = catalog.table(spark, sf_dir, "orders")
+    part = catalog.table(spark, sf_dir, "part")
+    supplier = catalog.table(spark, sf_dir, "supplier")
+    customer = catalog.table(spark, sf_dir, "customer")
+
+    def edge(name, fact, dim, fk, pk):
+        checked = fact.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+        orphans = fact.join(
+            dim, F.col(pk) == F.col(fk), "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        return (
+            checked.crossJoin(orphans)  # 1-row x 1-row
+            .select(F.lit(name).alias("fk_edge"), "n_checked", "n_orphans")
+        )
+
+    return (
+        edge("lineitem.l_orderkey -> orders", li, orders, "l_orderkey", "o_orderkey")
+        .unionByName(edge("lineitem.l_partkey -> part", li, part, "l_partkey", "p_partkey"))
+        .unionByName(edge("lineitem.l_suppkey -> supplier", li, supplier, "l_suppkey", "s_suppkey"))
+        .unionByName(edge("orders.o_custkey -> customer", orders, customer, "o_custkey", "c_custkey"))
+        .orderBy("fk_edge")
+    )
