@@ -1406,13 +1406,24 @@ MS_ADAPT = (
 )
 
 
+def _ms_pred(s1: int, s2: int, coef1: int, coef2: int) -> int:
+    """MS-ADPCM predictor: (s1*coef1 + s2*coef2) / 256 with
+    truncate-TOWARD-ZERO division (the spec's and ffmpeg's semantics),
+    which differs from a flooring `>> 8` when the accumulator is
+    negative. |acc| <= 32768*768 << 2**53, so plain int() is exact."""
+    acc = s1 * coef1 + s2 * coef2
+    return -((-acc) >> 8) if acc < 0 else acc >> 8
+
+
 def ms_step(
     s1: int, s2: int, delta: int, coef1: int, coef2: int, nib: int
 ) -> tuple[int, int]:
     """One MS-ADPCM decode step: given the two previous samples, the
     current quantizer delta, and the block's coefficient pair, absorb a
-    4-bit code -> (new sample, new delta). Pure integer arithmetic."""
-    pred = (s1 * coef1 + s2 * coef2) >> 8
+    4-bit code -> (new sample, new delta). Pure integer arithmetic.
+    The predictor divide truncates toward zero (see _ms_pred); the
+    delta adaption's operands are always positive so `>> 8` is safe."""
+    pred = _ms_pred(s1, s2, coef1, coef2)
     signed = nib - 16 if nib >= 8 else nib
     samp = max(-32768, min(32767, pred + signed * delta))
     delta = max(16, (MS_ADAPT[nib] * delta) >> 8)
@@ -1424,7 +1435,7 @@ def ms_encode_nibble(sample: int, s1: int, s2: int, delta: int, coef1: int, coef
     `sample` against the current predictor (the encoder then advances
     via ms_step). Any nibble stream is spec-decodable; this one just
     tracks the signal closely enough for meaningful fixtures."""
-    pred = (s1 * coef1 + s2 * coef2) >> 8
+    pred = _ms_pred(s1, s2, coef1, coef2)
     diff = sample - pred
     return max(-8, min(7, int(diff / delta))) & 0x0F
 

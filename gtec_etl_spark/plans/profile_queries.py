@@ -417,10 +417,8 @@ def prof_skew_report(spark, sf_dir):
                 "n_distinct",
                 "max_key_rows",
                 "top10_rows",
-                F.floor(
-                    F.col("max_key_rows") * 1000 * F.col("n_distinct")
-                    / F.col("n_rows")
-                )
+                # exact BIGINT division (`div`), never double-divide-then-floor
+                F.expr("max_key_rows * 1000 * n_distinct div n_rows")
                 .cast("long")
                 .alias("skew_ratio_e3"),
             )

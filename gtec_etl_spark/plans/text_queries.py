@@ -2465,8 +2465,20 @@ def text_fertility_by_lang(spark, sf_dir):
             toks.cast("long").alias("total_tokens"),
             words.cast("long").alias("total_words"),
             chars.cast("long").alias("total_chars"),
-            F.floor(toks * 100 / words).cast("long").alias("tokens_per_100_words"),
-            F.floor(chars * 1000 / toks).cast("long").alias("chars_per_token_e3"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_words",
+            "total_chars",
+            # exact BIGINT division (`div`), never double-divide-then-floor
+            F.expr("total_tokens * 100 div total_words")
+            .cast("long")
+            .alias("tokens_per_100_words"),
+            F.expr("total_chars * 1000 div total_tokens")
+            .cast("long")
+            .alias("chars_per_token_e3"),
         )
         .orderBy("lang")
     )

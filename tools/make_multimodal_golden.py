@@ -668,6 +668,12 @@ def decode_wav_adpcm_golden(
                 out.append(pred)
         return out
 
+    def ms_pred(s1, s2, c1, c2):
+        # truncate-TOWARD-ZERO /256, matching the spec (and ffmpeg) —
+        # a flooring >> 8 differs when the accumulator is negative
+        acc = s1 * c1 + s2 * c2
+        return -((-acc) >> 8) if acc < 0 else acc >> 8
+
     def ms_reconstruct(samples, spb, seed, ch):
         """Per-channel MS track: each block seeds (s2, s1) with the first
         two true samples, a deterministic delta, and a cycling predictor
@@ -679,7 +685,7 @@ def decode_wav_adpcm_golden(
             s2, s1 = samples[b0], samples[b0 + 1]
             out += [s2, s1]
             for s in samples[b0 + 2 : b0 + spb]:
-                pred = (s1 * c1 + s2 * c2) >> 8
+                pred = ms_pred(s1, s2, c1, c2)
                 code = max(-8, min(7, int((s - pred) / delta)))
                 nib = code & 0x0F
                 signed = nib - 16 if nib >= 8 else nib
