@@ -1360,10 +1360,9 @@ def q50_rfm_scores(spark, sf_dir):
     (ties broken by cust_id so the quintile boundaries are
     deterministic in both engines), then the 5x5x5 segment census. The
     global ntile is the one deliberate single-partition window in the
-    registry — at 100 TB you swap it for approx-quantile boundary
-    lookup (prof_equidepth_histogram's machinery) and keep the census
-    keyed; the fixture-scale plan states the SEMANTICS the approximate
-    swap must preserve."""
+    registry — the fixture-scale plan states the ntile SEMANTICS; the
+    shipped 100 TB twin is q50_rfm_scaled (broadcast quintile-boundary
+    scoring over a hierarchical prefix sum — the q43->q47 pattern)."""
     from pyspark.sql import Window
 
     orders = catalog.table(spark, sf_dir, "orders")
@@ -1458,4 +1457,152 @@ def q51_referential_audit(spark, sf_dir):
         .unionByName(edge("lineitem.l_suppkey -> supplier", li, supplier, "l_suppkey", "s_suppkey"))
         .unionByName(edge("orders.o_custkey -> customer", orders, customer, "o_custkey", "c_custkey"))
         .orderBy("fk_edge")
+    )
+
+
+def _rfm_bounds_sql(dim: str) -> str:
+    """Quintile boundaries for one RFM dimension: b_i = smallest value
+    whose cumulative customer count reaches ceil(i*n/5). Pure integer
+    arithmetic over the per-value histogram — exact cross-engine."""
+    mins = ",\n             ".join(
+        f"min(CASE WHEN cum >= ({i}*n+4)//5 THEN v END) AS {dim[0]}b{i}"
+        for i in range(1, 5)
+    )
+    return f"""(
+      SELECT {mins}
+      FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+            FROM (SELECT {dim} AS v, CAST(count(*) AS BIGINT) AS c
+                  FROM rfm GROUP BY 1)), n
+    )"""
+
+
+def _rfm_score_sql(dim: str) -> str:
+    b = dim[0] + "b"
+    return (
+        f"1 + ({dim} > {b}1)::BIGINT + ({dim} > {b}2)::BIGINT"
+        f" + ({dim} > {b}3)::BIGINT + ({dim} > {b}4)::BIGINT"
+    )
+
+
+@query(
+    "q50_rfm_scaled",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS cust_id,
+             CAST(max(CAST(o_orderdate AS DATE)) - DATE '1992-01-01'
+                  AS BIGINT) AS r_val,
+             CAST(count(*) AS BIGINT) AS f_val,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m_val
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+    rb AS {_rfm_bounds_sql("r_val")},
+    fb AS {_rfm_bounds_sql("f_val")},
+    mb AS {_rfm_bounds_sql("m_val")},
+    scored AS (
+      SELECT cust_id,
+             {_rfm_score_sql("r_val")} AS r_score,
+             {_rfm_score_sql("f_val")} AS f_score,
+             {_rfm_score_sql("m_val")} AS m_score
+      FROM rfm, rb, fb, mb
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(cust_id) AS BIGINT) AS min_cust
+    FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+    """,
+    tags=("extended", "window", "scale"),
+)
+def q50_rfm_scaled(spark, sf_dir):
+    """RFM segmentation, the 100 TB plan — q50_rfm_scores states the
+    ntile SEMANTICS; this twin replaces its three global single-partition
+    ntile windows with broadcast quintile-BOUNDARY scoring, the swap
+    q50's own docstring specifies:
+
+      1. per-customer RFM aggregate (keyed, map-side partials) —
+         checkpointed once, reused by all four consumers;
+      2. per dimension: value histogram (keyed groupBy, |distinct| rows)
+         -> hierarchical prefix sum (operators/scale.py:
+         distributed_prefix_sum — no unpartitioned row-scale window)
+         -> the 4 boundary values b_i = min value whose cumulative count
+         reaches ceil(i*n/5), as one global (1-row) aggregate;
+      3. score = 1 + #{boundaries strictly below the value} via three
+         broadcast 1-row joins — embarrassingly parallel;
+      4. keyed 5x5x5 census.
+
+    Semantic difference from q50, by design: equal values share a score
+    (value-quantile semantics), where ntile splits ties by cust_id.
+    That is exactly what a boundary lookup can promise at scale — and
+    what production RFM actually wants (two identical customers should
+    not land in different segments). Every stage is integer-exact, so
+    the DuckDB oracle (same boundary definition via a window over the
+    per-value histogram — oracle-side windows need not scale) hashes
+    identically."""
+    from gtec_etl_spark.operators.scale import distributed_prefix_sum
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("cust_id"))
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.to_date(F.lit("1992-01-01")),
+            )
+            .cast("long")
+            .alias("r_val"),
+            F.count(F.lit(1)).cast("long").alias("f_val"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("m_val"),
+        )
+        .localCheckpoint()  # |customers| rows, reused by 4 consumers
+    )
+
+    def bounds(col: str):
+        hist = rfm.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cum = distributed_prefix_sum(hist, "v", "c", out_col="cum")
+        tot = hist.agg(F.sum("c").alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(tot))  # 1-row global aggregate
+            .agg(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cum") >= F.expr(f"({i}*n+4) div 5"),
+                            F.col("v"),
+                        )
+                    ).alias(f"{col[0]}b{i}")
+                    for i in range(1, 5)
+                ]
+            )
+        )
+
+    def score(dim: str) -> str:
+        b = dim[0] + "b"
+        return (
+            f"1 + cast({dim} > {b}1 as bigint) + cast({dim} > {b}2 as bigint)"
+            f" + cast({dim} > {b}3 as bigint) + cast({dim} > {b}4 as bigint)"
+        )
+
+    scored = (
+        rfm.crossJoin(F.broadcast(bounds("r_val")))  # 1-row boundary tables
+        .crossJoin(F.broadcast(bounds("f_val")))
+        .crossJoin(F.broadcast(bounds("m_val")))
+        .select(
+            "cust_id",
+            F.expr(score("r_val")).alias("r_score"),
+            F.expr(score("f_val")).alias("f_score"),
+            F.expr(score("m_val")).alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("cust_id").cast("long").alias("min_cust"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
     )

@@ -418,3 +418,18 @@ def test_dormant_rich_scalar_broadcast_anti(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_scaled_no_row_scale_global_window(spark):
+    """q50_rfm_scaled exists to kill q50's three global ntile windows: the
+    executed plan must contain NO window whose spec leads with a row-scale
+    column (v = the per-value histogram key; the only legal unpartitioned
+    windows are the prefix-sum super-bucket spines over _b2). Also: no
+    ntile anywhere, and no cartesian."""
+    df = registry.specs()["q50_rfm_scaled"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(v#" in line:
+            raise AssertionError(f"global row-scale window found: {line.strip()}")
