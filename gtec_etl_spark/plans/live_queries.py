@@ -1460,3 +1460,139 @@ def stream_static_join(spark, sf_dir):
             )
         )
     return out.orderBy("segment", "event_type")
+
+
+_LATE_K = 6  # arrival slices (= triggers)
+_LATE_JITTER_S = 7200  # max simulated arrival delay (2 h)
+_LATE_DELAY_S = 1800  # watermark delay (30 min)
+
+
+@query(
+    "stream_lateness_report",
+    oracle=f"""
+    WITH ev AS (
+      SELECT epoch_us(ts) AS ts_us,
+             epoch_us(ts)
+               + ({{h}} % {_LATE_JITTER_S}) * 1000000 AS arr_us
+      FROM events
+    ),
+    b AS (SELECT min(arr_us) AS lo, max(arr_us) AS hi FROM ev),
+    sliced AS (
+      SELECT ts_us,
+             (arr_us - lo) * {_LATE_K} // (hi - lo + 1) AS slice
+      FROM ev, b
+    ),
+    per AS (
+      SELECT slice, CAST(count(*) AS BIGINT) AS n_rows,
+             max(ts_us) AS mx
+      FROM sliced GROUP BY slice
+    ),
+    wm AS (
+      SELECT slice, n_rows,
+             max(mx) OVER (ORDER BY slice
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - {_LATE_DELAY_S} * 1000000 AS wm_us,
+             max(mx) OVER (ORDER BY slice
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max
+      FROM per
+    )
+    SELECT CAST(w.slice AS BIGINT) AS batch_id,
+           w.n_rows,
+           CAST(coalesce(sum(CASE WHEN s.ts_us < w.wm_us THEN 1 END), 0)
+                AS BIGINT) AS n_late,
+           CAST(coalesce(max(CASE WHEN s.ts_us < w.wm_us
+                                  THEN w.wm_us - s.ts_us END), 0)
+                AS BIGINT) AS max_late_us,
+           w.wm_us,
+           w.run_max - w.wm_us AS wm_lag_us
+    FROM wm w JOIN sliced s USING (slice)
+    GROUP BY w.slice, w.n_rows, w.wm_us, w.run_max
+    ORDER BY batch_id
+    """.format(h="CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"),
+    tags=("streaming", "live"),
+)
+def stream_lateness_report(spark, sf_dir):
+    """Streaming OBSERVABILITY — the operational surface the stream_*
+    family's transforms don't cover: a per-trigger watermark-lateness
+    report (late rows under the in-effect watermark, worst lateness,
+    watermark lag) computed in foreachBatch, the report a production
+    pipeline alarms on.
+
+    Deterministic time-sliced replay: each event gets a simulated arrival
+    time ts + (hash60(event_id) mod 2h), the corpus is written as six
+    mtime-ordered single-file slices by equal-width ARRIVAL range
+    (the stream_steady_state slicing contract), and
+    maxFilesPerTrigger=1 replays them one trigger per slice, so
+    batch_id == slice and the whole report is reproducible. The batch
+    twin (the DuckDB oracle) recomputes the identical histogram from
+    event vs arrival time: per-slice max event time, prefix-max over the
+    6-row slice spine = the engine's trigger-boundary watermark rule,
+    then per-slice late counts. All integer micros — exact cross-engine.
+    Spark-side driver state: ONE running-max integer + one row per
+    trigger (streaming/pipelines.py:run_lateness_report)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.functions.hashing import hash60
+    from gtec_etl_spark.streaming import pipelines as P
+
+    ev = catalog.table(spark, sf_dir, "events")
+    arr = F.unix_micros(F.col("ts")) + (
+        hash60(F.col("event_id").cast("string")) % _LATE_JITTER_S
+    ) * F.lit(1_000_000)
+    ev = ev.withColumn("__arr", arr)
+    lo, hi = ev.agg(F.min("__arr"), F.max("__arr")).first()
+    # exact BIGINT division (`div`) — mirrors the oracle's `//` literally
+    sliced = ev.withColumn(
+        "__slice",
+        F.expr(f"(__arr - {lo}) * {_LATE_K} div {hi - lo + 1}").cast("long"),
+    )
+
+    # Pin the parquet timestamp physical type for the slice files: on a
+    # vanilla session Spark writes INT96, which the footer unit probe
+    # (catalog.events_ts_unit) cannot classify. Runtime-settable, restored.
+    _TS_CONF = "spark.sql.parquet.outputTimestampType"
+    old_ts_type = spark.conf.get(_TS_CONF)
+
+    with tempfile.TemporaryDirectory(prefix="lateness_") as tmp:
+        src = os.path.join(tmp, "arrivals")
+        os.makedirs(src)
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
+        for k in range(_LATE_K):
+            stage = os.path.join(tmp, f"stage{k}")
+            sliced.filter(F.col("__slice") == k).select(*cols).coalesce(
+                1
+            ).write.parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"ev{k:03d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + k * 100, 1_700_000_000 + k * 100))
+        spark.conf.set(_TS_CONF, old_ts_type)
+        with P.state_partitions(spark, 8):
+            stream = P.read_events_stream(
+                spark, src, max_files_per_trigger=1, path_glob="ev*.parquet"
+            )
+            rows = P.run_lateness_report(
+                spark, stream, _LATE_DELAY_S, os.path.join(tmp, "ckpt")
+            )
+
+    schema = StructType(
+        [
+            StructField("batch_id", LongType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("n_late", LongType(), False),
+            StructField("max_late_us", LongType(), False),
+            StructField("wm_us", LongType(), True),
+            StructField("wm_lag_us", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [tuple(int(v) if v is not None else None for v in r) for r in rows], schema
+    ).orderBy("batch_id")

@@ -393,3 +393,87 @@ def run_cdc_dimension_maintenance(
     # Stopped query handle: recentProgress stays readable, so callers
     # (tools/stream_steady_state.py) can extract per-trigger telemetry.
     return q
+
+
+def run_lateness_report(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    delay_s: int,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> list[tuple]:
+    """Watermark-lateness OBSERVABILITY: per-trigger report of the metrics
+    a production streaming pipeline alarms on — late-row count, max
+    observed lateness, and watermark lag — computed in foreachBatch (the
+    standard place operational telemetry hangs off Structured Streaming).
+
+    The watermark model is the engine's documented rule: the watermark in
+    effect DURING trigger k is (max event time over triggers < k) − delay
+    — Spark advances it only at trigger boundaries. (The engine itself
+    quantizes event time to MILLISECONDS; this report keeps exact micros —
+    tests/test_streaming.py:test_lateness_report_watermark_matches_engine
+    pins the two to each other at ms granularity per trigger.) Driver state is one
+    integer (the running max event time) plus one report row per trigger;
+    each per-batch aggregate is computed distributed and collapses to a
+    single row, so nothing here scales with batch size.
+
+    Returns [(batch_id, n_rows, n_late, max_late_us, wm_us, wm_lag_us)]:
+      n_late      rows below the in-effect watermark (candidates for
+                  state-store drop — Spark's contract is eviction, not a
+                  strict input filter, so the REPORT is the dependable
+                  surface, the engine's drop behavior is not)
+      max_late_us worst lateness among them (0 if none)
+      wm_us       the in-effect watermark (NULL for the first trigger —
+                  no event time seen yet)
+      wm_lag_us   how far the watermark trails the newest event after the
+                  trigger: max_seen_after − wm
+    """
+    reports: list[tuple] = []
+    state = {"max_us": None}
+    delay_us = delay_s * 1_000_000
+
+    def observe(batch_df: DataFrame, batch_id: int) -> None:
+        wm = None if state["max_us"] is None else state["max_us"] - delay_us
+        ts_us = F.unix_micros(F.col("ts"))
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(ts_us).alias("mx"),
+        ]
+        if wm is not None:
+            late = ts_us < F.lit(wm)
+            aggs += [
+                F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+                F.max(F.when(late, F.lit(wm) - ts_us)).alias("max_late"),
+            ]
+        row = batch_df.agg(*aggs).first()
+        if row["n_rows"] == 0:
+            return  # an empty trigger advances nothing and reports nothing
+        n_late = row["n_late"] if wm is not None else 0
+        max_late = (row["max_late"] if wm is not None else None) or 0
+        new_max = row["mx"] if state["max_us"] is None else max(state["max_us"], row["mx"])
+        state["max_us"] = new_max
+        reports.append(
+            (
+                batch_id,
+                row["n_rows"],
+                int(n_late),
+                int(max_late),
+                wm,
+                None if wm is None else new_max - wm,
+            )
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(observe)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError("lateness-report stream did not finish")
+    return reports

@@ -454,3 +454,93 @@ def test_cdc_dimension_maintenance_versions_and_final_state(spark, tmp_path):
         for r in spark.read.parquet(snap + "/version=1").collect()
     }
     assert v1 == {1: "a2", 3: "c"}
+
+
+def test_lateness_report_watermark_matches_engine(spark, tmp_path):
+    """The lateness report's watermark MODEL (max event time over prior
+    triggers minus delay) must equal the engine's own per-trigger
+    watermark: replay three mtime-ordered slices through a watermarked
+    aggregation and compare StreamingQuery progress eventTime.watermark
+    against the model's prediction for each trigger."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import uuid
+    from datetime import datetime, timezone
+
+    ev = catalog.table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    src = str(tmp_path / "slices")
+    os.makedirs(src)
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        sliced = ev.withColumn(
+            "__s", F.expr(f"(unix_micros(ts) - {lo}) * 3 div {hi - lo + 1}")
+        )
+        for k in range(3):
+            stage = str(tmp_path / f"stage{k}")
+            sliced.filter(F.col("__s") == k).drop("__s").coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"ev{k:03d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+
+    delay_s = 1800
+    with P.state_partitions(spark, 4):
+        stream = P.read_events_stream(
+            spark, src, max_files_per_trigger=1, path_glob="ev*.parquet"
+        )
+        agg = (
+            stream.withWatermark("ts", f"{delay_s} seconds")
+            .groupBy(F.window("ts", "1 hour"))
+            .count()
+        )
+        name = f"wm_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+        progress = [_json.loads(p.json) for p in q.recentProgress]
+
+    # model: watermark during trigger k = max ts of triggers < k - delay
+    per_slice_max = {
+        int(r["__s"]): int(r["mx"])
+        for r in sliced.groupBy("__s").agg(F.max(F.unix_micros("ts")).alias("mx")).collect()
+    }
+    running = None
+    checked = 0
+    slice_idx = 0
+    for p in progress:
+        if p["numInputRows"] == 0:
+            continue
+        # the engine tracks event time in MILLISECONDS: its watermark is
+        # floor_ms(max prior event time) - delay
+        want_wm = (
+            None if running is None else (running // 1000) * 1000 - delay_s * 1_000_000
+        )
+        got = p.get("eventTime", {}).get("watermark")
+        if got is not None and want_wm is not None:
+            got_us = int(
+                datetime.strptime(got, "%Y-%m-%dT%H:%M:%S.%fZ")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+                * 1_000_000
+            )
+            assert got_us == want_wm, (slice_idx, got_us, want_wm)
+            checked += 1
+        mx = per_slice_max[slice_idx]
+        running = mx if running is None else max(running, mx)
+        slice_idx += 1
+    assert checked >= 2  # at least two non-trivial watermark comparisons
