@@ -148,3 +148,68 @@ def bpe_train(
     except Exception:
         vocab.unpersist()
         raise
+
+
+def unigram_viterbi_segments(
+    words: DataFrame, lp_map: dict[str, int], max_piece_len: int = 3
+) -> DataFrame:
+    """Hard-EM (Viterbi) E-step of a unigram-LM tokenizer (Kudo 2018,
+    SentencePiece's model; the reference has no tokenizer — LLM-pipeline
+    extension): segment each DISTINCT word into the vocabulary pieces
+    maximizing the summed integer log-probabilities, and emit one
+    (word, freq, piece) row per path piece.
+
+    Runs as one Arrow mapInPandas pass over the distinct-word vocabulary
+    (the same O(|vocab|)-not-O(corpus) property text_bpe_train argues;
+    per-word DP is embarrassingly parallel). `lp_map` is the BOUNDED
+    piece -> quantized-log-prob table (micro-nats, computed JVM-side with
+    the qln discipline and collected — never a Python ln), so every
+    score is integer arithmetic and the DuckDB oracle's unrolled-CTE DP
+    reproduces it bit-for-bit.
+
+    Determinism contract mirrored by the oracle: forward best[i] = max
+    over piece lengths m of best[i-m] + lp(word[i-m:i]) (missing pieces
+    excluded; single chars are always in the vocabulary so every prefix
+    is reachable); backward reconstruction picks the SMALLEST m whose
+    score equals best[i] at each step."""
+    import pandas as pd
+
+    def kernel(batches):
+        NEG = -(10**15)  # int64-safe sentinel (never -(2**63))
+        for pdf in batches:
+            out_w: list[str] = []
+            out_f: list[int] = []
+            out_p: list[str] = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                best = [NEG] * (n + 1)
+                best[0] = 0
+                for i in range(1, n + 1):
+                    b = NEG
+                    for m in range(1, min(max_piece_len, i) + 1):
+                        lp = lp_map.get(word[i - m : i])
+                        if lp is None:
+                            continue
+                        s = best[i - m] + lp
+                        if s > b:
+                            b = s
+                    best[i] = b
+                pos = n
+                pieces: list[str] = []
+                while pos > 0:
+                    for m in range(1, min(max_piece_len, pos) + 1):
+                        piece = word[pos - m : pos]
+                        lp = lp_map.get(piece)
+                        if lp is not None and best[pos - m] + lp == best[pos]:
+                            pieces.append(piece)
+                            pos -= m
+                            break
+                    else:  # unreachable: single chars are always in vocab
+                        raise ValueError(f"unsegmentable word {word!r}")
+                for p in reversed(pieces):
+                    out_w.append(word)
+                    out_f.append(int(freq))
+                    out_p.append(p)
+            yield pd.DataFrame({"word": out_w, "freq": out_f, "piece": out_p})
+
+    return words.mapInPandas(kernel, "word string, freq long, piece string")

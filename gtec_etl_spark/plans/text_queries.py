@@ -2678,3 +2678,297 @@ def text_doremi_reweight(spark, sf_dir):
         "boost_bp",
         F.expr("_raw_num div _raw_sum").cast("long").alias("new_w_ppm"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer: one hard-EM (Viterbi) iteration over a pinned seed
+# vocabulary — the OTHER tokenizer family large pipelines train (Kudo 2018 /
+# SentencePiece), next to BPE. Constant-iteration + integer-quantized, so the
+# oracle unrolls the per-word DP as CTE stages (the text_bpe_train /
+# graph_pagerank discipline).
+
+UNI_MAXW = 12  # words longer than this are excluded from the training set
+UNI_V = 24  # multi-char seed pieces kept (all single chars always kept)
+UNI_MAXP = 3  # max piece length
+
+
+def _uni_qln(e: str) -> str:
+    return f"CAST(floor(ln({e}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _unigram_ctes() -> str:
+    """WITH-chain: seed vocabulary (all chars + top-{UNI_V} substrings by
+    weighted count), quantized log-probs, forward Viterbi DP unrolled as
+    b1..b{UNI_MAXW} stages, and the backward path reconstruction unrolled
+    as r1..r{UNI_MAXW} stages (smallest-piece tie-break)."""
+    parts = [
+        f"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE len(word) BETWEEN 1 AND {UNI_MAXW}
+      GROUP BY word
+    ),
+    sub AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq, substr(word, i, m) AS piece
+        FROM w,
+             (SELECT unnest(generate_series(1, {UNI_MAXW})) AS i),
+             (SELECT unnest(generate_series(1, {UNI_MAXP})) AS m)
+        WHERE i + m - 1 <= len(word)
+      ) GROUP BY piece
+    ),
+    vocab AS MATERIALIZED (
+      SELECT piece, cnt FROM sub WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM sub WHERE len(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {UNI_V}
+      )
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+    lp AS MATERIALIZED (
+      SELECT piece, cnt,
+             {_uni_qln("cnt")} - (SELECT {_uni_qln("t")} FROM tot) AS lp
+      FROM vocab
+    ),
+    b0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS score FROM w)"""
+    ]
+    for i in range(1, UNI_MAXW + 1):
+        branches = []
+        for m in range(1, UNI_MAXP + 1):
+            if i - m < 0:
+                break
+            branches.append(
+                f"""
+        SELECT b.word, b.freq, b.score + l.lp AS s
+        FROM b{i - m} b JOIN lp l ON l.piece = substr(b.word, {i - m + 1}, {m})
+        WHERE len(b.word) >= {i}"""
+            )
+        parts.append(
+            f""",
+    b{i} AS MATERIALIZED (
+      SELECT word, freq, max(s) AS score
+      FROM ({" UNION ALL ".join(branches)})
+      GROUP BY word, freq
+    )"""
+        )
+    best_rows = " UNION ALL ".join(
+        f"SELECT word, freq, {i} AS pos, score FROM b{i}"
+        for i in range(0, UNI_MAXW + 1)
+    )
+    parts.append(
+        f""",
+    best AS MATERIALIZED ({best_rows}),
+    r0 AS MATERIALIZED (SELECT word, freq, len(word) AS pos, CAST(NULL AS VARCHAR) AS piece
+           FROM w)"""
+    )
+    for j in range(1, UNI_MAXW + 1):
+        parts.append(
+            f""",
+    r{j} AS MATERIALIZED (
+      SELECT word, freq, pos - m AS pos, piece FROM (
+        SELECT r.word, r.freq, r.pos, m.m,
+               substr(r.word, r.pos - m.m + 1, m.m) AS piece,
+               row_number() OVER (PARTITION BY r.word ORDER BY m.m) AS rn
+        FROM r{j - 1} r
+        JOIN (SELECT unnest(generate_series(1, {UNI_MAXP})) AS m) m
+          ON m.m <= r.pos
+        JOIN lp l ON l.piece = substr(r.word, r.pos - m.m + 1, m.m)
+        JOIN best bp ON bp.word = r.word AND bp.pos = r.pos
+        JOIN best bm ON bm.word = r.word AND bm.pos = r.pos - m.m
+        WHERE r.pos > 0 AND bm.score + l.lp = bp.score
+      ) WHERE rn = 1
+    )"""
+        )
+    path_rows = " UNION ALL ".join(
+        f"SELECT word, freq, piece FROM r{j}" for j in range(1, UNI_MAXW + 1)
+    )
+    parts.append(f""",
+    path AS MATERIALIZED ({path_rows})""")
+    return "".join(parts)
+
+
+def _unigram_spark_path(spark, sf_dir):
+    """Shared Spark pipeline: (lp DataFrame, path DataFrame, words
+    DataFrame). lp carries (piece, cnt, lp); path carries one row per
+    Viterbi piece occurrence weighted by word freq."""
+    from gtec_etl_spark.operators.bpe import unigram_viterbi_segments
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        .filter((F.length("word") >= 1) & (F.length("word") <= UNI_MAXW))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    subs = (
+        words.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)), i ->"
+                    f" filter(transform(sequence(1, {UNI_MAXP}), m ->"
+                    f" CASE WHEN i + m - 1 <= length(word)"
+                    f" THEN substring(word, i, m) END), p -> p IS NOT NULL)))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(UNI_V)
+    )
+    vocab = chars.unionByName(multi)
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("t"))
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5)).cast(
+            "long"
+        )
+
+    lp = (
+        vocab.crossJoin(F.broadcast(tot))  # 1-row global aggregate
+        .select("piece", "cnt", (qln(F.col("cnt")) - qln(F.col("t"))).alias("lp"))
+    )
+    # the vocabulary is bounded (alphabet + UNI_V rows) — safe to collect
+    lp_map = {r["piece"]: int(r["lp"]) for r in lp.collect()}
+    path = unigram_viterbi_segments(words, lp_map, UNI_MAXP)
+    return lp, path, words
+
+
+@query(
+    "text_unigram_em",
+    oracle=_unigram_ctes()
+    + f""",
+    emc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS em_count
+            FROM path GROUP BY piece),
+    emt AS (SELECT CAST(sum(em_count) AS BIGINT) AS t FROM emc)
+    SELECT l.piece,
+           l.cnt AS seed_count,
+           l.lp AS seed_lp_micro_nats,
+           CAST(coalesce(e.em_count, 0) AS BIGINT) AS em_count,
+           CASE WHEN e.em_count > 0
+                THEN {_uni_qln("e.em_count")} - (SELECT {_uni_qln("t")} FROM emt)
+           END AS em_lp_micro_nats
+    FROM lp l LEFT JOIN emc e USING (piece)
+    ORDER BY piece
+    """,
+    tags=("text", "tokenizer", "scale"),
+)
+def text_unigram_em(spark, sf_dir):
+    """UNIGRAM-LM tokenizer, one hard-EM iteration (Kudo 2018 — the other
+    tokenizer family production pipelines train, next to BPE): seed
+    vocabulary = every character plus the top-{UNI_V} multi-char
+    substrings (length <= {UNI_MAXP}) by corpus-weighted count; seed
+    probabilities = quantized log cnt/total (micro-nats, the qln
+    discipline — ln only ever sees integer counts); E-step = Viterbi
+    segmentation of every distinct word under those log-probs (one Arrow
+    mapInPandas pass, O(|vocab|) not O(corpus) — text_bpe_train's scale
+    argument); M-step = re-estimated piece counts and log-probs from the
+    path. Emits the full before/after probability table. The oracle
+    unrolls forward DP and backward path reconstruction as
+    2x{UNI_MAXW} CTE stages with the identical smallest-piece tie-break —
+    all integer arithmetic, so exact cross-engine."""
+    lp, path, _ = _unigram_spark_path(spark, sf_dir)
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5)).cast(
+            "long"
+        )
+
+    emc = path.groupBy("piece").agg(F.sum("freq").cast("long").alias("em_count"))
+    emt = emc.agg(F.sum("em_count").cast("long").alias("t"))
+    return (
+        lp.join(emc, "piece", "left")
+        .crossJoin(F.broadcast(emt))  # 1-row global aggregate
+        .select(
+            "piece",
+            F.col("cnt").alias("seed_count"),
+            F.col("lp").alias("seed_lp_micro_nats"),
+            F.coalesce(F.col("em_count"), F.lit(0)).cast("long").alias("em_count"),
+            F.when(
+                F.col("em_count") > 0, qln(F.col("em_count")) - qln(F.col("t"))
+            ).alias("em_lp_micro_nats"),
+        )
+        .orderBy("piece")
+    )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=_unigram_ctes()
+    + _bpe_ctes(BPE_K).replace("\n    WITH tok0", ",\n    tok0", 1)
+    + f"""
+    SELECT * FROM (
+      SELECT 'bpe' AS tokenizer,
+             CAST(sum(freq) AS BIGINT) AS total_words_w,
+             CAST(sum(freq * len(toks)) AS BIGINT) AS total_pieces_w,
+             CAST(sum(freq * len(toks)) * 100 // sum(freq) AS BIGINT)
+               AS pieces_per_100_words
+      FROM tok{BPE_K} WHERE len(word) <= {UNI_MAXW}
+      UNION ALL
+      SELECT 'unigram',
+             (SELECT CAST(sum(freq) AS BIGINT) FROM w),
+             (SELECT CAST(sum(freq) AS BIGINT) FROM path),
+             (SELECT CAST(sum(freq) AS BIGINT) FROM path) * 100
+               // (SELECT CAST(sum(freq) AS BIGINT) FROM w)
+    ) ORDER BY tokenizer
+    """,
+    tags=("text", "tokenizer"),
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    """FERTILITY comparison of the two trained tokenizers — the data-card
+    statistic that picks between them (pieces per 100 words, weighted by
+    word frequency over the same length-filtered vocabulary): BPE after
+    {BPE_K} merges vs unigram-LM after one hard-EM step. Both training
+    loops are O(|distinct words|); the comparison is two 1-row
+    aggregates. Exact integers end to end (piece counts and truncating
+    BIGINT division)."""
+    from gtec_etl_spark.operators import bpe as B
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    _, bvocab = B.bpe_train(docs, BPE_K)
+    try:
+        bpe_row = (
+            bvocab.filter(F.length("word") <= UNI_MAXW)
+            .agg(
+                F.sum("freq").cast("long").alias("total_words_w"),
+                F.sum(F.col("freq") * F.size("toks")).cast("long").alias(
+                    "total_pieces_w"
+                ),
+            )
+            .select(
+                F.lit("bpe").alias("tokenizer"),
+                "total_words_w",
+                "total_pieces_w",
+                F.expr("total_pieces_w * 100 div total_words_w")
+                .cast("long")
+                .alias("pieces_per_100_words"),
+            )
+        )
+        _, path, words = _unigram_spark_path(spark, sf_dir)
+        uni_row = (
+            words.agg(F.sum("freq").cast("long").alias("total_words_w"))
+            .crossJoin(  # 1-row x 1-row global aggregates
+                path.agg(F.sum("freq").cast("long").alias("total_pieces_w"))
+            )
+            .select(
+                F.lit("unigram").alias("tokenizer"),
+                "total_words_w",
+                "total_pieces_w",
+                F.expr("total_pieces_w * 100 div total_words_w")
+                .cast("long")
+                .alias("pieces_per_100_words"),
+            )
+        )
+        out = bpe_row.unionByName(uni_row).orderBy("tokenizer")
+        return out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        bvocab.unpersist()
