@@ -1794,7 +1794,15 @@ def fake_avi_mjpeg(
     video stream: hdrl (avih + strl/strh 'vids'/'MJPG' + strf
     BITMAPINFOHEADER) then a movi LIST with one '00dc' chunk per frame,
     each a REAL baseline grayscale JPEG (operators/jpeg.py:fake_jpeg,
-    q=1) of the per-frame LCG plane (frame f uses seed*1000+f). fps is
+    q=1) of the per-frame LCG plane (frame f uses seed*1000+f); frames
+    with f % 4 == 2 carry a DRI restart interval (RSTn every 2 MCUs) —
+    real MJPEG encoders emit restart markers for error resilience, and
+    the decode-side stride-2 sampling lands on these frames, so the
+    restart path is exercised through the video pipeline, not just the
+    still-image one. Restart coding is lossless (it only resets the DC
+    predictor), so the frame's decoded pixels — and the golden, which
+    recomputes them from the LCG plane + quant math without touching the
+    bitstream — are unchanged. fps is
     carried as strh dwRate/dwScale = fps/1 (exact) and avih
     dwMicroSecPerFrame = 1000000//fps (truncated, informational). No
     idx1 index — streaming parsers (and ours) walk movi directly."""
@@ -1807,7 +1815,14 @@ def fake_avi_mjpeg(
         return chunk(b"LIST", subtype + body)
 
     frames = [
-        fake_jpeg(width, height, seed=seed * 1000 + f, gray=True, q=1)
+        fake_jpeg(
+            width,
+            height,
+            seed=seed * 1000 + f,
+            gray=True,
+            q=1,
+            restart_interval=2 if f % 4 == 2 else 0,
+        )
         for f in range(n_frames)
     ]
     avih = struct.pack(

@@ -966,3 +966,21 @@ def test_tiff_roundtrip_and_boundary():
     blob[at + 8 : at + 10] = st.pack("<H", 5)
     with pytest.raises(NotImplementedError, match="compression=5"):
         M._decode_tiff(bytes(blob))
+
+
+def test_avi_mjpeg_sampled_frames_carry_restart_markers():
+    """The stride-2-sampled frames at f % 4 == 2 must contain a DRI
+    segment and at least one RST marker, proving the video pipeline
+    exercises the restart decode path (r10 verdict #8)."""
+    from gtec_etl_spark.operators.multimodal import fake_avi_mjpeg, _decode_avi
+
+    avi = fake_avi_mjpeg(n_frames=8, width=24, height=17, fps=10, seed=3)
+    *_, frames = _decode_avi(avi)
+    assert len(frames) == 8
+    for f, fr in enumerate(frames):
+        has_dri = b"\xff\xdd" in fr
+        has_rst = any(bytes([0xFF, 0xD0 + k]) in fr for k in range(8))
+        if f % 4 == 2:
+            assert has_dri and has_rst, f"frame {f} missing restart coding"
+        else:
+            assert not has_dri, f"frame {f} unexpectedly has DRI"
