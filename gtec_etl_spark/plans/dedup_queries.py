@@ -1163,3 +1163,78 @@ def dedup_cluster_sizes(spark, sf_dir):
         )
         .orderBy("log2_bucket")
     )
+
+
+@query(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH {_minhash_ctes(16, 4)},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    allp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM allp
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 10000 // (sa.n + sb.n - n_common) >= 8000
+    ),
+    cand AS (SELECT doc_a, doc_b FROM pairs),
+    hits AS (SELECT doc_a, doc_b FROM cand JOIN truth USING (doc_a, doc_b)),
+    cn AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    hn AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits)
+    SELECT n_candidates, n_truth, n_hits,
+           CAST(n_hits * 10000 // n_candidates AS BIGINT) AS precision_bp,
+           CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_bp
+    FROM cn, tn, hn
+    """,
+    tags=("dedup", "quality"),
+)
+def dedup_lsh_eval(spark, sf_dir):
+    """DEDUP-QUALITY evaluation — the report that answers "is the LSH
+    configuration good enough to replace the exact pass?": candidate
+    pairs from MinHash-LSH banding (16 hashes, 4 bands) scored against
+    the exact shared-shingle truth set (true Jaccard >= 0.8, integer
+    basis points) as one precision/recall row. sim_recall_report is the
+    ANN analog; this closes the loop for the dedup family — production
+    pipelines re-run it whenever bands/rows/shingle-width change, at a
+    SAMPLED scale (the truth side is the uncapped exact join, priced
+    accordingly; the LSH side is the 100 TB path being certified).
+    Precision counts banding's false positives (verify-pass workload),
+    recall its false negatives (missed near-dups). All-integer
+    arithmetic, exact cross-engine."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    cand = D.lsh_candidate_pairs(sigs, 16, 4).select("doc_a", "doc_b")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    truth = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .filter(F.expr("n_common * 10000 div (n_a + n_b - n_common) >= 8000"))
+        .select("doc_a", "doc_b")
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nc.crossJoin(nt)  # 1-row x 1-row global aggregates
+        .crossJoin(nh)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_candidates").cast("long").alias("precision_bp"),
+            F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_bp"),
+        )
+    )
