@@ -386,6 +386,7 @@ def fake_jpeg(
     q: int = 1,
     restart_interval: int = 0,
     precision: int = 8,
+    maxval: int | None = None,
 ) -> bytes:
     """Deterministic REAL baseline JPEG from the shared LCG stream.
     gray=True emits a 1-component scan; otherwise 3 components with
@@ -393,12 +394,19 @@ def fake_jpeg(
     ARE the LCG streams (no RGB->YCbCr step: the decoder only
     reconstructs Y, and random chroma planes still exercise the full
     entropy decode). q scales the flat quant table (q=1 keeps the
-    roundtrip within DCT rounding of lossless)."""
+    roundtrip within DCT rounding of lossless). maxval bounds the LCG
+    plane's value range (x % (maxval+1)) — scene-structured video
+    fixtures use it to give scenes distinct luma DISTRIBUTIONS, which a
+    histogram shot detector can see (two full-range noise planes have
+    near-identical histograms)."""
     if subsample not in (1, 2):
         raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
-    maxval = (1 << precision) - 1
+    if maxval is None:
+        maxval = (1 << precision) - 1
+    elif not (0 < maxval < (1 << precision)):
+        raise ValueError(f"maxval {maxval} out of range for {precision}-bit")
     shift = float(1 << (precision - 1))
     dc_enc = _DC12_ENC if precision == 12 else _DC_ENC
     ac_enc = _AC12_ENC if precision == 12 else _AC_ENC

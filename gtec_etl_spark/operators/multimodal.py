@@ -1788,7 +1788,8 @@ def banded_hamming_pairs(
 
 
 def fake_avi_mjpeg(
-    n_frames: int, width: int, height: int, fps: int, seed: int
+    n_frames: int, width: int, height: int, fps: int, seed: int,
+    scene_len: int = 1,
 ) -> bytes:
     """Deterministic REAL AVI container (RIFF 'AVI ') carrying an MJPEG
     video stream: hdrl (avih + strl/strh 'vids'/'MJPG' + strf
@@ -1814,14 +1815,24 @@ def fake_avi_mjpeg(
     def lst(subtype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", subtype + body)
 
+    # scene_len > 1 groups consecutive frames into SCENES sharing one LCG
+    # plane (frame seed keys on f // scene_len): within a scene decoded
+    # frames are identical, across scenes BOTH the pixels and the luma
+    # RANGE jump (alternating maxval 255 / 95) — two full-range noise
+    # planes have near-identical histograms, so a histogram detector
+    # needs the distribution itself to move at a cut. This is the ground
+    # truth mm_video_shot_detect must recover exactly.
     frames = [
         fake_jpeg(
             width,
             height,
-            seed=seed * 1000 + f,
+            seed=seed * 1000 + f // scene_len,
             gray=True,
             q=1,
             restart_interval=2 if f % 4 == 2 else 0,
+            maxval=None
+            if scene_len == 1
+            else (255 if (f // scene_len) % 2 == 0 else 95),
         )
         for f in range(n_frames)
     ]
@@ -1943,6 +1954,90 @@ def avi_media_table(spark, n: int = 8) -> DataFrame:
              ("video/x-msvideo", f"mem://avi/{i}.avi"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# (n_frames, width, height, fps) scene-structured AVI cycle; scenes of
+# SHOT_SCENE_LEN consecutive identical frames.
+SCENE_CYCLE = ((9, 16, 16, 10), (6, 24, 16, 15), (8, 16, 8, 30), (12, 8, 8, 25))
+SHOT_SCENE_LEN = 3
+SHOT_BINS = 16
+
+
+def scene_avi_media_table(spark, n: int = 8) -> DataFrame:
+    """Deterministic media table of scene-structured AVI/MJPEG payloads
+    (runs of SHOT_SCENE_LEN identical frames, hard cuts between runs)."""
+    rows = []
+    for i in range(n):
+        nf, w, h, fps = SCENE_CYCLE[i % len(SCENE_CYCLE)]
+        rows.append(
+            (
+                i,
+                "video",
+                bytearray(
+                    fake_avi_mjpeg(nf, w, h, fps, seed=i, scene_len=SHOT_SCENE_LEN)
+                ),
+                ("video/x-msvideo", f"mem://scene/{i}.avi"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def detect_shots(media: DataFrame, bins: int = SHOT_BINS) -> DataFrame:
+    """SHOT-BOUNDARY detection — the first video-analysis pass a training
+    pipeline runs before frame sampling (sample per shot, not per clip):
+    decode EVERY frame, build a `bins`-bin luma histogram (bin =
+    byte >> 4 for 16 bins — exact integer binning), L1-distance between
+    consecutive frames' histograms, and declare a cut when
+    L1 > n_pixels/2 (identical frames give L1 = 0; a hard cut between
+    independent planes moves most mass). One Arrow pass; per-clip output
+    is fixed-size (counts + L1 extrema), never per-frame rows."""
+    from gtec_etl_spark.operators.jpeg import decode_jpeg
+
+    shift = 8 - (bins - 1).bit_length()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, n_frames, frames = _decode_avi(bytes(content))
+                npix = w * h
+                prev = None
+                n_cuts = 0
+                max_l1 = 0
+                total_l1 = 0
+                for fr in frames:
+                    fw, fh, gray = decode_jpeg(fr)
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"frame size {fw}x{fh} != container {w}x{h}"
+                        )
+                    g = np.frombuffer(gray, dtype=np.uint8)
+                    hist = np.bincount(g >> shift, minlength=bins).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        l1 = int(np.abs(hist - prev).sum())
+                        total_l1 += l1
+                        max_l1 = max(max_l1, l1)
+                        if 2 * l1 > npix:
+                            n_cuts += 1
+                    prev = hist
+                rows.append(
+                    (mid, w, h, len(frames), n_cuts, max_l1, total_l1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "n_shot_cuts", "max_l1", "total_l1",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, width long, height long, n_frames long,"
+        " n_shot_cuts long, max_l1 long, total_l1 long",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -737,3 +737,102 @@ def graph_degree_distribution(spark, sf_dir):
         )
         .orderBy("log2_bucket")
     )
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        """
+    WITH p AS MATERIALIZED (
+      SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 48
+    ),
+    e0 AS MATERIALIZED (
+      SELECT c AS a, s AS b FROM p UNION ALL SELECT s AS a, c AS b FROM p
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    k{i} AS MATERIALIZED (
+      SELECT a FROM e{i - 1} GROUP BY a HAVING count(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      JOIN k{i} x ON x.a = e.a
+      JOIN k{i} y ON y.a = e.b
+    )"""
+        )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round,"
+        f" (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM e{i}) AS n_nodes,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{i}) AS n_edges_directed"
+        for i in range(0, rounds + 1)
+    )
+    return parts[0] + "".join(parts[1:]) + f"\n    SELECT * FROM ({rows}) ORDER BY round"
+
+
+@query(
+    "graph_kcore",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+    tags=("graph", "scale"),
+)
+def graph_kcore(spark, sf_dir):
+    """{K}-CORE decomposition by iterative peeling — the graph-condensation
+    step community detection and fraud pipelines run before the expensive
+    algorithms (drop every node with degree < {K}, repeat; what survives
+    is the {K}-core). Spec is a fixed {R}-round peel (the graph_pagerank
+    constant-iteration discipline — both engines run exactly {R} rounds;
+    convergence is OBSERVABLE in the output as consecutive equal rows
+    rather than asserted by a data-dependent stop). Emits the peeling
+    curve (round, surviving nodes, surviving directed edges) over the
+    sparse high-quantity co-purchase graph (graph_connected_components'
+    spine). Spark side: per round one keyed degree count + two semi-join
+    filters + localCheckpoint (lineage truncation); per-round driver
+    state is two scalar counts. Oracle: the same peel unrolled as {R}
+    MATERIALIZED CTE stages."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_quantity") >= 48)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
+    )
+    out_rows = []
+
+    def counts(e, rnd):
+        n_nodes = e.select("a").distinct().count()
+        n_edges = e.count()
+        out_rows.append((rnd, n_nodes, n_edges))
+
+    counts(edges, 0)
+    for i in range(1, KCORE_ROUNDS + 1):
+        keep = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("a")
+        )
+        edges = (
+            edges.join(keep, "a")
+            .join(keep.withColumnRenamed("a", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        counts(edges, i)
+    return spark.createDataFrame(
+        [(int(r), int(n), int(e)) for r, n, e in out_rows],
+        "round long, n_nodes long, n_edges_directed long",
+    ).orderBy("round")

@@ -1596,3 +1596,35 @@ def stream_lateness_report(spark, sf_dir):
     return spark.createDataFrame(
         [tuple(int(v) if v is not None else None for v in r) for r in rows], schema
     ).orderBy("batch_id")
+
+
+@query(
+    "mm_video_shot_detect",
+    oracle=f"""
+    SELECT media_id, width, height, n_frames, n_shot_cuts, max_l1, total_l1
+    FROM '{_MM_GOLDEN}/mm_video_shots.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_video_shot_detect(spark, sf_dir):
+    """SHOT-BOUNDARY detection over scene-structured MJPEG video — the
+    first video-analysis pass a training pipeline runs before frame
+    sampling (sample per SHOT, not per clip, or a 2-hour static scene
+    contributes 7200 near-identical frames). Clips are runs of 3
+    identical frames with hard cuts between runs, where a cut moves the
+    luma DISTRIBUTION (alternating value ranges) — deliberately so,
+    because two independent full-range noise planes have near-identical
+    histograms and a histogram detector that 'passed' on them would be
+    vacuous. Detector: per-frame 16-bin luma histogram (byte >> 4, exact
+    integers), L1 distance between consecutive frames, cut when
+    2*L1 > n_pixels; per-clip output is (cuts, L1 extrema) — fixed-size
+    regardless of clip length, computed in one Arrow pass
+    (operators/multimodal.py:detect_shots). Oracle = golden recomputing
+    every frame with the codec-free flat-quant DCT math
+    (tools/make_multimodal_golden.py:video_shot_golden — container, JPEG
+    bitstream, and operator module never touched)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.scene_avi_media_table(spark, n=8)
+    return M.detect_shots(media).orderBy("media_id")

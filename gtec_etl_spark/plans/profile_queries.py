@@ -431,3 +431,77 @@ def prof_skew_report(spark, sf_dir):
         .unionByName(branch(orders, "o_custkey"))
     )
     return out.orderBy("key_col")
+
+
+# Benford first-digit expectations in basis points: floor(log10(1+1/d)*1e4+.5)
+# — precomputed literals so neither engine evaluates a transcendental.
+BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in BENFORD_BP.items()
+) + " END"
+
+
+@query(
+    "prof_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    per AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+            FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM per)
+    SELECT digit, n_orders,
+           CAST(n_orders * 10000 // t AS BIGINT) AS share_bp,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_bp,
+           CAST(n_orders * 10000 // t AS BIGINT)
+             - CAST({_BENFORD_CASE} AS BIGINT) AS delta_bp
+    FROM per, tot ORDER BY digit
+    """,
+    tags=("profile", "quality"),
+)
+def prof_benford_digits(spark, sf_dir):
+    """BENFORD first-digit audit of order totals — the classic financial
+    data-forensics screen (fabricated or truncated monetary data drifts
+    from the log-uniform first-digit law; a data-profiling report flags
+    columns whose delta is implausible). Per leading digit of the
+    integer-cents total: count, observed share (basis points, truncating
+    integer division), the Benford expectation (precomputed literal bp —
+    no transcendental is evaluated in either engine), and the delta. One
+    keyed 9-bucket aggregate with map-side partials; the 1-row total
+    broadcasts. NOTE the synthetic uniform totals deliberately FAIL the
+    law — the point of the audit row is the delta column itself."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    per = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    tot = per.agg(F.sum("n_orders").cast("long").alias("t"))
+    benford = (
+        "CASE digit "
+        + " ".join(f"WHEN {k} THEN {v}" for k, v in BENFORD_BP.items())
+        + " END"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row global aggregate
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("n_orders * 10000 div t").cast("long").alias("share_bp"),
+            F.expr(benford).cast("long").alias("benford_bp"),
+            (
+                F.expr("n_orders * 10000 div t") - F.expr(benford)
+            ).cast("long").alias("delta_bp"),
+        )
+        .orderBy("digit")
+    )

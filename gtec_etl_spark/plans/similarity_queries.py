@@ -2018,3 +2018,125 @@ def sim_embedding_profile(spark, sf_dir):
         .cast("long")
         .alias("n_zero_vectors"),
     )
+
+
+FILTER_OVERFETCH = 30  # post-filter candidate overfetch (3x the final k)
+
+
+@query(
+    "sim_filtered_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    pre AS (
+      SELECT vec_id,
+             round({_dot_sql('embedding', 'qv')}
+                   / (norm * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+      FROM e CROSS JOIN q
+      WHERE vec_id % 3 = 1
+      ORDER BY {_dot_sql('embedding', 'qv')}
+               / (norm * sqrt({_dot_sql('qv', 'qv')})) DESC, vec_id
+      LIMIT 10
+    ),
+    dims AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS d,
+             embedding AS ev
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(cv ORDER BY d) AS centroid FROM (
+        SELECT label, d, round(avg(CAST(ev[d] AS DOUBLE)), 4) AS cv
+        FROM dims GROUP BY label, d
+      ) GROUP BY label
+    ),
+    best AS (
+      SELECT label FROM cent CROSS JOIN q
+      ORDER BY {_dot_sql('centroid', 'qv')} /
+               (sqrt({_dot_sql('centroid', 'centroid')})
+                * sqrt({_dot_sql('qv', 'qv')})) DESC, label
+      LIMIT 1
+    ),
+    over_ AS (
+      SELECT vec_id,
+             round({_dot_sql('embedding', 'qv')}
+                   / (norm * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+      FROM e CROSS JOIN q
+      WHERE vec_id IN (SELECT vec_id FROM embeddings
+                       WHERE label = (SELECT label FROM best))
+      ORDER BY {_dot_sql('embedding', 'qv')}
+               / (norm * sqrt({_dot_sql('qv', 'qv')})) DESC, vec_id
+      LIMIT {FILTER_OVERFETCH}
+    ),
+    post AS (
+      SELECT vec_id, cosine FROM over_
+      WHERE vec_id % 3 = 1
+      ORDER BY cosine DESC, vec_id LIMIT 10
+    )
+    SELECT * FROM (
+      SELECT 'prefilter_exact' AS strategy, vec_id, cosine FROM pre
+      UNION ALL
+      SELECT 'postfilter_ivf', vec_id, cosine FROM post
+    ) ORDER BY strategy, cosine DESC, vec_id
+    """,
+    tags=("similarity",),
+)
+def sim_filtered_search(spark, sf_dir):
+    """FILTERED vector search — the query production retrieval actually
+    runs (a tenant / category / licence predicate conjoined with top-k),
+    and the strategy fork every vector store documents: PRE-FILTER (apply
+    the predicate, exact top-k over survivors — correct but loses the
+    index's pruning when the filter is sparse) vs POST-FILTER with
+    overfetch (IVF-probe the nearest cell, take {FILTER_OVERFETCH}
+    candidates, THEN filter and cut to 10 — keeps the index but can come
+    back short or worse when the predicate decimates the cell). The
+    metadata predicate here is vec_id % 3 = 1 (a synthetic tenant tag);
+    both arms are emitted under a strategy column so the recall gap is
+    directly visible in the result. Pre-filter arm: one scan, broadcast
+    query, TakeOrderedAndProject. Post-filter arm: broadcast K-row
+    centroid table + one-cell semi-join (sim_ivf_probe's plan) + bounded
+    re-rank. All cosines rounded to 4 decimals on the parity-proven
+    path."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 3 == 1
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+
+    pre = S.brute_force_topk(emb.filter(pred & (F.col("vec_id") != 0)), qv, 10)
+
+    dims = emb.select("label", F.posexplode("embedding").alias("d", "x"))
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("pairs"))
+        .select("label", F.expr("transform(pairs, p -> p.cv)").alias("centroid"))
+    )
+    qn = S.with_norm(qv.select(F.col("q").alias("qv")), "qv", "qnorm")
+    cent_cos = S.dot(F.col("centroid"), F.col("qv")) / (
+        F.sqrt(S.dot(F.col("centroid"), F.col("centroid"))) * F.col("qnorm")
+    )
+    best = (
+        cent.crossJoin(F.broadcast(qn))
+        .orderBy(cent_cos.desc(), F.col("label"))
+        .limit(1)
+        .select("label")
+    )
+    cell = emb.join(F.broadcast(best), "label", "left_semi").filter(
+        F.col("vec_id") != 0
+    )
+    over = S.brute_force_topk(cell, qv, FILTER_OVERFETCH)
+    post = (
+        over.filter(pred)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+    return (
+        pre.select(F.lit("prefilter_exact").alias("strategy"), "vec_id", "cosine")
+        .unionByName(
+            post.select(F.lit("postfilter_ivf").alias("strategy"), "vec_id", "cosine")
+        )
+        .orderBy("strategy", F.col("cosine").desc(), "vec_id")
+    )

@@ -984,3 +984,24 @@ def test_avi_mjpeg_sampled_frames_carry_restart_markers():
             assert has_dri and has_rst, f"frame {f} missing restart coding"
         else:
             assert not has_dri, f"frame {f} unexpectedly has DRI"
+
+
+def test_detect_shots_recovers_scene_structure(spark):
+    """detect_shots must find exactly (n_scenes - 1) cuts on the
+    scene-structured fixture: within-scene frames are identical (L1 = 0),
+    cuts move the luma range. Checks every clip in the media table."""
+    from gtec_etl_spark.operators.multimodal import (
+        SCENE_CYCLE,
+        SHOT_SCENE_LEN,
+        detect_shots,
+        scene_avi_media_table,
+    )
+
+    media = scene_avi_media_table(spark, n=8)
+    got = {r["media_id"]: r for r in detect_shots(media).collect()}
+    for i in range(8):
+        nf = SCENE_CYCLE[i % len(SCENE_CYCLE)][0]
+        n_scenes = -(-nf // SHOT_SCENE_LEN)
+        assert got[i]["n_shot_cuts"] == n_scenes - 1, (i, dict(got[i].asDict()))
+        assert got[i]["n_frames"] == nf
+        assert got[i]["max_l1"] > 0

@@ -66,6 +66,7 @@ BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "sim_topk_bruteforce": "single query vector selected by key equality",
     "sim_range_search": "single query vector selected by key equality",
     "sim_recall_report": "composition of sim_topk_bruteforce/sim_ivf_probe/sim_ivf_multiprobe — every inherited hint is one of their allowlisted bounded sides (K-row centroid tables, single query vectors)",
+    "sim_filtered_search": "K-row centroid table (fixed K) + single query vector — sim_ivf_probe's bounded sides, plus the pre-filter arm's single query vector",
     "sim_ivf_probe": "K-row centroid table (fixed K) + single query vector",
     "sim_ivf_multiprobe": "K-row centroid table (fixed K) + single query vector",
     "sketch_bloom_join": "bitmap words keyed by position>>5 — fixed BLOOM_M/32 = 256 rows regardless of build-side size",

@@ -1014,6 +1014,10 @@ def main() -> None:
         os.path.join(OUT_DIR, "mm_video.parquet"),
     )
     pq.write_table(
+        video_shot_golden(),
+        os.path.join(OUT_DIR, "mm_video_shots.parquet"),
+    )
+    pq.write_table(
         decode_gif_golden(),
         os.path.join(OUT_DIR, "mm_decode_gif.parquet"),
     )
@@ -1056,3 +1060,64 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def video_shot_golden(n: int = 8) -> pa.Table:
+    """Expected output of mm_video_shot_detect: scene-structured AVI clips
+    (SCENE_CYCLE, scenes of 3 identical frames) whose per-frame decoded
+    luma is recomputed with the codec-free flat-quant DCT math (see
+    decode_video_golden) — then 16-bin histograms (byte >> 4), consecutive
+    L1 distances, and cuts where 2*L1 > n_pixels. Container, JPEG
+    bitstream, and the operator module are never touched."""
+    cycle = ((9, 16, 16, 10), (6, 24, 16, 15), (8, 16, 8, 30), (12, 8, 8, 25))
+    scene_len = 3
+    T = np.zeros((8, 8))
+    for k in range(8):
+        for m in range(8):
+            c = (1 / np.sqrt(2)) if k == 0 else 1.0
+            T[k, m] = 0.5 * c * np.cos((2 * m + 1) * k * np.pi / 16)
+    qtab = np.full((8, 8), 2.0)
+    qtab[0, 0] = 1.0
+
+    def lcg(seed: int, count: int, maxval: int) -> np.ndarray:
+        x = (seed * 2654435761) % (2**32)
+        vals = np.empty(count, dtype=np.float64)
+        for i in range(count):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % (maxval + 1)
+        return vals
+
+    rows = []
+    for mid in range(n):
+        nf, w, h, fps = cycle[mid % 4]
+        npix = w * h
+        prev = None
+        n_cuts = 0
+        max_l1 = 0
+        total_l1 = 0
+        for f in range(nf):
+            scene = f // scene_len
+            mv = 255 if scene % 2 == 0 else 95  # alternating luma range
+            plane = lcg(mid * 1000 + scene, npix, mv).reshape(h, w)
+            recon = np.zeros_like(plane)
+            for r0 in range(0, h, 8):
+                for c0 in range(0, w, 8):
+                    blk = plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                    coef = np.rint((T @ blk @ T.T) / qtab) * qtab
+                    recon[r0 : r0 + 8, c0 : c0 + 8] = T.T @ coef @ T + 128.0
+            g = np.clip(np.rint(recon), 0, 255).astype(np.uint8)
+            hist = np.bincount(g.reshape(-1) >> 4, minlength=16).astype(np.int64)
+            if prev is not None:
+                l1 = int(np.abs(hist - prev).sum())
+                total_l1 += l1
+                max_l1 = max(max_l1, l1)
+                if 2 * l1 > npix:
+                    n_cuts += 1
+            prev = hist
+        rows.append(
+            {
+                "media_id": mid, "width": w, "height": h, "n_frames": nf,
+                "n_shot_cuts": n_cuts, "max_l1": max_l1, "total_l1": total_l1,
+            }
+        )
+    return pa.Table.from_pylist(rows)
