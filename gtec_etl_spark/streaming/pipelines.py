@@ -401,6 +401,7 @@ def run_lateness_report(
     delay_s: int,
     checkpoint_dir: str,
     timeout_sec: int = 120,
+    query_out: list | None = None,
 ) -> list[tuple]:
     """Watermark-lateness OBSERVABILITY: per-trigger report of the metrics
     a production streaming pipeline alarms on — late-row count, max
@@ -476,4 +477,6 @@ def run_lateness_report(
             q.stop()
     if not finished:
         raise TimeoutError("lateness-report stream did not finish")
+    if query_out is not None:
+        query_out.append(q)  # telemetry handle for the steady-state bench
     return reports

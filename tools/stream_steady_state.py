@@ -270,6 +270,7 @@ def main() -> None:
             "stream_cdc_snapshot": run_cdc_maintenance(
                 spark, args.sf_dir, replay_dir
             ),
+            "stream_lateness_report": run_lateness(spark, replay_dir),
         }
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
@@ -294,3 +295,27 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def run_lateness(spark, replay_dir: str) -> dict:
+    """Steady-state of the watermark-lateness OBSERVER
+    (stream_lateness_report's foreachBatch topology): per-trigger cost of
+    one distributed 1-row aggregate plus O(1) driver state — the
+    observability tax a production pipeline pays per trigger, which
+    should be flat and small."""
+    import os as _os
+
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        qh: list = []
+        P.run_lateness_report(
+            spark,
+            ev,
+            1800,
+            _os.path.join(replay_dir, "lateness_ckpt"),
+            timeout_sec=300,
+            query_out=qh,
+        )
+        return progress_stats(qh[0])
