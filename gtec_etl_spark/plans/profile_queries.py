@@ -505,3 +505,69 @@ def prof_benford_digits(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "prof_exact_median_scaled",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    lo AS (SELECT v AS lo_median_cents FROM s
+           ORDER BY v LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n)),
+    hi AS (SELECT v AS hi_median_cents FROM s
+           ORDER BY v LIMIT 1 OFFSET (SELECT (n + 2) // 2 - 1 FROM n))
+    SELECT n.n AS n_orders, lo.lo_median_cents, hi.hi_median_cents,
+           lo.lo_median_cents + hi.hi_median_cents AS median_cents_x2
+    FROM n, lo, hi
+    """,
+    tags=("profile", "scale"),
+)
+def prof_exact_median_scaled(spark, sf_dir):
+    """EXACT median at scale — the missing rung between
+    prof_event_value_stats (exact median via a sort, fixture-scale) and
+    the documented approx_percentile swap: rank selection over a value
+    HISTOGRAM with a hierarchical prefix sum, the same machinery as
+    q50_rfm_scaled's quintile boundaries (operators/scale.py:
+    distributed_prefix_sum — no unpartitioned row-scale window, no global
+    sort). Emits lower and upper median of integer order-total cents plus
+    their SUM (the even-n median times two — kept integer rather than
+    introducing a float halving). At 100 TB: one keyed histogram
+    aggregate, a three-level prefix sum whose only unpartitioned window
+    sees ~|distinct|/4096^2 rows, and a 1-row boundary aggregate. The
+    oracle selects the same ranks by OFFSET (oracle-side sorts need not
+    scale)."""
+    from gtec_etl_spark.operators.scale import distributed_prefix_sum
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    hist = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = distributed_prefix_sum(hist, "v", "c", out_col="cum")
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row global aggregate
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v"))
+            )
+            .cast("long")
+            .alias("lo_median_cents"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 2) div 2"), F.col("v"))
+            )
+            .cast("long")
+            .alias("hi_median_cents"),
+        )
+        .select(
+            "n_orders",
+            "lo_median_cents",
+            "hi_median_cents",
+            (F.col("lo_median_cents") + F.col("hi_median_cents")).alias(
+                "median_cents_x2"
+            ),
+        )
+    )
