@@ -571,3 +571,56 @@ def prof_exact_median_scaled(spark, sf_dir):
             ),
         )
     )
+
+
+K_ANON = 5
+
+
+@query(
+    "prof_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT) AS grp
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(length(bin(grp)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(grp) AS BIGINT) AS n_customers,
+           CAST(min(grp) AS BIGINT) AS min_group,
+           CAST(sum(CASE WHEN grp < {K_ANON} THEN grp ELSE 0 END) AS BIGINT)
+             AS n_below_k
+    FROM g GROUP BY 1 ORDER BY log2_bucket
+    """,
+    tags=("profile", "quality"),
+)
+def prof_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY audit — the privacy screen a data-governance pass runs
+    before a table leaves the curated zone: every quasi-identifier
+    combination (market segment x nation here) must describe at least
+    K={K_ANON} individuals, or those rows are re-identification risks.
+    Emits the group-size distribution in exact log2 buckets (the
+    graph_degree_distribution convention) with the at-risk row count per
+    bucket. One keyed aggregate over the QI tuple (map-side partials),
+    then a <=30-row census — group cardinality is the QI domain, so the
+    report is fixed-size at any corpus scale. The reference's restricted
+    sources (S9) gate ACCESS; this audits the DATA — the other half of
+    the governance story."""
+    customer = catalog.table(spark, sf_dir, "customer")
+    g = customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("grp")
+    )
+    return (
+        g.groupBy(
+            (F.length(F.bin(F.col("grp"))) - 1).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("grp").cast("long").alias("n_customers"),
+            F.min("grp").cast("long").alias("min_group"),
+            F.sum(F.when(F.col("grp") < K_ANON, F.col("grp")).otherwise(0))
+            .cast("long")
+            .alias("n_below_k"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -246,6 +246,31 @@ def run_static_join(spark, sf_dir: str, replay_dir: str) -> dict:
         return progress_stats(q)
 
 
+
+def run_lateness(spark, replay_dir: str) -> dict:
+    """Steady-state of the watermark-lateness OBSERVER
+    (stream_lateness_report's foreachBatch topology): per-trigger cost of
+    one distributed 1-row aggregate plus O(1) driver state — the
+    observability tax a production pipeline pays per trigger, which
+    should be flat and small."""
+    import os as _os
+
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        qh: list = []
+        P.run_lateness_report(
+            spark,
+            ev,
+            1800,
+            _os.path.join(replay_dir, "lateness_ckpt"),
+            timeout_sec=300,
+            query_out=qh,
+        )
+        return progress_stats(qh[0])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -267,10 +292,12 @@ def main() -> None:
             "stream_static_join": run_static_join(
                 spark, args.sf_dir, replay_dir
             ),
+            # lateness BEFORE cdc: run_cdc_maintenance stages cdc_* dirs
+            # inside replay_dir, which breaks later *.parquet glob streams
+            "stream_lateness_report": run_lateness(spark, replay_dir),
             "stream_cdc_snapshot": run_cdc_maintenance(
                 spark, args.sf_dir, replay_dir
             ),
-            "stream_lateness_report": run_lateness(spark, replay_dir),
         }
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
@@ -296,26 +323,3 @@ def main() -> None:
 if __name__ == "__main__":
     main()
 
-
-def run_lateness(spark, replay_dir: str) -> dict:
-    """Steady-state of the watermark-lateness OBSERVER
-    (stream_lateness_report's foreachBatch topology): per-trigger cost of
-    one distributed 1-row aggregate plus O(1) driver state — the
-    observability tax a production pipeline pays per trigger, which
-    should be flat and small."""
-    import os as _os
-
-    from gtec_etl_spark.streaming import pipelines as P
-
-    with P.state_partitions(spark, 8):
-        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
-        qh: list = []
-        P.run_lateness_report(
-            spark,
-            ev,
-            1800,
-            _os.path.join(replay_dir, "lateness_ckpt"),
-            timeout_sec=300,
-            query_out=qh,
-        )
-        return progress_stats(qh[0])
