@@ -1617,46 +1617,56 @@ def q50_rfm_scaled(spark, sf_dir):
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     pt AS (
-      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+      SELECT l_partkey,
+             CAST(sum(qty) AS BIGINT) AS total_qty,
+             (min(struct_pack(nq := -qty, sk := l_suppkey))).sk AS lead_supp,
+             -(min(struct_pack(nq := -qty, sk := l_suppkey))).nq AS lead_qty
       FROM ps GROUP BY l_partkey
-    ),
-    dom AS (
-      SELECT ps.l_suppkey, ps.l_partkey
-      FROM ps JOIN pt USING (l_partkey)
-      WHERE 2 * ps.qty > pt.total_qty
     )
     SELECT s.s_suppkey AS supp_id, s.s_name AS supp_name,
-           CAST(count(*) AS BIGINT) AS n_dominated_parts
-    FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+           CAST(count(*) AS BIGINT) AS n_led_parts,
+           CAST(sum(10000 * lead_qty // total_qty) AS BIGINT)
+             AS total_share_bp
+    FROM pt JOIN supplier s ON s.s_suppkey = pt.lead_supp
     GROUP BY 1, 2
-    ORDER BY n_dominated_parts DESC, supp_id LIMIT 20
+    ORDER BY n_led_parts DESC, supp_id LIMIT 20
     """,
     tags=("extended", "join"),
 )
 def q52_dominant_supplier(spark, sf_dir):
     """TPC-H Q20's decorrelated shape adapted to the reduced schema (no
-    partsupp/availqty): a supplier DOMINATES a part when it shipped more
-    than half that part's total quantity — Q20's correlated
-    'quantity > 0.5 * (SELECT sum(...))' subquery, rewritten the way the
-    engine always decorrelates it: per-(part, supplier) aggregate, a
-    second per-part rollup OF THE FIRST (no second lineitem pass), an
-    integer-exact share predicate (2*qty > total, never a float half),
-    and the top-20 dominant suppliers. Two keyed aggregations + one
-    dimension join + TakeOrderedAndProject — every shuffle is on the
-    natural keys; the wide lineitem scan prunes to three columns."""
+    partsupp/availqty): per part, the LEADING supplier by shipped
+    quantity — Q20's correlated 'quantity > (SELECT ... )' subquery
+    rewritten the way the engine always decorrelates it: one
+    per-(part, supplier) aggregate, a per-part argmax OF THE FIRST (no
+    second lineitem pass; struct-min with a negated quantity gives the
+    deterministic max-qty-then-min-suppkey tie-break both engines agree
+    on), integer share basis points, then the top-20 suppliers by parts
+    led. Two keyed aggregations + one dimension join +
+    TakeOrderedAndProject; the wide lineitem scan prunes to three
+    columns."""
     li = catalog.table(spark, sf_dir, "lineitem")
     supplier = catalog.table(spark, sf_dir, "supplier")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
     )
-    pt = ps.groupBy("l_partkey").agg(F.sum("qty").cast("long").alias("total_qty"))
-    dom = ps.join(pt, "l_partkey").filter(2 * F.col("qty") > F.col("total_qty"))
+    lead = F.min(F.struct((-F.col("qty")).alias("nq"), F.col("l_suppkey").alias("sk")))
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("total_qty"),
+        lead.getField("sk").alias("lead_supp"),
+        (-lead.getField("nq")).cast("long").alias("lead_qty"),
+    )
     return (
-        dom.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        pt.join(supplier, F.col("s_suppkey") == F.col("lead_supp"))
         .groupBy(
             F.col("s_suppkey").alias("supp_id"), F.col("s_name").alias("supp_name")
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dominated_parts"))
-        .orderBy(F.col("n_dominated_parts").desc(), "supp_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_led_parts"),
+            F.sum(F.expr("10000 * lead_qty div total_qty"))
+            .cast("long")
+            .alias("total_share_bp"),
+        )
+        .orderBy(F.col("n_led_parts").desc(), "supp_id")
         .limit(20)
     )

@@ -441,7 +441,8 @@ def test_ref_q2_builds_on_filtered_chain_not_facts(spark):
     never a broadcast build of orders/lineitem — the r10 plan built
     driver-side hashed relations of the FACTS because their 2-column
     pruned estimates sat under the broadcast threshold."""
-    plan = _formatted_plan(spark, "ref_q2_dataset_variables")
+    df = registry.specs()["ref_q2_dataset_variables"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ShuffledHashJoin") == 2
     # nation->customer and the part dimension may broadcast; the fact
     # tables must not be build sides anywhere.
