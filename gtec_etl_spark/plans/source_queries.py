@@ -734,3 +734,60 @@ def src_csv_quoted(spark, sf_dir):
             F.sum(F.length("c_comment")).cast("long").alias("total_comment_chars"),
         )
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "src_fixed_width",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_acctbal_cents,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(sum(length(c_name)) AS BIGINT) AS total_name_chars
+    FROM customer
+    """,
+    tags=("sources",),
+)
+def src_fixed_width(spark, sf_dir):
+    """FIXED-WIDTH text source — the mainframe/regulatory layout the S1
+    family's delimited readers don't cover: customer rows are formatted
+    into 60-byte records (custkey right-aligned 12, name left-padded 24,
+    segment 12, integer acctbal cents right-aligned 12), written as a
+    real text file by Spark's text sink, read back with spark.read.text,
+    and parsed by substring offsets + trim + cast. The audit aggregates
+    (row count, key checksum, cents checksum, segment cardinality, name
+    chars) all break if any offset, pad, or sign is mis-handled; the
+    oracle recomputes them from the base table, so the round-trip must
+    be the identity. Scale note: fixed-width IS the friendliest format
+    at 100 TB — fixed record length means byte-range splits never
+    straddle a record, the opposite of src_csv_quoted's multiLine
+    non-splittability caveat."""
+    import tempfile
+
+    from gtec_etl_spark import catalog
+
+    cust = catalog.table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    line = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 12, " "),
+        F.rpad(F.col("c_name"), 24, " "),
+        F.rpad(F.col("c_mktsegment"), 12, " "),
+        F.lpad(cents.cast("string"), 12, " "),
+    )
+    with tempfile.TemporaryDirectory(prefix="fw_rt_") as tmp:
+        cust.select(line.alias("value")).write.mode("overwrite").text(tmp)
+        back = spark.read.text(tmp).select(
+            F.trim(F.substring("value", 1, 12)).cast("long").alias("c_custkey"),
+            F.rtrim(F.substring("value", 13, 24)).alias("c_name"),
+            F.rtrim(F.substring("value", 37, 12)).alias("c_mktsegment"),
+            F.trim(F.substring("value", 49, 12)).cast("long").alias("cents"),
+        )
+        out = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_custkey"),
+            F.sum("cents").cast("long").alias("sum_acctbal_cents"),
+            F.count_distinct("c_mktsegment").cast("long").alias("n_segments"),
+            F.sum(F.length("c_name")).cast("long").alias("total_name_chars"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
