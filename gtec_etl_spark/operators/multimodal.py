@@ -2541,3 +2541,59 @@ def tiff_media_table(
              ("image/tiff", f"mem://tiff/{i}.tif"))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def augment_images(
+    media: DataFrame, crop_margin: int = 2, brightness: int = 20
+) -> DataFrame:
+    """Deterministic AUGMENTATION pipeline — the transform pass a vision
+    training pipeline runs between decode and batching: horizontal flip,
+    center crop (crop_margin pixels off each side), brightness shift
+    clamped at 255. All integer ops on the decoded luma grid, one Arrow
+    pass, fixed-size output per row. The positional checksum
+    sum(pixel * ((r*W + c) % 97 + 1)) is ORDER-sensitive, so a wrong
+    flip axis, off-by-one crop, or transposed raster changes it even
+    when the plain sum survives (flips preserve sums)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, pix = _decode_netpbm(bytes(content))
+                a = (
+                    np.frombuffer(pix, dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                a = a[:, ::-1]  # horizontal flip
+                a = a[
+                    crop_margin : h - crop_margin, crop_margin : w - crop_margin
+                ]  # center crop
+                a = np.minimum(a + brightness, 255)  # brightness, clamped
+                oh, ow = a.shape
+                weights = (
+                    np.arange(oh * ow, dtype=np.int64).reshape(oh, ow) % 97 + 1
+                )
+                rows.append(
+                    (
+                        mid,
+                        ow,
+                        oh,
+                        int(a.sum()),
+                        int(a.sum() * 10000 // (oh * ow)),
+                        int((a * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_w", "out_h", "aug_sum",
+                    "aug_mean_e4", "pos_checksum",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, out_w long, out_h long, aug_sum long,"
+        " aug_mean_e4 long, pos_checksum long",
+    )

@@ -1628,3 +1628,30 @@ def mm_video_shot_detect(spark, sf_dir):
 
     media = M.scene_avi_media_table(spark, n=8)
     return M.detect_shots(media).orderBy("media_id")
+
+
+@query(
+    "mm_image_augment",
+    oracle=f"""
+    SELECT media_id, out_w, out_h, aug_sum, aug_mean_e4, pos_checksum
+    FROM '{_MM_GOLDEN}/mm_image_augment.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_image_augment(spark, sf_dir):
+    """Deterministic image AUGMENTATION — the transform pass a vision
+    training pipeline runs between decode and batching: horizontal flip,
+    center crop (2 px each side), brightness +20 clamped at 255, over the
+    real netpbm media table (all four P2/P3/P5/P6 layouts through the
+    dependency-free decoder). All integer ops in one Arrow pass
+    (operators/multimodal.py:augment_images); the positional checksum
+    sum(pixel * ((r*W+c) % 97 + 1)) is order-SENSITIVE, so a wrong flip
+    axis, an off-by-one crop, or a transposed raster fails the gate even
+    though flips preserve plain sums. Oracle = golden recomputing the
+    same transforms from the LCG value stream without the parser
+    (tools/make_multimodal_golden.py:image_augment_golden)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.netpbm_media_table(spark, n=12, width=31, height=17)
+    return M.augment_images(media).orderBy("media_id")

@@ -167,10 +167,11 @@ def prof_equidepth_histogram(spark, sf_dir):
 
     Determinism: ntile's frame is totally ordered by (value, o_orderkey),
     so bucket membership is identical cross-engine even on duplicate
-    values. Plan: one global-sort window at test scale; the documented
-    100 TB swap-in is approx_percentile boundaries + one aggregation
-    (same output shape, sampled boundaries) — the prof_approx_profile
-    convention for exact-at-test/approximate-at-scale pairs."""
+    values. Plan: one global-sort window at test scale; the shipped
+    100 TB alternatives are prof_exact_median_scaled (EXACT rank
+    selection via histogram + hierarchical prefix sum — generalizes to
+    any boundary set, see q50_rfm_scaled) or approx_percentile sampled
+    boundaries (same output shape)."""
     from pyspark.sql import Window
 
     orders = catalog.table(spark, sf_dir, "orders")

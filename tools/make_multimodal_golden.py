@@ -1018,6 +1018,10 @@ def main() -> None:
         os.path.join(OUT_DIR, "mm_video_shots.parquet"),
     )
     pq.write_table(
+        image_augment_golden(),
+        os.path.join(OUT_DIR, "mm_image_augment.parquet"),
+    )
+    pq.write_table(
         decode_gif_golden(),
         os.path.join(OUT_DIR, "mm_decode_gif.parquet"),
     )
@@ -1118,6 +1122,46 @@ def video_shot_golden(n: int = 8) -> pa.Table:
             {
                 "media_id": mid, "width": w, "height": h, "n_frames": nf,
                 "n_shot_cuts": n_cuts, "max_l1": max_l1, "total_l1": total_l1,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def image_augment_golden(
+    n: int = 12, width: int = 31, height: int = 17,
+    crop_margin: int = 2, brightness: int = 20,
+) -> pa.Table:
+    """Expected output of mm_image_augment: the netpbm LCG value stream
+    (decode_ppm_golden's recomputation — parser never touched) pushed
+    through flip / center-crop / brightness-clamp / positional checksum
+    in plain numpy."""
+    cycle = (("P6", 255), ("P5", 255), ("P3", 100), ("P2", 99))
+    rows = []
+    for mid in range(n):
+        fmt, maxval = cycle[mid % 4]
+        nch = 3 if fmt in ("P6", "P3") else 1
+        x = (mid * 2654435761) % (2**32)
+        vals = np.empty(width * height * nch, dtype=np.int64)
+        for i in range(len(vals)):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % (maxval + 1)
+        if maxval != 255:
+            vals = (vals * 255 + maxval // 2) // maxval
+        if nch == 3:
+            rgb = vals.reshape(-1, 3)
+            vals = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        a = vals.reshape(height, width)
+        a = a[:, ::-1]
+        a = a[crop_margin : height - crop_margin, crop_margin : width - crop_margin]
+        a = np.minimum(a + brightness, 255)
+        oh, ow = a.shape
+        weights = np.arange(oh * ow, dtype=np.int64).reshape(oh, ow) % 97 + 1
+        rows.append(
+            {
+                "media_id": mid, "out_w": ow, "out_h": oh,
+                "aug_sum": int(a.sum()),
+                "aug_mean_e4": int(a.sum() * 10000 // (oh * ow)),
+                "pos_checksum": int((a * weights).sum()),
             }
         )
     return pa.Table.from_pylist(rows)
