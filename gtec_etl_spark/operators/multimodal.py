@@ -2597,3 +2597,52 @@ def augment_images(
         "media_id long, out_w long, out_h long, aug_sum long,"
         " aug_mean_e4 long, pos_checksum long",
     )
+
+
+def augment_audio(media: DataFrame, gain_num: int = 5, gain_den: int = 4) -> DataFrame:
+    """Deterministic AUDIO augmentation — the gain/clip pass an audio
+    training pipeline runs before feature extraction: each decoded sample
+    is scaled by gain_num/gain_den with truncate-TOWARD-ZERO integer
+    division (sign-symmetric, mirrored literally by the golden) and
+    clipped to int16; emitted per clip: clipped-sample count, post-gain
+    peak and 1000x mean-abs, and the order-SENSITIVE positional checksum
+    sum(s[i] * (i % 97 + 1)) over the interleaved stream (a channel swap
+    or sample reorder fails it even when the amplitude stats survive).
+    One Arrow pass, fixed-size output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, nch, bits, s = _decode_wav(bytes(content))
+                s = s.astype(np.int64)
+                scaled = np.sign(s) * (np.abs(s) * gain_num // gain_den)
+                clipped = np.clip(scaled, -32768, 32767)
+                n_clipped = int((scaled != clipped).sum())
+                n = len(clipped)
+                weights = np.arange(n, dtype=np.int64) % 97 + 1
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        nch,
+                        n // nch,
+                        n_clipped,
+                        int(np.abs(clipped).max()) if n else 0,
+                        int(np.abs(clipped).sum()) * 1000 // n if n else 0,
+                        int((clipped * weights).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "n_clipped", "peak_abs", "mean_abs_e3", "pos_checksum",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, sample_rate long, n_channels long, n_frames long,"
+        " n_clipped long, peak_abs long, mean_abs_e3 long, pos_checksum long",
+    )

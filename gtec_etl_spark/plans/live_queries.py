@@ -1655,3 +1655,32 @@ def mm_image_augment(spark, sf_dir):
 
     media = M.netpbm_media_table(spark, n=12, width=31, height=17)
     return M.augment_images(media).orderBy("media_id")
+
+
+@query(
+    "mm_audio_augment",
+    oracle=f"""
+    SELECT media_id, sample_rate, n_channels, n_frames, n_clipped,
+           peak_abs, mean_abs_e3, pos_checksum
+    FROM '{_MM_GOLDEN}/mm_audio_augment.parquet'
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def mm_audio_augment(spark, sf_dir):
+    """Deterministic AUDIO augmentation — gain 5/4 with truncate-toward-
+    zero integer scaling, int16 clipping (clipped-sample count reported —
+    the distortion metric an augmentation pass monitors), post-gain
+    amplitude stats, and an order-sensitive positional checksum over the
+    interleaved sample stream (a channel swap or reorder fails the gate
+    even when amplitude stats survive), over the real 8/16-bit
+    mono/stereo WAV clips through the RIFF chunk walker. One Arrow pass
+    (operators/multimodal.py:augment_audio). Oracle = golden recomputing
+    the transforms from the LCG sample stream without the parser
+    (tools/make_multimodal_golden.py:audio_augment_golden). Note
+    |clip(-32768)| = 32768: the int16 floor's absolute value exceeds the
+    ceiling — both sides state it identically."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.wav_media_table(spark, n=12, n_frames=480, sample_rate=8000)
+    return M.augment_audio(media).orderBy("media_id")

@@ -1022,6 +1022,10 @@ def main() -> None:
         os.path.join(OUT_DIR, "mm_image_augment.parquet"),
     )
     pq.write_table(
+        audio_augment_golden(),
+        os.path.join(OUT_DIR, "mm_audio_augment.parquet"),
+    )
+    pq.write_table(
         decode_gif_golden(),
         os.path.join(OUT_DIR, "mm_decode_gif.parquet"),
     )
@@ -1162,6 +1166,42 @@ def image_augment_golden(
                 "aug_sum": int(a.sum()),
                 "aug_mean_e4": int(a.sum() * 10000 // (oh * ow)),
                 "pos_checksum": int((a * weights).sum()),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def audio_augment_golden(
+    n: int = 12, n_frames: int = 480, sample_rate: int = 8000,
+    gain_num: int = 5, gain_den: int = 4,
+) -> pa.Table:
+    """Expected output of mm_audio_augment: the WAV_CYCLE LCG sample
+    stream (decode_wav_golden's recomputation — RIFF parser never
+    touched) pushed through toward-zero gain, int16 clip, and the
+    positional checksum in plain numpy."""
+    cycle = ((16, 1), (16, 2), (8, 1), (8, 2))
+    rows = []
+    for mid in range(n):
+        bits, nch = cycle[mid % 4]
+        x = (mid * 2654435761) % (2**32)
+        vals = []
+        for _ in range(n_frames * nch):
+            x = (1103515245 * x + 12345) % (2**31)
+            v = (x % 65536) - 32768 if bits == 16 else (x % 256) - 128
+            vals.append(v)
+        s = np.array(vals, dtype=np.int64)
+        scaled = np.sign(s) * (np.abs(s) * gain_num // gain_den)
+        clipped = np.clip(scaled, -32768, 32767)
+        n = len(clipped)
+        weights = np.arange(n, dtype=np.int64) % 97 + 1
+        rows.append(
+            {
+                "media_id": mid, "sample_rate": sample_rate,
+                "n_channels": nch, "n_frames": n // nch,
+                "n_clipped": int((scaled != clipped).sum()),
+                "peak_abs": int(np.abs(clipped).max()),
+                "mean_abs_e3": int(np.abs(clipped).sum()) * 1000 // n,
+                "pos_checksum": int((clipped * weights).sum()),
             }
         )
     return pa.Table.from_pylist(rows)
