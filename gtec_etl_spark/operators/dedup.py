@@ -335,6 +335,14 @@ def connected_components(
     which the r10 shape paid EVERY round). For graphs where every node
     has an edge (the purchase graph) this is a wash: same round cost,
     plus one final join.
+
+    Precondition: edge endpoints must be a SUBSET of `nodes`. Since r11
+    labels are seeded from the endpoints themselves, an endpoint absent
+    from `nodes` still participates in propagation and can become a
+    cluster's min-id component label (the r10 shape implicitly confined
+    labels to `nodes`). Every registry caller passes the table the edges
+    were mined from, so the subset holds; callers with foreign endpoints
+    must semi-join `edges` against `nodes` first.
     """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))

@@ -1993,6 +1993,10 @@ def detect_shots(media: DataFrame, bins: int = SHOT_BINS) -> DataFrame:
     is fixed-size (counts + L1 extrema), never per-frame rows."""
     from gtec_etl_spark.operators.jpeg import decode_jpeg
 
+    if bins < 2 or bins > 256 or bins & (bins - 1):
+        raise ValueError(
+            f"bins must be a power of two in [2, 256], got {bins}"
+        )
     shift = 8 - (bins - 1).bit_length()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1187,8 +1187,11 @@ def dedup_cluster_sizes(spark, sf_dir):
     tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
     hn AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits)
     SELECT n_candidates, n_truth, n_hits,
-           CAST(n_hits * 10000 // n_candidates AS BIGINT) AS precision_bp,
-           CAST(n_hits * 10000 // n_truth AS BIGINT) AS recall_bp
+           CAST(CASE WHEN n_candidates = 0 THEN NULL
+                ELSE n_hits * 10000 // n_candidates END AS BIGINT)
+             AS precision_bp,
+           CAST(CASE WHEN n_truth = 0 THEN NULL
+                ELSE n_hits * 10000 // n_truth END AS BIGINT) AS recall_bp
     FROM cn, tn, hn
     """,
     tags=("dedup", "quality"),
@@ -1234,7 +1237,15 @@ def dedup_lsh_eval(spark, sf_dir):
             "n_candidates",
             "n_truth",
             "n_hits",
-            F.expr("n_hits * 10000 div n_candidates").cast("long").alias("precision_bp"),
-            F.expr("n_hits * 10000 div n_truth").cast("long").alias("recall_bp"),
+            # NULL (not engine-specific div-by-zero behavior) on empty
+            # candidate/truth sets, matching the oracle's CASE guard
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN NULL"
+                " ELSE n_hits * 10000 div n_candidates END"
+            ).cast("long").alias("precision_bp"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN NULL"
+                " ELSE n_hits * 10000 div n_truth END"
+            ).cast("long").alias("recall_bp"),
         )
     )

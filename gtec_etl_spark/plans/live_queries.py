@@ -1565,16 +1565,20 @@ def stream_lateness_report(spark, sf_dir):
         os.makedirs(src)
         cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
         spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
-        for k in range(_LATE_K):
-            stage = os.path.join(tmp, f"stage{k}")
-            sliced.filter(F.col("__slice") == k).select(*cols).coalesce(
-                1
-            ).write.parquet(stage)
-            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"ev{k:03d}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (1_700_000_000 + k * 100, 1_700_000_000 + k * 100))
-        spark.conf.set(_TS_CONF, old_ts_type)
+        try:
+            for k in range(_LATE_K):
+                stage = os.path.join(tmp, f"stage{k}")
+                sliced.filter(F.col("__slice") == k).select(*cols).coalesce(
+                    1
+                ).write.parquet(stage)
+                part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+                dst = os.path.join(src, f"ev{k:03d}.parquet")
+                shutil.copy(part, dst)
+                os.utime(
+                    dst, (1_700_000_000 + k * 100, 1_700_000_000 + k * 100)
+                )
+        finally:
+            spark.conf.set(_TS_CONF, old_ts_type)
         with P.state_partitions(spark, 8):
             stream = P.read_events_stream(
                 spark, src, max_files_per_trigger=1, path_glob="ev*.parquet"

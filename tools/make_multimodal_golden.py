@@ -1066,8 +1066,6 @@ def main() -> None:
     print(f"wrote golden fixtures to {OUT_DIR}")
 
 
-if __name__ == "__main__":
-    main()
 
 
 def video_shot_golden(n: int = 8) -> pa.Table:
@@ -1205,3 +1203,7 @@ def audio_augment_golden(
             }
         )
     return pa.Table.from_pylist(rows)
+
+
+if __name__ == "__main__":
+    main()
