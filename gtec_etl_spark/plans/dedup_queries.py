@@ -949,14 +949,36 @@ def dedup_paragraph_chunks(spark, sf_dir):
     )
 
 
+#: Signature-agreement pre-gate for candidate verification: estimated
+#: Jaccard = matching minhashes / 16; exact shingle verification runs only
+#: on pairs with >= 10/16 matches (est. J >= 0.625 — a conservative margin
+#: below the 0.8 output threshold: P[drop | true J = 0.8, one band already
+#: matched] = P[Bin(12, 0.8) < 6] ~ 4e-3). Deterministic (same universal
+#: hashes both engines), so the oracle applies the gate literally.
+LSH_VERIFY_GATE = 10
+
+
+def _sig_gate_sql(num_hashes: int) -> str:
+    return " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+
+
 @query(
     "dedup_lsh_verify",
     oracle=f"""
     WITH {_minhash_ctes(16, 4)},
+    gated AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      WHERE {_sig_gate_sql(16)} >= {LSH_VERIFY_GATE}
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS n_common
-      FROM pairs p
+      FROM gated p
       JOIN sh a ON a.doc_id = p.doc_a
       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
@@ -984,24 +1006,73 @@ def dedup_lsh_verify(spark, sf_dir):
     dedup_ngram_jaccard verifies ALL shared-shingle pairs (uncapped),
     this verifies ONLY the banded candidates.
 
-    Scale: verification cost is O(candidate pairs x avg shingles), not
-    O(corpus²) — the exact-intersection join fans each candidate pair
-    through its left doc's shingles and probes (doc_b, shingle), all
-    keyed equi-joins on uniform hashes; the candidate set is the
-    banding's output, already bounded by signature collisions. False
-    negatives remain the LSH recall trade (tune bands/rows), false
-    positives are now zero — the asymmetric guarantee curation wants."""
+    Scale (reworked round 12 — sf10 profile showed the verify constant,
+    not the candidate count, dominated):
+
+    - **Signature-agreement pre-gate** (LSH_VERIFY_GATE): estimated
+      Jaccard from the 16 already-computed minhashes; only pairs with
+      >= 10/16 matches reach exact verification. On a corpus where
+      banding floods false positives (boilerplate, adversarial shards)
+      this bounds the exact pass to near-certain pairs; two tiny joins
+      against the materialized signature table. dedup_lsh_eval's
+      gate_recall_bp column is the no-loss guard.
+    - **Verify only candidate docs' shingles**: the old plan shuffled the
+      ENTIRE corpus shingle table (both sides) to verify a pair set
+      covering <1% of docs. A semi-join restricts `sh` to gated-candidate
+      docs first (runtime bloom/broadcast eligible — the gated-doc set is
+      |near-dup docs|, never forced), and the bounded result is
+      localCheckpoint()ed so sizes + both intersection sides read the
+      materialized artifact instead of re-running the corpus explode.
+    - **Checkpointed signatures**: `sigs` is referenced by banding AND
+      both gate sides; without materialization the shingle explode +
+      16-min groupBy (the pipeline's priciest subplan) would execute once
+      per reference (no ReuseExchange across fresh expr ids).
+
+    Net: two passes over the corpus shingle explode (signatures, semi-join
+    scan) regardless of candidate volume; everything downstream touches
+    only near-dup-doc-sized data. False negatives remain the LSH recall
+    trade (tune bands/rows) plus the gate's ~4e-3 tail; false positives
+    are zero — the asymmetric guarantee curation wants."""
     docs = catalog.table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, 3)
-    sigs = D.minhash_signatures(sh, 16)
+    # small: one row per doc; eager checkpoint so banding + both gate
+    # sides share ONE execution of the explode + 16-min groupBy
+    sigs = D.minhash_signatures(sh, 16).localCheckpoint()
     cand = D.lsh_candidate_pairs(sigs, 16, 4).select("doc_a", "doc_b")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(16)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(16)],
+    )
+    n_match = None
+    for i in range(16):
+        term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    gated = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .filter(n_match >= LSH_VERIFY_GATE)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # |near-dup pairs|: reused by semi + fan joins
+    )
+    cand_docs = (
+        gated.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(gated.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # all shingles of candidate docs ONLY — |near-dup docs| x shingles,
+    # materialized once for sizes + both intersection sides
+    shc = sh.join(cand_docs, "doc_id", "leftsemi").localCheckpoint()
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        gated.join(
+            shc.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            shc.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
@@ -1182,17 +1253,29 @@ def dedup_cluster_sizes(spark, sf_dir):
       WHERE n_common * 10000 // (sa.n + sb.n - n_common) >= 8000
     ),
     cand AS (SELECT doc_a, doc_b FROM pairs),
+    gated AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      WHERE {_sig_gate_sql(16)} >= {LSH_VERIFY_GATE}
+    ),
     hits AS (SELECT doc_a, doc_b FROM cand JOIN truth USING (doc_a, doc_b)),
+    ghits AS (SELECT doc_a, doc_b FROM gated JOIN truth USING (doc_a, doc_b)),
     cn AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
     tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-    hn AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits)
-    SELECT n_candidates, n_truth, n_hits,
+    hn AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits),
+    gn AS (SELECT CAST(count(*) AS BIGINT) AS n_gated FROM gated),
+    ghn AS (SELECT CAST(count(*) AS BIGINT) AS n_gated_hits FROM ghits)
+    SELECT n_candidates, n_truth, n_hits, n_gated, n_gated_hits,
            CAST(CASE WHEN n_candidates = 0 THEN NULL
                 ELSE n_hits * 10000 // n_candidates END AS BIGINT)
              AS precision_bp,
            CAST(CASE WHEN n_truth = 0 THEN NULL
-                ELSE n_hits * 10000 // n_truth END AS BIGINT) AS recall_bp
-    FROM cn, tn, hn
+                ELSE n_hits * 10000 // n_truth END AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN n_truth = 0 THEN NULL
+                ELSE n_gated_hits * 10000 // n_truth END AS BIGINT)
+             AS gate_recall_bp
+    FROM cn, tn, hn, gn, ghn
     """,
     tags=("dedup", "quality"),
 )
@@ -1207,12 +1290,38 @@ def dedup_lsh_eval(spark, sf_dir):
     SAMPLED scale (the truth side is the uncapped exact join, priced
     accordingly; the LSH side is the 100 TB path being certified).
     Precision counts banding's false positives (verify-pass workload),
-    recall its false negatives (missed near-dups). All-integer
+    recall its false negatives (missed near-dups). Round 12 adds the
+    gate funnel: n_gated / n_gated_hits / gate_recall_bp score the
+    signature-agreement pre-gate dedup_lsh_verify now applies
+    (LSH_VERIFY_GATE) — gate_recall_bp == recall_bp certifies the gate
+    dropped no true pair beyond banding's own misses. All-integer
     arithmetic, exact cross-engine."""
     docs = catalog.table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, 3)
-    sigs = D.minhash_signatures(sh, 16)
-    cand = D.lsh_candidate_pairs(sigs, 16, 4).select("doc_a", "doc_b")
+    sigs = D.minhash_signatures(sh, 16).localCheckpoint()
+    cand = (
+        D.lsh_candidate_pairs(sigs, 16, 4)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # reused by the gate join + hits + count
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(16)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(16)],
+    )
+    n_match = None
+    for i in range(16):
+        term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    gated = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .filter(n_match >= LSH_VERIFY_GATE)
+        .select("doc_a", "doc_b")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1225,18 +1334,26 @@ def dedup_lsh_eval(spark, sf_dir):
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
         .filter(F.expr("n_common * 10000 div (n_a + n_b - n_common) >= 8000"))
         .select("doc_a", "doc_b")
+        .localCheckpoint()  # |true pairs|: reused by hits/ghits/count
     )
     hits = cand.join(truth, ["doc_a", "doc_b"])
+    ghits = gated.join(truth, ["doc_a", "doc_b"])
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    ng = gated.agg(F.count(F.lit(1)).cast("long").alias("n_gated"))
+    ngh = ghits.agg(F.count(F.lit(1)).cast("long").alias("n_gated_hits"))
     return (
         nc.crossJoin(nt)  # 1-row x 1-row global aggregates
         .crossJoin(nh)
+        .crossJoin(ng)
+        .crossJoin(ngh)
         .select(
             "n_candidates",
             "n_truth",
             "n_hits",
+            "n_gated",
+            "n_gated_hits",
             # NULL (not engine-specific div-by-zero behavior) on empty
             # candidate/truth sets, matching the oracle's CASE guard
             F.expr(
@@ -1247,5 +1364,9 @@ def dedup_lsh_eval(spark, sf_dir):
                 "CASE WHEN n_truth = 0 THEN NULL"
                 " ELSE n_hits * 10000 div n_truth END"
             ).cast("long").alias("recall_bp"),
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN NULL"
+                " ELSE n_gated_hits * 10000 div n_truth END"
+            ).cast("long").alias("gate_recall_bp"),
         )
     )

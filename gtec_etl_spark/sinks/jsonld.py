@@ -30,6 +30,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+#: The closed DATS type vocabulary (ccmm/dats/datsobj.py:33-70): the
+#: reference's DatsObj constructor fatals on any type outside this set
+#: (datsobj.py:81-83), and the release pipeline re-validates emitted
+#: JSON-LD against the datatagsuite schemas (README.md:150-163,
+#: make-crosscut-instance-bdbag.sh:81-91). k8_release_validation applies
+#: the same registry check to this engine's emitted documents.
+DATS_TYPES = frozenset(
+    {
+        "Access", "Activity", "AlternateIdentifier", "AnatomicalPart",
+        "Annotation", "BiologicalEntity", "CategoryValuesPair",
+        "ConsentInfo", "DataAcquisition", "DataAnalysis", "DataRepository",
+        "DataStandard", "DataType", "Dataset", "DatasetDistribution",
+        "Date", "Dimension", "Disease", "GenomeLocation", "Grant",
+        "Identifier", "Instrument", "License", "Material",
+        "MolecularEntity", "Organization", "Person", "Place", "Provenance",
+        "Publication", "RelatedIdentifier", "Software", "Study",
+        "StudyGroup", "TaxonomicInformation", "Treatment",
+    }
+)
+
+
 def content_id(entity_type: str, *natural_key: Column | str) -> Column:
     """Deterministic @id: sha256 over (type, natural key), truncated to 32
     hex chars. Replaces the reference's uuid4 (SURVEY.md §7.4).
@@ -101,6 +122,128 @@ def to_document(root_struct: Column) -> Column:
     """Serialize the assembled root struct to the final JSON document.
     Null fields are omitted (that is what makes refs minimal)."""
     return F.to_json(root_struct)
+
+
+#: Superset read-back schema for release validation: every field any
+#: emitted document may carry. from_json tolerates absent fields (null),
+#: and FAILFAST turns malformed JSON into a hard error — the reference's
+#: fatal-on-invalid release gate (make-crosscut-instance-bdbag.sh:81-91).
+RELEASE_DOC_SCHEMA = (
+    "struct<`@id`:string,`@type`:string,name:string,size:bigint,"
+    "custkey:bigint,"
+    "members:array<struct<`@id`:string,`@type`:string,name:string>>,"
+    "hasPart:array<struct<`@id`:string>>>"
+)
+
+_ID_RE = "^dats:[A-Za-z]+/[0-9a-f]{32}$"
+
+
+def validate_release(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """K8 schema-contract validation — the reference validates every
+    release against the datatagsuite DATS JSON schemas before bagging
+    (README.md:150-163, make-crosscut-instance-bdbag.sh:81-91); this is
+    the engine-side equivalent over its own emitted documents.
+
+    Reads documents back through from_json(RELEASE_DOC_SCHEMA,
+    mode=FAILFAST) — malformed JSON aborts the release, exactly like the
+    reference's validator exit — then flattens every entity occurrence
+    (document roots, embedded members, hasPart references) and reports
+    one row of violation counters:
+
+    - n_unknown_type: full embeds whose @type is outside the DATS_TYPES
+      registry (the DatsObj constructor check, datsobj.py:81-83)
+    - n_bad_id: any occurrence whose @id is null, malformed
+      (not dats:<Type>/<32-hex>), or whose embedded type prefix
+      contradicts its @type
+    - n_dup_full: distinct @ids embedded in FULL more than once — a
+      first-occurrence-full-then-ref contract breach (DatsObjCache,
+      datsobj.py:156-172)
+    - n_dangling: @id references that no full embed in the release
+      resolves (the cycle-link representation depends on these resolving)
+
+    Plan: one from_json pass + two explodes, a conditional aggregate, a
+    groupBy(id) dup check, and a ref-vs-full left-anti join — every join
+    key is the id hash, every intermediate is release-sized (documents,
+    not source data), so validation costs one scan of the release at any
+    scale. Healthy releases report all-zero counters."""
+    spark = docs.sparkSession
+    parsed = docs.select(
+        F.from_json(
+            F.col(doc_col), RELEASE_DOC_SCHEMA, {"mode": "FAILFAST"}
+        ).alias("p")
+    ).localCheckpoint()  # release-sized; reused by roots/members/refs
+
+    roots = parsed.select(
+        F.col("p.`@id`").alias("id"),
+        F.col("p.`@type`").alias("typ"),
+        F.lit(True).alias("is_full"),
+    )
+    members = parsed.select(
+        F.explode(F.col("p.members")).alias("m")
+    ).select(
+        F.col("m.`@id`").alias("id"),
+        F.col("m.`@type`").alias("typ"),
+        # a member with every non-@id field null is a ref, not an embed
+        (F.col("m.name").isNotNull() | F.col("m.`@type`").isNotNull()).alias(
+            "is_full"
+        ),
+    )
+    refs = parsed.select(F.explode(F.col("p.hasPart")).alias("r")).select(
+        F.col("r.`@id`").alias("id"),
+        F.lit(None).cast("string").alias("typ"),
+        F.lit(False).alias("is_full"),
+    )
+    ents = roots.unionByName(members).unionByName(refs).localCheckpoint()
+
+    allowed = sorted(DATS_TYPES)
+    counters = ents.agg(
+        F.sum(F.col("is_full").cast("long")).alias("n_full"),
+        F.sum((~F.col("is_full")).cast("long")).alias("n_refs"),
+        F.sum(
+            (F.col("is_full") & ~F.col("typ").isin(allowed)).cast("long")
+        ).alias("n_unknown_type"),
+        F.sum(
+            (
+                F.col("id").isNull()
+                | ~F.col("id").rlike(_ID_RE)
+                | (
+                    F.col("is_full")
+                    & (
+                        F.regexp_extract(F.col("id"), "^dats:([A-Za-z]+)/", 1)
+                        != F.col("typ")
+                    )
+                )
+            ).cast("long")
+        ).alias("n_bad_id"),
+    )
+    n_docs = parsed.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    full_ids = ents.filter("is_full").select("id")
+    dup = (
+        full_ids.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_full"))
+    )
+    dangling = (
+        ents.filter(~F.col("is_full"))
+        .select("id")
+        .join(full_ids, "id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dangling"))
+    )
+    return (
+        n_docs.crossJoin(counters)  # all 1-row global aggregates
+        .crossJoin(dup)
+        .crossJoin(dangling)
+        .select(
+            "n_docs",
+            F.col("n_full").cast("long").alias("n_full"),
+            F.col("n_refs").cast("long").alias("n_refs"),
+            F.col("n_unknown_type").cast("long").alias("n_unknown_type"),
+            F.col("n_bad_id").cast("long").alias("n_bad_id"),
+            "n_dup_full",
+            "n_dangling",
+        )
+    )
 
 
 def write_documents(

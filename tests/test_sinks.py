@@ -311,3 +311,87 @@ def test_vacuum_snapshots_keeps_newest(spark, tmp_path):
     assert vacuum_snapshots(spark, snap, keep_latest=2) == []
     with pytest.raises(ValueError):
         vacuum_snapshots(spark, snap, keep_latest=0)
+
+
+def test_validate_release_healthy_all_zero(spark):
+    """A well-formed two-document release (one full Material + one doc
+    referencing it) reports zero violations and the right counts."""
+    from gtec_etl_spark.sinks.jsonld import validate_release
+
+    mid = "dats:Material/" + "a" * 32
+    did = "dats:Dataset/" + "b" * 32
+    docs = spark.createDataFrame(
+        [
+            (
+                '{"@id":"%s","@type":"Material","name":"s1"}' % mid,
+            ),
+            (
+                '{"@id":"%s","@type":"Dataset","name":"d1",'
+                '"hasPart":[{"@id":"%s"}]}' % (did, mid),
+            ),
+        ],
+        "doc string",
+    )
+    row = validate_release(docs).first()
+    assert row.n_docs == 2
+    assert row.n_full == 2
+    assert row.n_refs == 1
+    assert (
+        row.n_unknown_type,
+        row.n_bad_id,
+        row.n_dup_full,
+        row.n_dangling,
+    ) == (0, 0, 0, 0)
+
+
+def test_validate_release_detects_each_violation(spark):
+    """Each violation class trips its own counter: unknown @type (the
+    DATS_TYPES registry check, datsobj.py:81-83), malformed/missing @id,
+    type-prefix/@type contradiction, duplicate full embed, dangling ref."""
+    from gtec_etl_spark.sinks.jsonld import validate_release
+
+    mid = "dats:Material/" + "c" * 32
+    docs = spark.createDataFrame(
+        [
+            # unknown type (not in the 36-entry registry)
+            ('{"@id":"dats:Gadget/' + "d" * 32 + '","@type":"Gadget","name":"x"}',),
+            # missing @id
+            ('{"@type":"Material","name":"no-id"}',),
+            # malformed @id (not dats:<Type>/<32hex>)
+            ('{"@id":"urn:uuid:1234","@type":"Material","name":"bad"}',),
+            # @id type prefix contradicts @type
+            (
+                '{"@id":"dats:Dataset/' + "e" * 32
+                + '","@type":"Material","name":"lie"}',
+            ),
+            # duplicate full embeds of the same id (twice), plus a
+            # dangling hasPart ref nothing embeds
+            (
+                '{"@id":"%s","@type":"Material","name":"dup1",'
+                '"hasPart":[{"@id":"dats:Study/%s"}]}' % (mid, "f" * 32),
+            ),
+            ('{"@id":"%s","@type":"Material","name":"dup2"}' % mid,),
+        ],
+        "doc string",
+    )
+    row = validate_release(docs).first()
+    assert row.n_docs == 6
+    assert row.n_unknown_type == 1
+    # missing + malformed + contradicting = 3 bad ids
+    assert row.n_bad_id == 3
+    assert row.n_dup_full == 1  # one duplicated id
+    assert row.n_dangling == 1
+
+
+def test_validate_release_failfast_on_malformed_json(spark):
+    """FAILFAST semantics: a syntactically broken document aborts the
+    validation run (the reference's fatal release gate), never a silent
+    null row."""
+    import pytest
+
+    from gtec_etl_spark.sinks.jsonld import validate_release
+
+    docs = spark.createDataFrame([('{"@id": broken',)], "doc string")
+    with pytest.raises(Exception) as ei:
+        validate_release(docs).first()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)

@@ -60,7 +60,11 @@ def slice_events(spark, sf_dir: str, out_dir: str, chunks: int) -> None:
 
 def progress_stats(q) -> dict:
     """Cold (batch 0) vs steady-state (median of later batches) trigger
-    durations, from the query's own progress telemetry."""
+    durations, from the query's own progress telemetry. For stateful
+    topologies, also the per-batch state-store row count
+    (sum of stateOperators[].numRowsTotal) — the curve that makes the
+    bounded-state claim measurable: watermark/timeout eviction shows up
+    as a plateau (or decline) instead of monotone growth."""
     prog = [
         p
         for p in (json.loads(s.json) for s in q.recentProgress)
@@ -69,13 +73,30 @@ def progress_stats(q) -> dict:
     durs = [(p["batchId"], p["durationMs"]["triggerExecution"] / 1000.0) for p in prog]
     durs.sort()
     steady = [d for _, d in durs[1:]]
-    return {
+    state_rows = [
+        (p["batchId"], sum(op["numRowsTotal"] for op in p.get("stateOperators", [])))
+        for p in prog
+        if p.get("stateOperators")
+    ]
+    state_rows.sort()
+    curve = [n for _, n in state_rows]
+    out = {
         "n_batches": len(durs),
         "cold_start_sec": round(durs[0][1], 3) if durs else None,
         "steady_median_sec": round(statistics.median(steady), 3) if steady else None,
         "steady_max_sec": round(max(steady), 3) if steady else None,
         "rows_per_batch": round(sum(p["numInputRows"] for p in prog) / len(prog)),
     }
+    if curve:
+        out["state_rows_by_batch"] = curve
+        out["state_rows_peak"] = max(curve)
+        out["state_rows_final"] = curve[-1]
+        # bounded = the tail stopped growing: the last batch is not the
+        # unique maximum (eviction caught up with ingest)
+        out["state_bounded"] = curve[-1] < max(curve) or (
+            len(curve) >= 2 and curve[-1] == curve[-2]
+        )
+    return out
 
 
 def run_stream_stream_join(spark, replay_dir: str) -> dict:
@@ -176,6 +197,65 @@ def run_hll_registers(spark, replay_dir: str) -> dict:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("hll replay did not finish")
+        return progress_stats(q)
+
+
+def run_dedup_watermark(spark, replay_dir: str) -> dict:
+    """Steady-state + state-growth of dropDuplicatesWithinWatermark
+    (stream_dedup_watermark's topology). The state store holds one row
+    per event_id seen within the watermark horizon; as the replay's
+    event time advances chunk by chunk, ids older than the horizon are
+    EVICTED — the state_rows_by_batch curve must flatten, not grow with
+    stream length. That plateau is the 100 TB claim: state ∝ (ingest
+    rate × watermark delay), independent of how long the stream runs."""
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        deduped = P.deduped_events(ev, watermark="2 hours")
+        q = (
+            deduped.select("event_id", "ts")
+            .writeStream.format("noop")
+            .queryName(f"ddw_{uuid.uuid4().hex[:12]}")
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(replay_dir, f"ddw_ckpt_{uuid.uuid4().hex[:8]}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("dedup_watermark replay did not finish")
+        return progress_stats(q)
+
+
+def run_stateful_user_totals(spark, replay_dir: str) -> dict:
+    """Steady-state + state-growth of the applyInPandasWithState running
+    totals (stream_stateful_user_totals' topology). State here is one row
+    per DISTINCT user — bounded by key cardinality, not stream length —
+    so the state_rows_by_batch curve must SATURATE at the user count once
+    every user has appeared, then stay flat for the rest of the replay
+    (idle-timeout eviction would shrink it further on a continuous
+    stream; a processing-time timeout would stall AvailableNow, see
+    running_user_totals' docstring)."""
+    from gtec_etl_spark.streaming import pipelines as P
+    from gtec_etl_spark.streaming.stateful import running_user_totals
+
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        totals = running_user_totals(ev)
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(f"sut_{uuid.uuid4().hex[:12]}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stateful_user_totals replay did not finish")
         return progress_stats(q)
 
 
@@ -287,6 +367,10 @@ def main() -> None:
         slice_events(spark, args.sf_dir, replay_dir, args.chunks)
         results = {
             "stream_stream_join": run_stream_stream_join(spark, replay_dir),
+            "stream_dedup_watermark": run_dedup_watermark(spark, replay_dir),
+            "stream_stateful_user_totals": run_stateful_user_totals(
+                spark, replay_dir
+            ),
             "stream_tumbling_hourly": run_tumbling(spark, replay_dir),
             "stream_hll_distinct": run_hll_registers(spark, replay_dir),
             "stream_static_join": run_static_join(
@@ -310,7 +394,12 @@ def main() -> None:
             "per-trigger durations from StreamingQuery.recentProgress over a "
             "time-sliced multi-batch replay (maxFilesPerTrigger=1); batch 0 "
             "pays state-store/codegen/sink setup, steady_median is the "
-            "continuous-operation cost the one-shot bench number amortizes"
+            "continuous-operation cost the one-shot bench number amortizes. "
+            "state_rows_by_batch (stateful topologies) is the per-trigger "
+            "stateOperators numRowsTotal sum: a flattening curve is the "
+            "measured bounded-state guarantee (watermark eviction / key-"
+            "cardinality saturation), growth with stream length would be "
+            "the 100 TB disqualifier"
         ),
         "queries": results,
     }
