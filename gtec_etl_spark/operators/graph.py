@@ -44,13 +44,17 @@ def pagerank(
             "node", F.lit(scale // n_nodes).cast("long").alias("rank")
         )
         for _ in range(iters):
+            # Per-NODE contribution first (rank/outdeg is a node-level
+            # value): a node-sized join instead of fanning the degree
+            # through every edge — at sf10 this swapped a 117M-row join
+            # per iteration for a 1.6M-row one (PERF.md round 12). The
+            # edge list is then touched exactly once per iteration.
+            contrib = ranks.join(deg, ranks["node"] == deg["src"]).select(
+                "src",
+                F.floor(F.col("rank") / F.col("outdeg")).cast("long").alias("m"),
+            )
             insum = (
-                edges.join(ranks, ranks["node"] == edges["src"])
-                .join(deg, "src")
-                .select(
-                    F.col("dst"),
-                    F.floor(F.col("rank") / F.col("outdeg")).cast("long").alias("m"),
-                )
+                edges.join(contrib, "src")
                 .groupBy("dst")
                 .agg(F.sum("m").cast("long").alias("insum"))
             )

@@ -107,11 +107,19 @@ def graph_pagerank(spark, sf_dir):
     the per-iteration shuffle linearly — no all-pairs term anywhere."""
     orders = catalog.table(spark, sf_dir, "orders")
     lineitem = catalog.table(spark, sf_dir, "lineitem")
+    # Integer node encoding INSIDE the fixpoint (round 12): every
+    # iteration shuffles O(|E|) rows keyed by node id, and an 8-byte
+    # long hashes and ships for a fraction of a "c:123" string (the
+    # label-propagation query already used this encoding and posted the
+    # family's best decade exponent). Customer ck -> 2ck, supplier
+    # sk -> 2sk+1; decoded back to the reference's string ids only on
+    # the 20-row result, BEFORE the final order-by so the (rank, node)
+    # tie-break stays the oracle's string order.
     pairs = (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -124,11 +132,18 @@ def graph_pagerank(spark, sf_dir):
     )
     try:
         ranks = G.pagerank(edges, iters=PR_ITERS, damping_pct=85, scale=PR_SCALE)
-        return (
-            ranks.orderBy(F.col("rank").desc(), "node")
-            .limit(20)
-            .select("node", F.col("rank").alias("rank_fp"))
+        decoded = ranks.select(
+            F.when(
+                F.col("node") % 2 == 0,
+                F.concat(F.lit("c:"), (F.col("node") / 2).cast("long")),
+            )
+            .otherwise(
+                F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long"))
+            )
+            .alias("node"),
+            F.col("rank").alias("rank_fp"),
         )
+        return decoded.orderBy(F.col("rank_fp").desc(), "node").limit(20)
     finally:
         edges.unpersist()
 
@@ -301,11 +316,16 @@ def graph_khop_reachability(spark, sf_dir):
     orders = catalog.table(spark, sf_dir, "orders")
     lineitem = catalog.table(spark, sf_dir, "lineitem")
     customer = catalog.table(spark, sf_dir, "customer")
+    # Integer node encoding inside the expansion (round 12, same move as
+    # graph_pagerank): every round shuffles O(frontier x degree) rows
+    # keyed by (seed, node) — 8-byte longs hash and ship for a fraction
+    # of "c:123" strings. Decoded back to the reference string ids only
+    # on the seed-sized result.
     pairs = (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -318,7 +338,7 @@ def graph_khop_reachability(spark, sf_dir):
     try:
         seeds = (
             customer.filter(F.col("c_custkey") % KHOP_SEED_MOD == 0)
-            .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("seed"))
+            .select((F.col("c_custkey") * 2).alias("seed"))
             .distinct()
         )
         visited = seeds.select("seed", F.col("seed").alias("node"))
@@ -336,9 +356,18 @@ def graph_khop_reachability(spark, sf_dir):
             visited = visited.unionByName(frontier).distinct()
             visited = visited.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
-        out = visited.groupBy("seed").agg(
-            F.count(F.lit(1)).alias("n_reachable")
-        ).orderBy("seed")
+        out = (
+            visited.groupBy("seed")
+            .agg(F.count(F.lit(1)).alias("n_reachable"))
+            .select(
+                # seeds are always customers (even codes)
+                F.concat(F.lit("c:"), (F.col("seed") / 2).cast("long")).alias(
+                    "seed"
+                ),
+                "n_reachable",
+            )
+            .orderBy("seed")
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
