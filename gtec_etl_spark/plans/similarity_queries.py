@@ -2095,7 +2095,21 @@ def sim_filtered_search(spark, sf_dir):
     back short or worse when the predicate decimates the cell). The
     metadata predicate here is vec_id % 3 = 1 (a synthetic tenant tag);
     both arms are emitted under a strategy column so the recall gap is
-    directly visible in the result. Pre-filter arm: one scan, broadcast
+    directly visible in the result.
+
+    CROSSOVER RULE (measured, tools/filtered_search_curve.py + PERF.md
+    round 12): the post-filter arm's survivor count tracks
+    E[survivors] = overfetch x keep_rate (measured 17/12/7/5/3 at keep
+    rates 1/2..1/30 vs expected 15/10/6/3/1), so for keep_rate <
+    k/overfetch (= 10/{FILTER_OVERFETCH} here) it cannot even RETURN k
+    rows — and above that bound its recall is still capped by the
+    index's unfiltered single-probe recall (2000 bp on this corpus,
+    sim_recall_report). Pre-filter is exact (recall 10000 bp) at the
+    cost of scanning the predicate's survivors — which a real lake
+    prunes by partition/zone on the metadata column anyway. Use
+    post-filter only when keep_rate >= k/overfetch AND the index's
+    unfiltered recall is acceptable; sparse predicates always take the
+    pre-filter arm. Pre-filter arm: one scan, broadcast
     query, TakeOrderedAndProject. Post-filter arm: broadcast K-row
     centroid table + one-cell semi-join (sim_ivf_probe's plan) + bounded
     re-rank. All cosines rounded to 4 decimals on the parity-proven

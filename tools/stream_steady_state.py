@@ -144,6 +144,13 @@ def run_stream_stream_join(spark, replay_dir: str) -> dict:
 
 
 def run_tumbling(spark, replay_dir: str) -> dict:
+    """APPEND mode, not the registered query's complete mode: complete
+    retains every window ever opened in the state store BY DEFINITION
+    (the registered stream_tumbling_hourly uses it only to read the full
+    windowed result back for the finite-input oracle comparison). The
+    production shape is append + watermark, where closed windows are
+    EVICTED as the watermark passes them — that is the state curve this
+    tool certifies."""
     from gtec_etl_spark.streaming import pipelines as P
 
     with P.state_partitions(spark, 8):
@@ -152,7 +159,7 @@ def run_tumbling(spark, replay_dir: str) -> dict:
         q = (
             agg.writeStream.format("memory")
             .queryName(f"tw_{uuid.uuid4().hex[:12]}")
-            .outputMode("complete")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
