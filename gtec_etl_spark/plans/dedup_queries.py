@@ -1370,3 +1370,137 @@ def dedup_lsh_eval(spark, sf_dir):
             ).cast("long").alias("gate_recall_bp"),
         )
     )
+
+
+@query(
+    "dedup_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes(16, 4)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM documents),
+    reach AS (
+      SELECT doc_id, doc_id AS rep FROM nodes
+      UNION
+      SELECT e.b AS doc_id, r.rep FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(rep) AS component FROM reach GROUP BY doc_id),
+    sp AS (
+      SELECT doc_id, component,
+             CASE WHEN CAST(('0x' || substr(md5('seed42|'
+                    || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM comp
+    ),
+    cx AS (
+      SELECT sa.split, CAST(count(*) AS BIGINT) AS n_cross
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.doc_a
+      JOIN sp sb ON sb.doc_id = p.doc_b
+      WHERE sa.split <> sb.split
+      GROUP BY sa.split
+    )
+    SELECT s.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.component) AS BIGINT) AS n_clusters,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           coalesce(max(c.n_cross), 0) AS n_cross_pairs
+    FROM sp s
+    JOIN documents d USING (doc_id)
+    LEFT JOIN cx c ON c.split = s.split
+    GROUP BY s.split ORDER BY s.split
+    """,
+    tags=("dedup", "sampling", "scale"),
+)
+def dedup_aware_split(spark, sf_dir):
+    """NEAR-DUP-CLUSTER-AWARE train/eval split — the leakage guard every
+    serious training pipeline needs and doc-level splits silently lack:
+    hashing doc_id (text_train_test_split) puts near-duplicate documents
+    on OPPOSITE sides of the holdout ~2·p·(1-p) of the time, so the eval
+    set contains paraphrases of training documents and the benchmark is
+    contaminated by construction. This query splits by the near-dup
+    CLUSTER instead: MinHash-LSH candidates (the gated 16-perm/4-band
+    pipeline) → connected components → assignment =
+    md5(seed || component) mod 100 (90/10), so an entire cluster lands
+    on one side — per-split doc/cluster/char counts plus the audit
+    column n_cross_pairs = LSH candidate pairs straddling the split,
+    which this construction provably pins to ZERO (a doc-hash split
+    leaves it at the ~2·p·(1-p) expectation; run the same audit against
+    text_train_test_split's assignment to see the leak it prevents).
+
+    Plan shape: the banded-LSH + endpoint-restricted CC pipeline
+    (dedup_clusters_cc's exact plan — per-round cost |near-dup docs|,
+    not |corpus|), one broadcast-eligible join of the component map back
+    to documents, one keyed join pair for the audit, and a 2-row
+    aggregate. The split hash is engine-exact (md5 prefix → integer mod,
+    the text_train_test_split precedent) and cluster-stable: re-running
+    on a grown corpus moves a cluster only if its min-id member
+    changed."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    pairs = (
+        D.lsh_candidate_pairs(sigs, 16, 4)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # reused: CC edges + the cross-split audit
+    )
+    nodes = docs.select("doc_id")
+    comp = D.connected_components(nodes, pairs)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("seed42|"), F.col("component").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    sp = comp.select(
+        "doc_id",
+        "component",
+        F.when(bucket < 90, "train").otherwise("eval").alias("split"),
+    ).localCheckpoint()  # corpus-sized but reused by 3 consumers
+    cx = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(F.col("sa").alias("split"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross"))
+    )
+    return (
+        sp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .join(cx, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_chars",
+            F.coalesce(F.col("n_cross"), F.lit(0)).cast("long").alias(
+                "n_cross_pairs"
+            ),
+        )
+        .orderBy("split")
+    )

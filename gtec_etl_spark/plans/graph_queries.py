@@ -580,8 +580,12 @@ def graph_label_propagation(spark, sf_dir):
 
     Scale: per round one keyed join edges><labels (hash-partitioned on
     the join key) + two keyed aggs; labels localCheckpoint each round so
-    the lineage stays flat; edges built once and reused. Never collects
-    a node- or edge-proportional structure to the driver."""
+    the lineage stays flat; edges built once, hash-partitioned on the
+    round-join key (dst) and persisted (round 12) so the 100x-larger
+    edge side is never re-shuffled per round — only the node-sized label
+    table moves (the graph_pagerank co-partitioning discipline; sf10
+    warm A/B ~113 -> ~96 s, PERF.md). Never collects a node- or
+    edge-proportional structure to the driver."""
     orders = catalog.table(spark, sf_dir, "orders")
     lineitem = catalog.table(spark, sf_dir, "lineitem")
     pairs = (
@@ -592,38 +596,48 @@ def graph_label_propagation(spark, sf_dir):
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # One hash-partitioning on the round-join key, reused every round.
+        .repartition("dst")
+        .persist()
     )
-    for _ in range(LP_ITERS):
-        counts = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy(F.col("src").alias("n"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    try:
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         )
-        labels = (
-            counts.groupBy(F.col("n").alias("node"))
-            .agg(
-                F.min_by(
-                    "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
-                ).alias("label")
+        for _ in range(LP_ITERS):
+            counts = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy(F.col("src").alias("n"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .localCheckpoint(eager=True)
+            labels = (
+                counts.groupBy(F.col("n").alias("node"))
+                .agg(
+                    F.min_by(
+                        "label",
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l")),
+                    ).alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
+        # labels is checkpointed: safe to drop the edge cache before the
+        # final community rollup (which reads labels only).
+        return (
+            labels.groupBy(F.col("label").alias("community"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.min("node").cast("long").alias("min_node"),
+                F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_customers"),
+            )
+            .orderBy("community")
         )
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.min("node").cast("long").alias("min_node"),
-            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_customers"),
-        )
-        .orderBy("community")
-    )
+    finally:
+        edges.unpersist()
 
 
 @query(
