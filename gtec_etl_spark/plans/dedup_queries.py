@@ -1504,3 +1504,149 @@ def dedup_aware_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "dedup_split_leakage_audit",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes(16, 4)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM documents),
+    reach AS (
+      SELECT doc_id, doc_id AS rep FROM nodes
+      UNION
+      SELECT e.b AS doc_id, r.rep FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(rep) AS component FROM reach GROUP BY doc_id),
+    assign AS (
+      SELECT c.doc_id,
+             CASE WHEN CAST(('0x' || substr(md5('seed42|'
+                    || CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 90 THEN 'train' ELSE 'eval' END AS doc_split,
+             CASE WHEN CAST(('0x' || substr(md5('seed42|'
+                    || CAST(c.component AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 90 THEN 'train' ELSE 'eval' END AS cluster_split
+      FROM comp c
+    ),
+    audit AS (
+      SELECT 'doc_hash' AS scheme,
+             CAST(sum(CASE WHEN a.doc_split <> b.doc_split
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs
+      FROM pairs p
+      JOIN assign a ON a.doc_id = p.doc_a
+      JOIN assign b ON b.doc_id = p.doc_b
+      UNION ALL
+      SELECT 'cluster_hash',
+             CAST(sum(CASE WHEN a.cluster_split <> b.cluster_split
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM pairs p
+      JOIN assign a ON a.doc_id = p.doc_a
+      JOIN assign b ON b.doc_id = p.doc_b
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+    SELECT scheme, n_pairs, n_cross_pairs,
+           CAST(CASE WHEN n_pairs = 0 THEN NULL
+                ELSE n_cross_pairs * 10000 // n_pairs END AS BIGINT)
+             AS leak_bp
+    FROM audit CROSS JOIN tot
+    ORDER BY scheme
+    """,
+    tags=("dedup", "sampling", "quality"),
+)
+def dedup_split_leakage_audit(spark, sf_dir):
+    """The MEASURED case for cluster-aware holdouts: the same
+    cross-split audit run against BOTH assignment schemes — the naive
+    doc-hash split (text_train_test_split's exact md5 rule) and
+    dedup_aware_split's cluster-hash rule — over the same MinHash-LSH
+    candidate pairs. A near-dup pair straddling the split means an eval
+    document has a paraphrase in training: the doc_hash row quantifies
+    that contamination (expected ~2·0.9·0.1 = 18% of dup pairs, in
+    basis points), the cluster_hash row is provably 0. This is the
+    report a curation team attaches to a data card to justify the
+    cluster-aware split's extra CC pass.
+
+    One CC + one pair-side assignment join serves both schemes (the
+    audit join runs once with both split columns); costs are the
+    dedup_clusters_cc pipeline plus two near-dup-pair-sized joins."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, 3)
+    sigs = D.minhash_signatures(sh, 16)
+    pairs = (
+        D.lsh_candidate_pairs(sigs, 16, 4)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    comp = D.connected_components(docs.select("doc_id"), pairs)
+
+    def split_of(col):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("seed42|"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        return F.when(bucket < 90, "train").otherwise("eval")
+
+    assign = comp.select(
+        "doc_id",
+        split_of(F.col("doc_id")).alias("doc_split"),
+        split_of(F.col("component")).alias("cluster_split"),
+    ).localCheckpoint()  # corpus-sized, reused by both audit sides
+
+    joined = pairs.join(
+        assign.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_split").alias("da"),
+            F.col("cluster_split").alias("ca"),
+        ),
+        "doc_a",
+    ).join(
+        assign.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("doc_split").alias("db"),
+            F.col("cluster_split").alias("cb"),
+        ),
+        "doc_b",
+    )
+    audit = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("da") != F.col("db")).cast("long"))
+        .cast("long")
+        .alias("doc_cross"),
+        F.sum((F.col("ca") != F.col("cb")).cast("long"))
+        .cast("long")
+        .alias("cluster_cross"),
+    )
+    rows = audit.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("cluster_hash").alias("scheme"),
+                    F.col("n_pairs"),
+                    F.col("cluster_cross").alias("n_cross_pairs"),
+                ),
+                F.struct(
+                    F.lit("doc_hash").alias("scheme"),
+                    F.col("n_pairs"),
+                    F.col("doc_cross").alias("n_cross_pairs"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.scheme", "r.n_pairs", "r.n_cross_pairs")
+    return rows.select(
+        "scheme",
+        "n_pairs",
+        "n_cross_pairs",
+        F.expr(
+            "CASE WHEN n_pairs = 0 THEN NULL"
+            " ELSE n_cross_pairs * 10000 div n_pairs END"
+        ).cast("long").alias("leak_bp"),
+    ).orderBy("scheme")
