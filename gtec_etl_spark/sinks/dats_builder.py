@@ -74,16 +74,38 @@ def build_program_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name"),
     )
     doc_order = [F.col("study"), F.col("subject_id"), F.col("sample_key"), F.col("line")]
+    # File datasets get the same per-document DatsObjCache treatment as
+    # producers (round 12 — found by k8's release validator): the
+    # synthetic lineitem's (orderkey, linenumber) is NOT unique, so
+    # file_ids collide within a document; the reference embeds a shared
+    # sub-object full exactly once and refs it after
+    # (ccmm/dats/datsobj.py:156-172). First occurrence in document order
+    # stays full, later ones become {"@id"} refs.
+    from pyspark.sql import Window as W
+
+    files = files.withColumn(
+        "__file_keep",
+        J.first_occurrence(files, ["regionkey", "file_id"], doc_order),
+    )
+    # Producers embed full on their earliest KEPT file row (a full embed
+    # inside a later-duplicate file struct would be erased when that
+    # struct collapses to a ref, leaving the producer's refs dangling).
+    # Partition by (document, object): each program document must embed
+    # every producer it references in full exactly once — a global
+    # s_suppkey partition would leave cross-region producers as
+    # unresolvable refs in all but one document.
+    prod_first = (
+        F.row_number().over(
+            W.partitionBy("regionkey", "s_suppkey").orderBy(
+                F.col("__file_keep").desc(), *doc_order
+            )
+        )
+        == 1
+    ) & F.col("__file_keep")
     files = files.withColumn(
         "producer",
-        # Partition by (document, object): each program document must embed
-        # every producer it references in full exactly once — a global
-        # s_suppkey partition would leave cross-region producers as
-        # unresolvable refs in all but one document.
         J.full_or_ref(
-            prod_struct,
-            J.first_occurrence(files, ["regionkey", "s_suppkey"], doc_order),
-            _parse_datatype_string(producer_schema),
+            prod_struct, prod_first, _parse_datatype_string(producer_schema)
         ),
     ).withColumn(
         "file_struct",
@@ -92,6 +114,14 @@ def build_program_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Dataset").alias("@type"),
             F.col("producer").alias("producedBy"),
         ),
+    )
+    file_schema = _parse_datatype_string(
+        "`@id` string, `@type` string,"
+        " producedBy struct<`@id`:string,`@type`:string,name:string>"
+    )
+    files = files.withColumn(
+        "file_struct",
+        J.full_or_ref(F.col("file_struct"), F.col("__file_keep"), file_schema),
     )
 
     files_per_subject = files.groupBy("subject_id").agg(

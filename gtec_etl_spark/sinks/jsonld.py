@@ -161,46 +161,88 @@ def validate_release(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
     - n_dangling: @id references that no full embed in the release
       resolves (the cycle-link representation depends on these resolving)
 
-    Plan: one from_json pass + two explodes, a conditional aggregate, a
-    groupBy(id) dup check, and a ref-vs-full left-anti join — every join
-    key is the id hash, every intermediate is release-sized (documents,
-    not source data), so validation costs one scan of the release at any
-    scale. Healthy releases report all-zero counters."""
-    spark = docs.sparkSession
-    parsed = docs.select(
+    Occurrence extraction is DEPTH-AGNOSTIC: it relies on the engine's
+    canonical serialization (to_json over structs whose first two fields
+    are @id then @type, null fields dropped), under which every FULL
+    embed serializes as '{"@id":"...","@type":"...' at any nesting
+    depth, every reference as exactly '{"@id":"..."}', and a full object
+    whose @id was nulled starts '{"@type":"...'. Three regexp
+    extractions therefore enumerate every entity occurrence without a
+    recursive schema — from_json(FAILFAST) still gates structural
+    well-formedness first. The duplicate-full check is scoped PER
+    DOCUMENT, matching the reference's per-document DatsObjCache (the
+    same entity embedded full in two different documents is correct —
+    each document must be self-contained).
+
+    Plan: one parse + three regexp extract/explodes, a conditional
+    aggregate, a per-(doc, id) dup check, and a ref-vs-full left-anti
+    join — every intermediate is release-sized (documents, not source
+    data), so validation costs one scan of the release at any scale.
+    Healthy releases report all-zero counters."""
+    base = docs.select(
+        F.col(doc_col).alias("__doc"),
+        F.monotonically_increasing_id().alias("__docno"),
+        # structural gate: malformed JSON aborts here (FAILFAST), before
+        # any counting
         F.from_json(
             F.col(doc_col), RELEASE_DOC_SCHEMA, {"mode": "FAILFAST"}
-        ).alias("p")
-    ).localCheckpoint()  # release-sized; reused by roots/members/refs
+        ).alias("p"),
+    ).localCheckpoint()  # release-sized; reused by all extractions
 
-    roots = parsed.select(
-        F.col("p.`@id`").alias("id"),
-        F.col("p.`@type`").alias("typ"),
+    full_occ = base.select(
+        "__docno",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    "__doc", F.lit(r'\{"@id":"([^"]+)","@type":"([^"]+)"'), 1
+                ).alias("id"),
+                F.regexp_extract_all(
+                    "__doc", F.lit(r'\{"@id":"([^"]+)","@type":"([^"]+)"'), 2
+                ).alias("typ"),
+            )
+        ).alias("e"),
+    ).select(
+        "__docno",
+        F.col("e.id").alias("id"),
+        F.col("e.typ").alias("typ"),
         F.lit(True).alias("is_full"),
     )
-    members = parsed.select(
-        F.explode(F.col("p.members")).alias("m")
+    # full objects whose @id is missing (nulled ids are DROPPED by the
+    # serializer, so the object starts with @type)
+    noid_occ = base.select(
+        "__docno",
+        F.explode(
+            F.regexp_extract_all("__doc", F.lit(r'\{("@type"):"[^"]+"'), 1)
+        ).alias("marker"),
     ).select(
-        F.col("m.`@id`").alias("id"),
-        F.col("m.`@type`").alias("typ"),
-        # a member with every non-@id field null is a ref, not an embed
-        (F.col("m.name").isNotNull() | F.col("m.`@type`").isNotNull()).alias(
-            "is_full"
-        ),
+        "__docno",
+        F.lit(None).cast("string").alias("id"),
+        F.lit(None).cast("string").alias("typ"),
+        F.lit(True).alias("is_full"),
     )
-    refs = parsed.select(F.explode(F.col("p.hasPart")).alias("r")).select(
-        F.col("r.`@id`").alias("id"),
+    ref_occ = base.select(
+        "__docno",
+        F.explode(
+            F.regexp_extract_all("__doc", F.lit(r'\{"@id":"([^"]+)"\}'), 1)
+        ).alias("id"),
+    ).select(
+        "__docno",
+        F.col("id"),
         F.lit(None).cast("string").alias("typ"),
         F.lit(False).alias("is_full"),
     )
-    ents = roots.unionByName(members).unionByName(refs).localCheckpoint()
+    ents = full_occ.unionByName(noid_occ).unionByName(ref_occ).localCheckpoint()
 
     allowed = sorted(DATS_TYPES)
     counters = ents.agg(
         F.sum(F.col("is_full").cast("long")).alias("n_full"),
         F.sum((~F.col("is_full")).cast("long")).alias("n_refs"),
         F.sum(
-            (F.col("is_full") & ~F.col("typ").isin(allowed)).cast("long")
+            (
+                F.col("is_full")
+                & F.col("typ").isNotNull()
+                & ~F.col("typ").isin(allowed)
+            ).cast("long")
         ).alias("n_unknown_type"),
         F.sum(
             (
@@ -216,10 +258,12 @@ def validate_release(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
             ).cast("long")
         ).alias("n_bad_id"),
     )
-    n_docs = parsed.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    full_ids = ents.filter("is_full").select("id")
+    n_docs = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    full_ids = ents.filter(F.col("is_full") & F.col("id").isNotNull())
     dup = (
-        full_ids.groupBy("id")
+        # per-document scope: the reference's DatsObjCache dedups within
+        # one emitted document
+        full_ids.groupBy("__docno", "id")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_full"))
@@ -227,7 +271,7 @@ def validate_release(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
     dangling = (
         ents.filter(~F.col("is_full"))
         .select("id")
-        .join(full_ids, "id", "left_anti")
+        .join(full_ids.select("id"), "id", "left_anti")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dangling"))
     )
     return (

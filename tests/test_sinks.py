@@ -69,6 +69,11 @@ def test_producer_first_occurrence_full_then_ref(spark):
         for study in doc["hasPart"]:
             for subj in study["isAbout"]:
                 for f in subj["hasPart"]:
+                    if set(f.keys()) == {"@id"}:
+                        # deduplicated file dataset (round 12): a later
+                        # duplicate of a file @id collapses to a ref and
+                        # carries no producer
+                        continue
                     p = f["producedBy"]
                     referenced.add(p["@id"])
                     if set(p.keys()) == {"@id"}:
@@ -364,13 +369,19 @@ def test_validate_release_detects_each_violation(spark):
                 '{"@id":"dats:Dataset/' + "e" * 32
                 + '","@type":"Material","name":"lie"}',
             ),
-            # duplicate full embeds of the same id (twice), plus a
-            # dangling hasPart ref nothing embeds
+            # duplicate full embeds of the same id WITHIN one document
+            # (cross-document re-embeds are legal — each doc is
+            # self-contained; the reference's DatsObjCache is
+            # per-document), plus a dangling hasPart ref nothing embeds
             (
-                '{"@id":"%s","@type":"Material","name":"dup1",'
-                '"hasPart":[{"@id":"dats:Study/%s"}]}' % (mid, "f" * 32),
+                '{"@id":"dats:Dataset/%s","@type":"Dataset","members":'
+                '[{"@id":"%s","@type":"Material","name":"dup1"},'
+                '{"@id":"%s","@type":"Material","name":"dup2"}],'
+                '"hasPart":[{"@id":"dats:Study/%s"}]}'
+                % ("9" * 32, mid, mid, "f" * 32),
             ),
-            ('{"@id":"%s","@type":"Material","name":"dup2"}' % mid,),
+            # same id full in ANOTHER doc: must NOT count as duplicate
+            ('{"@id":"%s","@type":"Material","name":"ok"}' % mid,),
         ],
         "doc string",
     )
@@ -395,3 +406,27 @@ def test_validate_release_failfast_on_malformed_json(spark):
     with pytest.raises(Exception) as ei:
         validate_release(docs).first()
     assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_program_release_validates_clean(spark):
+    """Integration: the REAL DATS program documents (build_program_documents,
+    arbitrary nesting depth) pass k8's release validation with zero
+    violations — unknown types, bad ids, per-document duplicate full
+    embeds, dangling refs. Guards the emitter/validator pair end-to-end;
+    round 12's validator found real per-document duplicate full Dataset
+    embeds this way (degenerate (orderkey, linenumber) keys in the
+    synthetic lineitem), fixed by giving file datasets the producers'
+    first-occurrence-full-then-ref treatment."""
+    from gtec_etl_spark.sinks.jsonld import validate_release
+
+    docs = build_program_documents(spark, SF_DIR)
+    row = validate_release(docs).first()
+    assert row.n_docs == 5
+    assert row.n_full > 100           # real embeds extracted at depth
+    assert row.n_refs > 100           # real refs extracted at depth
+    assert (
+        row.n_unknown_type,
+        row.n_bad_id,
+        row.n_dup_full,
+        row.n_dangling,
+    ) == (0, 0, 0, 0), row
