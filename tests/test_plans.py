@@ -408,6 +408,21 @@ def test_waiting_suppliers_single_summary_join(spark):
     assert sum(
         line.count("Join") for line in plan.splitlines() if "Join" in line
     ) == 1
+    # r12: ONE explicit repartition on l_orderkey feeds BOTH stacked
+    # aggregates exchange-free (HashPartitioning(o) satisfies the {o,s}
+    # and {o} clustered distributions) — no exchange may appear between
+    # the (order, supplier) rollup and the order-level summary.
+    assert "REPARTITION_BY_COL" in plan
+    lines = plan.splitlines()
+    agg_os = next(
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "l_orderkey" in l and "l_suppkey" in l
+    )
+    join_line = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert join_line < agg_os, "plan shape changed; fix the slice below"
+    assert not any(
+        "Exchange" in l for l in lines[join_line:agg_os]
+    ), "exchange crept back between the stacked aggregates"
 
 
 def test_dormant_rich_scalar_broadcast_anti(spark):
