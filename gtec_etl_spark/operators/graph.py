@@ -81,3 +81,69 @@ def pagerank(
         # Safe: the checkpointed vector reads from stored blocks, not
         # from lineage through the nodes cache.
         nodes.unpersist()
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Personalized PageRank: identical fixpoint to pagerank() except the
+    teleport mass returns to the `seeds` node set (one column `node`)
+    instead of spreading uniformly — the "similar to THESE" relevance
+    propagation behind seed-based recommendation and topic-conditioned
+    source weighting. Rank starts as scale/|seeds| on seeds and 0
+    elsewhere, and every iteration adds teleport only at seeds, so mass
+    concentrates in the seeds' neighborhoods.
+
+    Same integer fixed-point discipline (floor at every division, exact
+    BIGINTs end-to-end) and the same per-iteration cost model: one
+    node-sized contribution join, one O(|E|) dst aggregation, eager
+    localCheckpoint lineage truncation. `seeds` must be tiny (it is
+    collected-side-free: only joined, never collected) — its size is the
+    teleport denominator, counted once."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    marked = nodes.join(
+        seeds.select(F.col("node"), F.lit(1).alias("is_seed")), "node", "left"
+    ).select("node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"))
+    marked = marked.localCheckpoint(eager=True)
+    try:
+        n_seeds = seeds.count()
+        seed_teleport = ((100 - damping_pct) * scale // 100) // n_seeds
+        seed_init = scale // n_seeds
+        ranks = marked.select(
+            "node",
+            F.when(F.col("is_seed") == 1, F.lit(seed_init))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank"),
+        )
+        for _ in range(iters):
+            contrib = ranks.join(deg, ranks["node"] == deg["src"]).select(
+                "src",
+                F.floor(F.col("rank") / F.col("outdeg")).cast("long").alias("m"),
+            )
+            insum = (
+                edges.join(contrib, "src")
+                .groupBy("dst")
+                .agg(F.sum("m").cast("long").alias("insum"))
+            )
+            ranks = marked.join(
+                insum, marked["node"] == insum["dst"], "left"
+            ).select(
+                "node",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(seed_teleport))
+                    .otherwise(F.lit(0))
+                    + F.floor(
+                        damping_pct * F.coalesce(F.col("insum"), F.lit(0)) / 100
+                    ).cast("long")
+                ).alias("rank"),
+            )
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        nodes.unpersist()

@@ -2650,3 +2650,68 @@ def augment_audio(media: DataFrame, gain_num: int = 5, gain_den: int = 4) -> Dat
         "media_id long, sample_rate long, n_channels long, n_frames long,"
         " n_clipped long, peak_abs long, mean_abs_e3 long, pos_checksum long",
     )
+
+
+def tile_images(media: DataFrame, tile: int = 8) -> DataFrame:
+    """ViT-style PATCH extraction — the tiling pass a vision training
+    pipeline runs between decode and the patch-embedding matmul: the
+    decoded luma grid splits into non-overlapping tile x tile patches on
+    a floor grid (h//tile rows x w//tile cols; remainder rows/columns
+    are DROPPED, the standard crop-to-multiple convention, and the
+    dropped margins are reported so a lossy config is visible). One row
+    per tile with integer stats and an order-SENSITIVE positional
+    checksum over LOCAL tile coordinates, sum(pixel * ((r*tile + c) % 97
+    + 1)) — a transposed raster, a row/col-swapped grid index, or a
+    tile read in the wrong scan order each changes it even when the
+    plain sum survives. One Arrow pass; output rows per image =
+    (h//tile)*(w//tile), fixed by the geometry, never by content."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, pix = _decode_netpbm(bytes(content))
+                a = (
+                    np.frombuffer(pix, dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                nr, nc = h // tile, w // tile
+                weights = (
+                    np.arange(tile * tile, dtype=np.int64).reshape(tile, tile)
+                    % 97
+                    + 1
+                )
+                for tr in range(nr):
+                    for tc in range(nc):
+                        t = a[
+                            tr * tile : (tr + 1) * tile,
+                            tc * tile : (tc + 1) * tile,
+                        ]
+                        rows.append(
+                            (
+                                mid,
+                                tr,
+                                tc,
+                                int(t.sum()),
+                                int(t.sum() * 10000 // (tile * tile)),
+                                int((t * weights).sum()),
+                                h - nr * tile,
+                                w - nc * tile,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "tile_row", "tile_col", "tile_sum",
+                    "tile_mean_e4", "pos_checksum", "dropped_rows",
+                    "dropped_cols",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, tile_row long, tile_col long, tile_sum long,"
+        " tile_mean_e4 long, pos_checksum long, dropped_rows long,"
+        " dropped_cols long",
+    )

@@ -952,3 +952,139 @@ def graph_common_neighbors(spark, sf_dir):
         .orderBy(F.col("jaccard_bp").desc(), "cust_a", "cust_b")
         .limit(20)
     )
+
+
+PPR_SEEDS = 5
+
+
+def _ppr_oracle(iters: int) -> str:
+    parts = [
+        f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT 'c:' || ck AS src, 's:' || sk AS dst FROM pairs
+      UNION ALL
+      SELECT 's:' || sk AS src, 'c:' || ck AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (
+      SELECT 'c:' || ck AS node FROM (
+        SELECT DISTINCT ck FROM pairs ORDER BY ck LIMIT {PPR_SEEDS}
+      )
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM seeds),
+    marked AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ),
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT node,
+             CASE WHEN is_seed = 1
+                  THEN CAST(floor({PR_SCALE} / ns.cnt) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS rank
+      FROM marked CROSS JOIN ns
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT m.node,
+             CASE WHEN m.is_seed = 1
+                  THEN CAST(floor({PR_TELEPORT_NUM} / ns.cnt) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END
+             + CAST(floor(85 * coalesce(s.insum, 0) / 100) AS BIGINT) AS rank
+      FROM marked m CROSS JOIN ns LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum(CAST(floor(r.rank / d.outdeg) AS BIGINT)) AS BIGINT)
+                 AS insum
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = m.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, rank AS rank_fp FROM r{iters}
+    WHERE rank > 0
+    ORDER BY rank_fp DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_ppr_seeds",
+    oracle=_ppr_oracle(PR_ITERS),
+    tags=("graph", "iterative", "scale"),
+)
+def graph_ppr_seeds(spark, sf_dir):
+    """PERSONALIZED PageRank: teleport mass returns to a {PPR_SEEDS}-seed
+    set (the {PPR_SEEDS} smallest customer ids present in the purchase
+    graph) instead of spreading uniformly — top-20 positive-rank nodes.
+    The seed-conditioned relevance propagation behind "suppliers like
+    the ones these customers buy from" recommendation and
+    topic-conditioned source weighting in a curation pipeline (global
+    pagerank answers "authoritative overall"; PPR answers
+    "authoritative NEAR these seeds").
+
+    Same machinery as graph_pagerank — integer node encoding inside the
+    fixpoint, constant iteration count unrolled as CTE stages in the
+    oracle, one node-sized contribution join + one O(|E|) dst shuffle
+    per round, rank vector never on the driver — plus a seed marker
+    column carried through the update (a node-sized left join computed
+    ONCE and checkpointed, not re-derived per round). The positive-rank
+    filter keeps the top-20 meaningful: after {PR_ITERS} rounds only
+    nodes within {PR_ITERS} hops of a seed hold mass, which is exactly
+    the locality PPR exists to measure. Scale: seed count is the
+    teleport denominator, counted once from a LIMIT-{PPR_SEEDS}
+    subquery; everything else is the pagerank cost model."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    seeds = (
+        pairs.select(F.col("c").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(PPR_SEEDS)
+    )
+    try:
+        ranks = G.personalized_pagerank(
+            edges, seeds, iters=PR_ITERS, damping_pct=85, scale=PR_SCALE
+        )
+        decoded = ranks.filter(F.col("rank") > 0).select(
+            F.when(
+                F.col("node") % 2 == 0,
+                F.concat(F.lit("c:"), (F.col("node") / 2).cast("long")),
+            )
+            .otherwise(
+                F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long"))
+            )
+            .alias("node"),
+            F.col("rank").alias("rank_fp"),
+        )
+        return decoded.orderBy(F.col("rank_fp").desc(), "node").limit(20)
+    finally:
+        edges.unpersist()

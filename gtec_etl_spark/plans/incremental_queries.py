@@ -458,3 +458,116 @@ def etl_time_travel(spark, sf_dir):
         out = row1.unionByName(row2).orderBy("snapshot")
         # Materialize before the TemporaryDirectory vanishes.
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+SNAPDIFF_DEL_MOD, SNAPDIFF_DEL_REM = 89, 3
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey AS cust_id, c_name AS name, c_mktsegment AS segment
+      FROM customer
+    ),
+    batch AS ({_BATCH_SQL}),
+    merged AS (
+      SELECT cust_id, name, segment FROM batch
+      UNION ALL
+      SELECT b.cust_id, b.name, b.segment FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM batch WHERE batch.cust_id = b.cust_id)
+    ),
+    snap_b AS (
+      SELECT * FROM merged
+      WHERE cust_id % {SNAPDIFF_DEL_MOD} <> {SNAPDIFF_DEL_REM}
+    ),
+    d AS (
+      SELECT coalesce(a.cust_id, bb.cust_id) AS cust_id,
+             CASE WHEN a.cust_id IS NULL THEN 'added'
+                  WHEN bb.cust_id IS NULL THEN 'removed'
+                  WHEN a.name <> bb.name OR a.segment <> bb.segment
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS change_kind,
+             CASE WHEN a.cust_id IS NOT NULL AND bb.cust_id IS NOT NULL
+                       AND a.name <> bb.name THEN 1 ELSE 0 END AS name_diff,
+             CASE WHEN a.cust_id IS NOT NULL AND bb.cust_id IS NOT NULL
+                       AND a.segment <> bb.segment THEN 1 ELSE 0
+             END AS segment_diff
+      FROM base a FULL OUTER JOIN snap_b bb ON a.cust_id = bb.cust_id
+    )
+    SELECT change_kind, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(name_diff) AS BIGINT) AS n_name_diff,
+           CAST(sum(segment_diff) AS BIGINT) AS n_segment_diff,
+           CAST(min(cust_id) AS BIGINT) AS min_cust_id,
+           CAST(max(cust_id) AS BIGINT) AS max_cust_id
+    FROM d GROUP BY change_kind ORDER BY change_kind
+    """,
+    tags=("incremental",),
+)
+def etl_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation — the diff report a pipeline runs when a
+    new full dimension snapshot replaces the previous one (the
+    counterpart of etl_cdc_upsert's log-driven path: when the upstream
+    only ships full dumps, the diff IS the change log). Snapshot B is
+    derived deterministically from snapshot A (the customer dim): the
+    shared incremental batch upserted over it, then every
+    (cust_id % {SNAPDIFF_DEL_MOD} == {SNAPDIFF_DEL_REM}) row deleted —
+    so added, removed, changed, and unchanged classes all exist at
+    every sf. Output: per-class row counts, per-COLUMN change counts
+    (which attribute drove the churn — the question a schema owner asks
+    first), and the class's key range.
+
+    Plan: ONE full-outer join on the natural key classifies every row
+    map-side after a single co-shuffle of the two snapshots (at 100 TB:
+    bucket both snapshots by cust_id and the exchange disappears;
+    for wide dimensions swap the per-column <> chain for an xxhash64
+    row digest and keep only the digest-mismatch rows). The summary is
+    a 4-row aggregate with map-side combine; nothing is collected."""
+    base = _base_dim(spark, sf_dir)
+    batch = _incoming_batch(spark, sf_dir)
+    merged = batch.unionByName(
+        base.join(batch.select("cust_id"), "cust_id", "left_anti")
+    )
+    snap_b = merged.filter(
+        F.col("cust_id") % SNAPDIFF_DEL_MOD != SNAPDIFF_DEL_REM
+    )
+    a = base.select(
+        F.col("cust_id").alias("a_id"),
+        F.col("name").alias("a_name"),
+        F.col("segment").alias("a_segment"),
+    )
+    bb = snap_b.select(
+        F.col("cust_id").alias("b_id"),
+        F.col("name").alias("b_name"),
+        F.col("segment").alias("b_segment"),
+    )
+    both = F.col("a_id").isNotNull() & F.col("b_id").isNotNull()
+    d = a.join(bb, F.col("a_id") == F.col("b_id"), "full_outer").select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("cust_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(
+            (F.col("a_name") != F.col("b_name"))
+            | (F.col("a_segment") != F.col("b_segment")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_kind"),
+        F.when(both & (F.col("a_name") != F.col("b_name")), 1)
+        .otherwise(0)
+        .alias("name_diff"),
+        F.when(both & (F.col("a_segment") != F.col("b_segment")), 1)
+        .otherwise(0)
+        .alias("segment_diff"),
+    )
+    return (
+        d.groupBy("change_kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("name_diff").cast("long").alias("n_name_diff"),
+            F.sum("segment_diff").cast("long").alias("n_segment_diff"),
+            F.min("cust_id").cast("long").alias("min_cust_id"),
+            F.max("cust_id").cast("long").alias("max_cust_id"),
+        )
+        .orderBy("change_kind")
+    )

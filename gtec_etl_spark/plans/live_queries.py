@@ -1688,3 +1688,167 @@ def mm_audio_augment(spark, sf_dir):
 
     media = M.wav_media_table(spark, n=12, n_frames=480, sample_rate=8000)
     return M.augment_audio(media).orderBy("media_id")
+
+
+@query(
+    "mm_image_tiles",
+    oracle=f"""
+    SELECT media_id, tile_row, tile_col, tile_sum, tile_mean_e4,
+           pos_checksum, dropped_rows, dropped_cols
+    FROM '{_MM_GOLDEN}/mm_image_tiles.parquet'
+    ORDER BY media_id, tile_row, tile_col
+    """,
+    tags=("multimodal",),
+)
+def mm_image_tiles(spark, sf_dir):
+    """ViT-style PATCH extraction over the real netpbm media table — the
+    tiling pass between decode and the patch-embedding matmul: each
+    decoded luma grid splits into non-overlapping 8x8 tiles on a floor
+    grid (remainder rows/cols dropped and REPORTED — a silently lossy
+    crop config is the kind of data bug a curation pipeline must
+    surface). Per tile: integer sum/mean and a positional checksum over
+    LOCAL tile coordinates, so a transposed raster, a swapped grid
+    index, or a wrong scan order fails the gate even when plain sums
+    survive. One Arrow pass (operators/multimodal.py:tile_images);
+    output cardinality is fixed by geometry (6 tiles x 12 images), not
+    content. Oracle = golden recomputing every tile from the LCG value
+    stream without the parser
+    (tools/make_multimodal_golden.py:image_tiles_golden)."""
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.netpbm_media_table(spark, n=12, width=31, height=17)
+    return M.tile_images(media, tile=8).orderBy(
+        "media_id", "tile_row", "tile_col"
+    )
+
+
+def _stream_cms_oracle() -> str:
+    from gtec_etl_spark.functions.hashing import MINHASH_P, hash60_sql
+    from gtec_etl_spark.plans.sketch_queries import (
+        _CMS_VALUES,
+        CMS_TOPK,
+        CMS_W,
+    )
+
+    uid_hash = hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id
+    ),
+    base AS (SELECT user_id, n, {uid_hash} AS h FROM uc),
+    keyed AS (
+      SELECT d.di AS di,
+             ((d.a * (b.h % {MINHASH_P}) + d.b) % {MINHASH_P}) % {CMS_W}
+               AS col,
+             b.n AS n
+      FROM base b, (VALUES {_CMS_VALUES}) d(di, a, b)
+    ),
+    sketch AS (
+      SELECT di, col, CAST(sum(n) AS BIGINT) AS cnt
+      FROM keyed GROUP BY di, col
+    ),
+    exact AS (
+      SELECT user_id, n AS exact_n, h
+      FROM base ORDER BY n DESC, user_id LIMIT {CMS_TOPK}
+    )
+    SELECT e.user_id AS user_id, e.exact_n AS exact_n,
+           CAST(min(s.cnt) AS BIGINT) AS est_n,
+           CAST(min(s.cnt) - e.exact_n AS BIGINT) AS overcount
+    FROM exact e, (VALUES {_CMS_VALUES}) d(di, a, b)
+    JOIN sketch s
+      ON s.di = d.di
+     AND s.col = ((d.a * (e.h % {MINHASH_P}) + d.b) % {MINHASH_P})
+                 % {CMS_W}
+    GROUP BY e.user_id, e.exact_n
+    ORDER BY exact_n DESC, user_id
+    """
+
+
+@query(
+    "stream_cms_heavy",
+    oracle=_stream_cms_oracle(),
+    tags=("streaming", "live", "sketch"),
+)
+def stream_cms_heavy(spark, sf_dir):
+    """A count-min sketch MAINTAINED BY A REAL STREAMING JOB — the
+    second mergeable-sketch streaming twin (stream_hll_distinct proves
+    the register-max monoid; this proves the cell-ADDITION monoid): the
+    events file replays through readStream, every event fans into D
+    (row, universal-hash column) cells with weight 1, and a streaming
+    groupBy((di, col)).count() maintains the grid — state is the FIXED
+    D x W cell set regardless of stream length, the bounded-state
+    contract the steady-state bench measures for the HLL twin. Because
+    cell addition commutes with any micro-batch split, the finite
+    replay must equal the batch sketch — and because sketch_cms_heavy_
+    hitters ingests the WEIGHTED vocabulary aggregate while this job
+    ingests RAW weight-1 events, the pair is the pre-aggregation-
+    commutes-with-sketching claim made machine-checked. Probe: exact
+    top-K users (batch side) against min-over-rows estimates; hashes
+    are the deterministic hash60 family, so the error itself is
+    bit-identical cross-engine."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.functions.hashing import hash60, minhash_perm
+    from gtec_etl_spark.plans.sketch_queries import (
+        CMS_PARAMS,
+        CMS_TOPK,
+        CMS_W,
+    )
+    from gtec_etl_spark.streaming import pipelines as P
+
+    h = hash60(F.col("user_id").cast("string"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(di).alias("di"),
+                (minhash_perm(h, a, b) % CMS_W).alias("col"),
+            )
+            for di, (a, b) in enumerate(CMS_PARAMS)
+        ]
+    )
+    with P.state_partitions(spark, 8):
+        sketch_stream = (
+            P.read_events_stream(spark, sf_dir)
+            .select(F.explode(cells).alias("c"))
+            .select("c.di", "c.col")
+            .groupBy("di", "col")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        sketch = P.run_to_memory(sketch_stream)
+    ev = catalog.table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = uc.select("user_id", "n", hash60(F.col("user_id").cast("string")).alias("h"))
+    exact = (
+        base.orderBy(F.col("n").desc(), "user_id")
+        .limit(CMS_TOPK)
+        .select("user_id", F.col("n").alias("exact_n"), "h")
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(di).alias("di"),
+                        (minhash_perm(F.col("h"), a, b) % CMS_W).alias("col"),
+                    )
+                    for di, (a, b) in enumerate(CMS_PARAMS)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "exact_n", "c.di", "c.col")
+    return (
+        probes.join(F.broadcast(sketch), ["di", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )

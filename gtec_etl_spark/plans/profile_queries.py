@@ -625,3 +625,126 @@ def prof_k_anonymity(spark, sf_dir):
         )
         .orderBy("log2_bucket")
     )
+
+
+PSI_SPLIT_TS = "2024-01-16 00:00:00"
+PSI_BUCKET_W = 50
+PSI_NBUCKETS = 10
+
+
+@query(
+    "prof_drift_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(CAST(floor("value" / {PSI_BUCKET_W}) AS BIGINT),
+                   {PSI_NBUCKETS - 1}) AS bucket,
+             CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}' THEN 0 ELSE 1 END AS w
+      FROM events
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM b GROUP BY bucket
+    ),
+    scal AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS v
+      FROM counts
+    ),
+    c AS (
+      SELECT bucket, n_a, n_b,
+             CAST((n_a + 1) * 1000000000 // (ta + v) AS BIGINT) AS p_a_e9,
+             CAST((n_b + 1) * 1000000000 // (tb + v) AS BIGINT) AS p_b_e9,
+             CAST(floor(ln(n_a + 1) * 1000000 + 0.5) AS BIGINT)
+               - CAST(floor(ln(n_b + 1) * 1000000 + 0.5) AS BIGINT)
+               + CAST(floor(ln(tb + v) * 1000000 + 0.5) AS BIGINT)
+               - CAST(floor(ln(ta + v) * 1000000 + 0.5) AS BIGINT)
+               AS ln_ratio_u
+      FROM counts CROSS JOIN scal
+    )
+    SELECT bucket, n_a, n_b, p_a_e9, p_b_e9,
+           CAST((p_a_e9 - p_b_e9) * ln_ratio_u AS BIGINT) AS psi_contrib,
+           CAST(sum((p_a_e9 - p_b_e9) * ln_ratio_u) OVER () AS BIGINT)
+             AS psi_total
+    FROM c ORDER BY bucket
+    """,
+    tags=("profile", "quality"),
+)
+def prof_drift_psi(spark, sf_dir):
+    """Population Stability Index between the reference window (events
+    before {PSI_SPLIT_TS}) and the current window — THE drift metric a
+    training pipeline watches when a new ingest snapshot lands (PSI > 0.2
+    conventionally blocks a model refresh). Values land in {PSI_NBUCKETS}
+    fixed-width buckets (width {PSI_BUCKET_W}, top bucket open); per
+    bucket the signed contribution (p_A - p_B)·ln(p_A/p_B) is emitted
+    with add-one smoothing, plus the total.
+
+    Parity discipline (the text_kl_mixture_drift precedent): the only
+    transcendental is ln over INTEGER arguments, each quantized to
+    micro-nats (floor(ln·1e6 + 0.5)) — ln(p_A/p_B) decomposes as
+    ln(n_A+1) - ln(n_B+1) + ln(T_B+V) - ln(T_A+V), so every argument is
+    an exact BIGINT; the probabilities themselves are floored e9-scaled
+    integers, and every product stays < 2^63.
+    tests/test_float_guards.py asserts each distinct ln argument clears
+    the rounding boundary. Plan: ONE scan of events with map-side
+    combine into ≤{PSI_NBUCKETS} bucket rows; the (T_A, T_B, V) scalars
+    ride a broadcast 1-row aggregate; the window total runs over
+    {PSI_NBUCKETS} rows. At 100 TB this is scan-bound by construction."""
+    ev = catalog.table(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BUCKET_W).cast("long"),
+            F.lit(PSI_NBUCKETS - 1),
+        ).alias("bucket"),
+        F.when(F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("w"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    scal = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5)).cast(
+            "long"
+        )
+
+    c = counts.crossJoin(F.broadcast(scal)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr("CAST((n_a + 1) * 1000000000 div (ta + v) AS BIGINT)").alias(
+            "p_a_e9"
+        ),
+        F.expr("CAST((n_b + 1) * 1000000000 div (tb + v) AS BIGINT)").alias(
+            "p_b_e9"
+        ),
+        (
+            qln(F.col("n_a") + 1)
+            - qln(F.col("n_b") + 1)
+            + qln(F.col("tb") + F.col("v"))
+            - qln(F.col("ta") + F.col("v"))
+        ).alias("ln_ratio_u"),
+    )
+    from pyspark.sql import Window
+
+    contrib = (F.col("p_a_e9") - F.col("p_b_e9")) * F.col("ln_ratio_u")
+    return c.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "p_a_e9",
+        "p_b_e9",
+        contrib.cast("long").alias("psi_contrib"),
+        F.sum(contrib)
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("psi_total"),
+    ).orderBy("bucket")

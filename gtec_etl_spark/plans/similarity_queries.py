@@ -2154,3 +2154,148 @@ def sim_filtered_search(spark, sf_dir):
         )
         .orderBy("strategy", F.col("cosine").desc(), "vec_id")
     )
+
+
+SQ8_LEVELS = 255  # code domain 0..255 (mx maps to 255 via the mx>mn clamp)
+SQ8_DIMS = PQ_M * PQ_SUBDIM
+SQ8_OVERFETCH = 30
+
+
+def _sq8_ctes() -> str:
+    code = (
+        f"CASE WHEN mx[i] > mn[i] THEN "
+        f"CAST((qe[i] - mn[i]) * {SQ8_LEVELS} // (mx[i] - mn[i]) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    recon = (
+        f"mn[i] + CAST((2 * code[i] + 1) * (mx[i] - mn[i])"
+        f" // {2 * SQ8_LEVELS} AS BIGINT)"
+    )
+    return f"""
+    WITH h AS (
+      SELECT vec_id, {_quantize_sql('embedding')} AS qe FROM embeddings
+    ),
+    dims AS (
+      SELECT unnest(generate_series(1, {SQ8_DIMS})) AS d
+    ),
+    mm AS (
+      SELECT list(mnv ORDER BY d) AS mn, list(mxv ORDER BY d) AS mx FROM (
+        SELECT d, min(qe[d]) AS mnv, max(qe[d]) AS mxv
+        FROM h CROSS JOIN dims WHERE vec_id <> 0 GROUP BY d
+      )
+    ),
+    q AS (SELECT qe AS qv FROM h WHERE vec_id = 0),
+    coded AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {SQ8_DIMS}),
+                            i -> {code}) AS code
+      FROM h CROSS JOIN mm WHERE vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, code,
+             list_reduce(list_transform(generate_series(1, {SQ8_DIMS}),
+               i -> (qv[i] - ({recon})) * (qv[i] - ({recon}))),
+               (x, y) -> x + y) AS adc_dist_q
+      FROM coded CROSS JOIN mm CROSS JOIN q
+      ORDER BY adc_dist_q, vec_id LIMIT {SQ8_OVERFETCH}
+    )
+    """
+
+
+@query(
+    "sim_sq8_rerank",
+    oracle=_sq8_ctes()
+    + f"""
+    SELECT c.vec_id, CAST(c.adc_dist_q AS BIGINT) AS adc_dist_q,
+           CAST({_sqdist_int_sql('h.qe', 'q.qv', SQ8_DIMS)} AS BIGINT)
+             AS exact_dist_q
+    FROM cand c JOIN h ON h.vec_id = c.vec_id CROSS JOIN q
+    ORDER BY exact_dist_q, c.vec_id LIMIT 10
+    """,
+    tags=("similarity", "scale"),
+)
+def sim_sq8_rerank(spark, sf_dir):
+    """Scalar-quantization (SQ8) ANN with exact rerank — the third
+    compression tier between raw floats and PQ: each dimension is
+    independently quantized to an 8-bit code against the corpus's
+    per-dimension [min, max] range (256 B/vector vs PQ's 2 B and raw's
+    256 B of floats, but with no codebook training and much higher
+    per-dim fidelity — the faiss SQ8 trade-off). Search: approximate
+    distance against the CODES ONLY (query vs floored cell-midpoint
+    reconstruction — the float arrays are never touched while scoring),
+    overfetch the top {SQ8_OVERFETCH}, then one exact integer-micros
+    rerank over just those rows (the exact vectors are fetched by
+    vec_id join for candidates only — the storage-access pattern a
+    production two-stage retriever has).
+
+    Parity: embeddings quantize to integer micros first (the PQ
+    convention); codes, reconstructions, and both distances are then
+    pure BIGINT arithmetic with non-negative numerators (floor==trunc
+    on both engines). Max |recon diff| ~ 1.1e6 micros, squared 1.2e12,
+    64-dim sums < 1e14 — no int64 overflow, no hugeint leak (CASTs).
+    Plan: the per-dim min/max table is ONE 64-row aggregate (bounded by
+    the fixed dimensionality, broadcast); coding + ADC scoring is one
+    map-only pass over the corpus ending in TakeOrderedAndProject; the
+    rerank touches {SQ8_OVERFETCH} rows. At 100 TB: scan-bound, zero
+    corpus-sized shuffles."""
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "qe")
+    mm = (
+        corpus.select(F.posexplode("qe").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mnv"), F.max("x").alias("mxv"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", "mnv"))).alias("p1"),
+            F.array_sort(F.collect_list(F.struct("d", "mxv"))).alias("p2"),
+        )
+        .select(
+            F.expr("transform(p1, p -> p.mnv)").alias("mn"),
+            F.expr("transform(p2, p -> p.mxv)").alias("mx"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qe").alias("qv"))
+    code_expr = (
+        f"transform(sequence(1, {SQ8_DIMS}), i -> CASE "
+        f"WHEN element_at(mx, i) > element_at(mn, i) THEN "
+        f"CAST((element_at(qe, i) - element_at(mn, i)) * {SQ8_LEVELS} "
+        f"div (element_at(mx, i) - element_at(mn, i)) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+    )
+    recon = (
+        f"element_at(mn, i) + CAST((2 * element_at(code, i) + 1) "
+        f"* (element_at(mx, i) - element_at(mn, i)) "
+        f"div {2 * SQ8_LEVELS} AS BIGINT)"
+    )
+    adc_expr = (
+        f"aggregate(sequence(1, {SQ8_DIMS}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + (element_at(qv, i) - ({recon})) "
+        f"* (element_at(qv, i) - ({recon})))"
+    )
+    coded = corpus.crossJoin(F.broadcast(mm)).select(
+        "vec_id", "mn", "mx", F.expr(code_expr).alias("code")
+    )
+    cand = (
+        coded.crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(adc_expr).alias("adc_dist_q"))
+        .orderBy("adc_dist_q", "vec_id")
+        .limit(SQ8_OVERFETCH)
+    )
+    exact_expr = (
+        f"aggregate(sequence(1, {SQ8_DIMS}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + (element_at(qe, i) - element_at(qv, i)) "
+        f"* (element_at(qe, i) - element_at(qv, i)))"
+    )
+    return (
+        cand.join(corpus, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "adc_dist_q",
+            F.expr(exact_expr).alias("exact_dist_q"),
+        )
+        .orderBy("exact_dist_q", "vec_id")
+        .limit(10)
+    )

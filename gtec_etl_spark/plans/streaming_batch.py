@@ -678,3 +678,188 @@ def ev_attribution(spark, sf_dir):
         )
         .orderBy("kind", "touch_type")
     )
+
+
+@query(
+    "ev_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS e1, lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS e2
+      FROM events
+    ),
+    pair AS (
+      SELECT e1, e2, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE e2 IS NOT NULL GROUP BY e1, e2
+    ),
+    tot AS (SELECT e1, CAST(sum(n) AS BIGINT) AS t FROM pair GROUP BY e1)
+    SELECT pair.e1, pair.e2, pair.n,
+           CAST(pair.n * 10000 // tot.t AS BIGINT) AS prob_bp
+    FROM pair JOIN tot USING (e1)
+    ORDER BY e1, e2
+    """,
+    tags=("streaming", "funnel"),
+)
+def ev_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = e2 | current = e1) in exact basis points — the
+    behavioral model behind next-event prediction and the drift check a
+    product pipeline runs when a release changes navigation (a
+    transition row moving 500 bp is a funnel change ev_top_paths' raw
+    top-k can hide). Counts are integers and prob_bp floors n*10000/t,
+    so both engines agree bit-for-bit.
+
+    Plan: the same single user_id exchange as ev_top_paths feeds the
+    lead(); the pair count is bounded (|event_types|^2 keys) with
+    map-side combine, and the per-source totals reduce 25 rows — AQE
+    broadcasts the join back. At 100 TB the per-user window sort is the
+    only corpus-sized operation."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+    )
+    pair = (
+        s.filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = pair.groupBy("e1").agg(F.sum("n").cast("long").alias("t"))
+    return (
+        pair.join(tot, "e1")
+        .select(
+            "e1",
+            "e2",
+            "n",
+            F.expr("CAST(n * 10000 div t AS BIGINT)").alias("prob_bp"),
+        )
+        .orderBy("e1", "e2")
+    )
+
+
+CUSUM_H = 8  # alert when S exceeds H x MAD (2x-scaled on both sides)
+
+
+@query(
+    "ev_cusum_alerts",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(2 * median(n) AS BIGINT) AS med2
+      FROM c GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, c.h, c.n, abs(2 * c.n - m.med2) AS dev2
+      FROM c JOIN m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(greatest(median(dev2), 2) AS BIGINT) AS mad2
+      FROM dev GROUP BY event_type
+    ),
+    p AS (
+      SELECT d.event_type, d.h, d.n,
+             sum(2 * d.n - m.med2 - 1) OVER (
+               PARTITION BY d.event_type ORDER BY d.h
+             ) AS pre
+      FROM dev d JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, h, n,
+             pre - least(min(pre) OVER (
+               PARTITION BY event_type ORDER BY h
+             ), 0) AS cusum2
+      FROM p
+    )
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(s.cusum2) AS BIGINT) AS max_cusum_2x,
+           CAST({CUSUM_H} * mad.mad2 AS BIGINT) AS threshold_2x,
+           CAST(sum(CASE WHEN s.cusum2 > {CUSUM_H} * mad.mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alert_hours,
+           min(CASE WHEN s.cusum2 > {CUSUM_H} * mad.mad2
+                    THEN s.h END) AS first_alert_hour
+    FROM s JOIN mad USING (event_type)
+    GROUP BY s.event_type, mad.mad2
+    ORDER BY s.event_type
+    """,
+    tags=("streaming", "quality"),
+)
+def ev_cusum_alerts(spark, sf_dir):
+    """CUSUM change-point detection on hourly per-type event volume — the
+    monitoring pass that catches a SUSTAINED drift ev_anomaly_mad's
+    single-hour spike test cannot (CUSUM accumulates small deviations;
+    MAD only fires when one hour alone clears the threshold). Per type:
+    target = median hourly count, one-sided reset CUSUM
+    S_i = max(0, S_(i-1) + (n_i - med - 1/2)) computed WITHOUT recursion
+    via the prefix-sum identity S_i = P_i - min(0, min_(j<=i) P_j)
+    (two window functions over the hour order), alert when S exceeds
+    {CUSUM_H} x the MAD of the hourly deviations. Output is the per-type
+    alert summary (hours, max CUSUM, threshold, alert-hour count, first
+    alert hour) — dimension-sized, never vacuous.
+
+    Exactness: counts are integers; medians of integers are half-integer
+    exact, so everything rides a 2x integer scale end-to-end — no float
+    anywhere. Plan: one corpus-sized count aggregation; the medians,
+    prefix windows, and summary all run on the O(types x hours) relation
+    (per-type window partitions are hour-count-sized — bounded by the
+    retention horizon at any corpus scale, the same envelope as
+    ev_anomaly_mad)."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("event_type").agg(
+        (2 * F.median("n")).cast("long").alias("med2")
+    )
+    dev = c.join(F.broadcast(m), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("n") - F.col("med2"))
+    )
+    # MAD floored at one count (2 in 2x units): on sparse slices most
+    # hourly deviations are zero, and an unfloored MAD of 0 makes the
+    # threshold vacuous (every positive CUSUM fires).
+    mad = dev.groupBy("event_type").agg(
+        F.greatest(F.median("dev2"), F.lit(2)).cast("long").alias("mad2")
+    )
+    wo = Window.partitionBy("event_type").orderBy("h")
+    p = dev.withColumn(
+        "pre", F.sum(2 * F.col("n") - F.col("med2") - 1).over(wo)
+    )
+    s = p.withColumn(
+        "cusum2", F.col("pre") - F.least(F.min("pre").over(wo), F.lit(0))
+    )
+    return (
+        s.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("cusum2").cast("long").alias("max_cusum_2x"),
+            F.sum(
+                F.when(F.col("cusum2") > CUSUM_H * F.col("mad2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alert_hours"),
+            F.min(
+                F.when(F.col("cusum2") > CUSUM_H * F.col("mad2"), F.col("h"))
+            ).alias("first_alert_hour"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "max_cusum_2x",
+            (CUSUM_H * F.col("mad2")).cast("long").alias("threshold_2x"),
+            "n_alert_hours",
+            "first_alert_hour",
+        )
+        .orderBy("event_type")
+    )

@@ -328,3 +328,45 @@ def test_unigram_lp_not_on_rounding_boundary(sf_dir):
     assert worst > EPS, (
         f"unigram lp flip-point distance {worst:.3e} at {sf_dir}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_psi_drift_lns_not_on_rounding_boundary(sf_dir):
+    """prof_drift_psi quantizes ln over four integer-argument families:
+    n_a+1, n_b+1, T_a+V, T_b+V (the KL-drift decomposition). Every
+    distinct argument's pre-floor value must clear the flip point."""
+    from gtec_etl_spark.plans.profile_queries import (
+        PSI_BUCKET_W,
+        PSI_NBUCKETS,
+        PSI_SPLIT_TS,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    args = con.execute(
+        f"""
+        WITH b AS (
+          SELECT least(CAST(floor("value" / {PSI_BUCKET_W}) AS BIGINT),
+                       {PSI_NBUCKETS - 1}) AS bucket,
+                 CASE WHEN ts < TIMESTAMP '{PSI_SPLIT_TS}' THEN 0 ELSE 1
+                 END AS w
+          FROM events),
+        counts AS (SELECT bucket,
+            CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM b GROUP BY bucket),
+        scal AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                        CAST(sum(n_b) AS BIGINT) AS tb,
+                        CAST(count(*) AS BIGINT) AS v FROM counts)
+        SELECT DISTINCT arg FROM (
+          SELECT n_a + 1 AS arg FROM counts
+          UNION SELECT n_b + 1 FROM counts
+          UNION SELECT ta + v FROM scal
+          UNION SELECT tb + v FROM scal)
+        """
+    ).fetchall()
+    assert args
+    worst = min(
+        boundary_distance(math.log(a) * 1_000_000 + 0.5) for (a,) in args
+    )
+    assert worst > EPS, f"psi ln argument within {worst} of a flip point"

@@ -1026,6 +1026,10 @@ def main() -> None:
         os.path.join(OUT_DIR, "mm_audio_augment.parquet"),
     )
     pq.write_table(
+        image_tiles_golden(),
+        os.path.join(OUT_DIR, "mm_image_tiles.parquet"),
+    )
+    pq.write_table(
         decode_gif_golden(),
         os.path.join(OUT_DIR, "mm_decode_gif.parquet"),
     )
@@ -1202,6 +1206,50 @@ def audio_augment_golden(
                 "pos_checksum": int((clipped * weights).sum()),
             }
         )
+    return pa.Table.from_pylist(rows)
+
+
+
+
+def image_tiles_golden(
+    n: int = 12, width: int = 31, height: int = 17, tile: int = 8
+) -> pa.Table:
+    """Expected output of mm_image_tiles: the netpbm LCG value stream
+    (parser never touched) tiled on the floor grid with per-tile stats
+    and the local-coordinate positional checksum in plain numpy."""
+    cycle = (("P6", 255), ("P5", 255), ("P3", 100), ("P2", 99))
+    rows = []
+    for mid in range(n):
+        fmt, maxval = cycle[mid % 4]
+        nch = 3 if fmt in ("P6", "P3") else 1
+        x = (mid * 2654435761) % (2**32)
+        vals = np.empty(width * height * nch, dtype=np.int64)
+        for i in range(len(vals)):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals[i] = x % (maxval + 1)
+        if maxval != 255:
+            vals = (vals * 255 + maxval // 2) // maxval
+        if nch == 3:
+            rgb = vals.reshape(-1, 3)
+            vals = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+        a = vals.reshape(height, width)
+        nr, nc = height // tile, width // tile
+        weights = (
+            np.arange(tile * tile, dtype=np.int64).reshape(tile, tile) % 97 + 1
+        )
+        for tr in range(nr):
+            for tc in range(nc):
+                t = a[tr * tile : (tr + 1) * tile, tc * tile : (tc + 1) * tile]
+                rows.append(
+                    {
+                        "media_id": mid, "tile_row": tr, "tile_col": tc,
+                        "tile_sum": int(t.sum()),
+                        "tile_mean_e4": int(t.sum() * 10000 // (tile * tile)),
+                        "pos_checksum": int((t * weights).sum()),
+                        "dropped_rows": height - nr * tile,
+                        "dropped_cols": width - nc * tile,
+                    }
+                )
     return pa.Table.from_pylist(rows)
 
 
