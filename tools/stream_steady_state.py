@@ -207,6 +207,49 @@ def run_hll_registers(spark, replay_dir: str) -> dict:
         return progress_stats(q)
 
 
+def run_cms_cells(spark, replay_dir: str) -> dict:
+    """Steady-state of the streaming count-min-sketch cell maintenance
+    (stream_cms_heavy's topology): per-trigger cost of a D x W
+    bounded-state aggregation — the cell-ADDITION monoid sketch, so like
+    the HLL registers the state row count must plateau at the fixed cell
+    set regardless of stream length."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.functions.hashing import hash60, minhash_perm
+    from gtec_etl_spark.plans.sketch_queries import CMS_PARAMS, CMS_W
+    from gtec_etl_spark.streaming import pipelines as P
+
+    h = hash60(F.col("user_id").cast("string"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(di).alias("di"),
+                (minhash_perm(h, a, b) % CMS_W).alias("col"),
+            )
+            for di, (a, b) in enumerate(CMS_PARAMS)
+        ]
+    )
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        sk = (
+            ev.select(F.explode(cells).alias("c"))
+            .select("c.di", "c.col")
+            .groupBy("di", "col")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(f"cms_{uuid.uuid4().hex[:12]}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("cms replay did not finish")
+        return progress_stats(q)
+
+
 def run_dedup_watermark(spark, replay_dir: str) -> dict:
     """Steady-state + state-growth of dropDuplicatesWithinWatermark
     (stream_dedup_watermark's topology). The state store holds one row
@@ -380,6 +423,7 @@ def main() -> None:
             ),
             "stream_tumbling_hourly": run_tumbling(spark, replay_dir),
             "stream_hll_distinct": run_hll_registers(spark, replay_dir),
+            "stream_cms_heavy": run_cms_cells(spark, replay_dir),
             "stream_static_join": run_static_join(
                 spark, args.sf_dir, replay_dir
             ),
