@@ -2715,3 +2715,55 @@ def tile_images(media: DataFrame, tile: int = 8) -> DataFrame:
         " tile_mean_e4 long, pos_checksum long, dropped_rows long,"
         " dropped_cols long",
     )
+
+
+VAD_BLOCK = 80  # frames per gain block in the VAD fixture
+VAD_PATTERN_MOD, VAD_LOUD_LT = 6, 3  # block b of clip m is loud iff (b+m)%6 < 3
+
+
+def fake_vad_wav(
+    n_frames: int, sample_rate: int, seed: int, block: int = VAD_BLOCK
+) -> bytes:
+    """Deterministic REAL 16-bit mono WAV whose LCG sample stream is
+    amplitude-modulated per `block`-frame gain block: block b is
+    full-scale when (b + seed) % {mod} < {lt}, else scaled by a
+    floor-divide 16 attenuation — speech-shaped loud/quiet runs for
+    voice-activity-detection fixtures (plain LCG noise has constant RMS,
+    which would make any VAD pass vacuous)."""
+    vals = wav_values(n_frames, seed, 16)
+    out = []
+    for f, v in enumerate(vals):
+        b = f // block
+        if (b + seed) % VAD_PATTERN_MOD < VAD_LOUD_LT:
+            out.append(v)
+        else:
+            out.append(v // 16)
+    raster = b"".join(struct.pack("<h", v) for v in out)
+    block_align = 2
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, block_align, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raster))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raster)) + raster
+    )
+
+
+def vad_wav_media_table(
+    spark, n: int = 8, n_frames: int = 960, sample_rate: int = 8000
+) -> DataFrame:
+    """Media table of REAL WAV clips with loud/quiet gain-block structure
+    (fake_vad_wav) — the VAD fixture."""
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(fake_vad_wav(n_frames, sample_rate, seed=i)),
+                ("audio/wav", f"mem://vadwav/{i}.wav"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

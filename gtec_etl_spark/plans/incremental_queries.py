@@ -571,3 +571,84 @@ def etl_snapshot_diff(spark, sf_dir):
         )
         .orderBy("change_kind")
     )
+
+
+ASOF_BASE_DATE = "2024-05-01"
+ASOF_SPAN_DAYS = 60  # lookup dates straddle the 2024-06-01 SCD2 boundary
+
+
+@query(
+    "etl_scd2_asof_lookup",
+    oracle=f"""
+    WITH dim AS (SELECT * FROM ({SCD2_ORACLE_SQL})),
+    fact AS (
+      SELECT o_orderkey, o_custkey,
+             DATE '{ASOF_BASE_DATE}'
+               + CAST(o_orderkey % {ASOF_SPAN_DAYS} AS INTEGER)
+               AS lookup_date,
+             CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)
+               AS price_micros
+      FROM orders
+    )
+    SELECT d.valid_from, d.is_current,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_custs,
+           CAST(sum(f.price_micros) AS BIGINT) AS total_micros
+    FROM fact f JOIN dim d
+      ON d.cust_id = f.o_custkey
+     AND d.valid_from <= f.lookup_date
+     AND (d.valid_to IS NULL OR f.lookup_date < d.valid_to)
+    GROUP BY d.valid_from, d.is_current
+    ORDER BY d.valid_from, d.is_current
+    """,
+    tags=("incremental", "etl"),
+)
+def etl_scd2_asof_lookup(spark, sf_dir):
+    """Temporal dimension lookup — the join every SCD2 history exists to
+    serve: each fact row resolves to the dimension VERSION valid at the
+    fact's own date (valid_from <= date < valid_to, open-ended current
+    rows matching everything after), the late-arriving-fact pattern a
+    warehouse runs when facts and dimension updates arrive out of order.
+    Facts are orders with a derived lookup date spanning
+    {ASOF_SPAN_DAYS} days across the {SCD2_EFF_DATE} version boundary,
+    so all three version classes resolve (old-version hits, closed-row
+    hits before the boundary, new-version hits after). Output is the
+    per-version-class audit (order count, distinct customers, exact
+    integer-micros revenue) — the reconciliation a reviewer checks
+    before trusting a temporal join.
+
+    Plan: the dimension history (≤2 versions/key) joins on the EQUALITY
+    key cust_id with the interval predicate as a residual filter — the
+    right 100 TB plan for SCD2 (versions-per-key is small and bounded,
+    so an interval-join index buys nothing); one co-shuffle of facts and
+    history on the key (bucketed tables make it exchange-free), then a
+    3-row aggregate. Exactly-one-version-per-fact is guaranteed by
+    SCD2's non-overlapping intervals, which etl_scd2_merge's gate
+    already proves."""
+    dim = etl_scd2_merge(spark, sf_dir)
+    orders = catalog.table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.col("o_custkey"),
+        F.date_add(
+            F.lit(ASOF_BASE_DATE).cast("date"),
+            (F.col("o_orderkey") % ASOF_SPAN_DAYS).cast("int"),
+        ).alias("lookup_date"),
+        F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+        .cast("long")
+        .alias("price_micros"),
+    )
+    j = fact.join(
+        dim,
+        (F.col("cust_id") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("lookup_date"))
+        & (F.col("valid_to").isNull() | (F.col("lookup_date") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("valid_from", "is_current")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+            F.sum("price_micros").cast("long").alias("total_micros"),
+        )
+        .orderBy("valid_from", "is_current")
+    )

@@ -1852,3 +1852,69 @@ def stream_cms_heavy(spark, sf_dir):
         )
         .orderBy(F.col("exact_n").desc(), "user_id")
     )
+
+
+VAD_THR_E3 = 6_000_000  # RMS gate: full-scale noise ~19e6, attenuated ~1.2e6
+
+
+@query(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH act AS (
+      SELECT media_id, window_idx, rms_e3,
+             window_idx - row_number() OVER (
+               PARTITION BY media_id ORDER BY window_idx
+             ) AS island
+      FROM '{_MM_GOLDEN}/mm_audio_vad_rms.parquet'
+      WHERE rms_e3 > {VAD_THR_E3}
+    )
+    SELECT media_id,
+           CAST(min(window_idx) AS BIGINT) AS seg_start,
+           CAST(max(window_idx) AS BIGINT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(rms_e3) AS BIGINT) AS max_rms_e3
+    FROM act GROUP BY media_id, island
+    ORDER BY media_id, seg_start
+    """,
+    tags=("multimodal",),
+)
+def mm_audio_vad(spark, sf_dir):
+    """Voice-activity detection — the segmentation pass an audio training
+    pipeline runs before transcription/feature extraction (train on
+    speech segments, not the silence between them): decode REAL WAV
+    clips with loud/quiet gain-block structure through the RIFF walker,
+    window RMS in one Arrow pass (80-frame tumbling windows, exact
+    isqrt integers), gate at {VAD_THR_E3} (full-scale LCG noise sits at
+    ~19e6, the 16x-attenuated blocks at ~1.2e6), then merge consecutive
+    active windows into segments with the gaps-and-islands window trick
+    (window_idx - row_number per clip) IN SPARK — the relational half
+    stays native and shuffle-light (one window partition per clip).
+    Oracle: the SAME islands SQL over the golden per-window RMS table
+    recomputed from the LCG stream + gain rule without the parser
+    (tools/make_multimodal_golden.py:audio_vad_rms_golden), so codec,
+    windowing, and segmentation are all gated."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.operators import multimodal as M
+
+    media = M.vad_wav_media_table(spark, n=8, n_frames=960)
+    rms = M.audio_rms_windows(media, window_frames=M.VAD_BLOCK)
+    act = rms.filter(F.col("rms_e3") > VAD_THR_E3).withColumn(
+        "island",
+        F.col("window_idx")
+        - F.row_number().over(
+            Window.partitionBy("media_id").orderBy("window_idx")
+        ),
+    )
+    return (
+        act.groupBy("media_id", "island")
+        .agg(
+            F.min("window_idx").cast("long").alias("seg_start"),
+            F.max("window_idx").cast("long").alias("seg_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.max("rms_e3").cast("long").alias("max_rms_e3"),
+        )
+        .drop("island")
+        .orderBy("media_id", "seg_start")
+    )

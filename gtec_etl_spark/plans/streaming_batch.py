@@ -863,3 +863,95 @@ def ev_cusum_alerts(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ev_funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    ),
+    lags AS (
+      SELECT 'view_to_click' AS stage,
+             epoch_us(c.t2) - epoch_us(v.t1) AS lag_us
+      FROM c JOIN v USING (user_id)
+      UNION ALL
+      SELECT 'click_to_purchase',
+             epoch_us(p.t3) - epoch_us(c.t2)
+      FROM p JOIN c USING (user_id)
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(2 * median(lag_us) AS BIGINT) AS med2x_lag_us,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us
+    FROM lags GROUP BY stage ORDER BY stage
+    """,
+    tags=("streaming", "funnel"),
+)
+def ev_funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution per funnel stage — the latency
+    companion to ev_funnel_stages' conversion COUNTS (product analytics
+    asks "how many converted" and then immediately "how long did it
+    take"): per user, first view -> first subsequent click -> first
+    subsequent purchase, then per-stage lag stats over exact integer
+    microseconds. Medians of integer lags are half-integer exact
+    (dyadic doubles, the q08/ev_anomaly_mad convention), carried as
+    2x-scaled BIGINTs; percentile_approx is the documented 100 TB
+    swap-in for the median.
+
+    Plan: the same three keyed min-aggregations as ev_funnel_stages
+    (aggregate-dominated, no window over raw events); the stage-lag
+    relation is |converted users| rows, and the final rollup is 2 rows
+    with map-side combine."""
+    ev = catalog.table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lag12 = c.join(v, "user_id").select(
+        F.lit("view_to_click").alias("stage"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("lag_us"),
+    )
+    lag23 = p.join(c, "user_id").select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("lag_us"),
+    )
+    return (
+        lag12.unionByName(lag23)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (2 * F.median("lag_us")).cast("long").alias("med2x_lag_us"),
+            F.min("lag_us").cast("long").alias("min_lag_us"),
+            F.max("lag_us").cast("long").alias("max_lag_us"),
+        )
+        .orderBy("stage")
+    )

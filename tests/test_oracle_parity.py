@@ -59,6 +59,7 @@ NONEMPTY_EXEMPT: frozenset[str] = frozenset()
 BROADCAST_BOUNDED_BY_CONSTRUCTION: dict[str, str] = {
     "etl_cdc_upsert": "batch side is ingest-interval-bounded in production; the fixture synthesizes it from customer",
     "etl_scd2_merge": "batch side is ingest-interval-bounded in production; the fixture synthesizes it from customer",
+    "etl_scd2_asof_lookup": "composition over etl_scd2_merge — every inherited hint is its allowlisted ingest-interval-bounded batch side",
     "ev_anomaly_mad": "per-event-type robust stats — key domain is the fixed event-type enum",
     "ev_cusum_alerts": "per-event-type median/MAD tables — key domain is the fixed event-type enum",
     "ev_trailing_distinct_users": "day spine = one row per calendar day in the queried range (rows = days, ~365/yr; a 10-year retention window is ~3.7k rows, a few KB broadcast) — grows with wall-clock time only, never with corpus size",

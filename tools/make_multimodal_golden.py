@@ -1030,6 +1030,10 @@ def main() -> None:
         os.path.join(OUT_DIR, "mm_image_tiles.parquet"),
     )
     pq.write_table(
+        audio_vad_rms_golden(),
+        os.path.join(OUT_DIR, "mm_audio_vad_rms.parquet"),
+    )
+    pq.write_table(
         decode_gif_golden(),
         os.path.join(OUT_DIR, "mm_decode_gif.parquet"),
     )
@@ -1250,6 +1254,42 @@ def image_tiles_golden(
                         "dropped_cols": width - nc * tile,
                     }
                 )
+    return pa.Table.from_pylist(rows)
+
+
+def audio_vad_rms_golden(
+    n: int = 8, n_frames: int = 960, block: int = 80,
+    mod: int = 6, loud_lt: int = 3,
+) -> pa.Table:
+    """Per-window RMS of the VAD fixture clips recomputed from the LCG
+    sample stream + gain-block rule (RIFF parser never touched): 16-bit
+    LCG samples, block b of clip m attenuated by floor-divide 16 unless
+    (b + m) % mod < loud_lt; tumbling `block`-frame windows; exact
+    integer energy and isqrt-scaled RMS. The mm_audio_vad oracle runs
+    the SAME gaps-and-islands SQL over this table that the engine runs
+    over its decoded windows."""
+    import math
+
+    rows = []
+    for mid in range(n):
+        x = (mid * 2654435761) % (2**32)
+        vals = []
+        for _ in range(n_frames):
+            x = (1103515245 * x + 12345) % (2**31)
+            vals.append((x % 65536) - 32768)
+        samples = []
+        for f, v in enumerate(vals):
+            b = f // block
+            samples.append(v if (b + mid) % mod < loud_lt else v // 16)
+        for w in range(n_frames // block):
+            seg = samples[w * block : (w + 1) * block]
+            energy = sum(v * v for v in seg)
+            rows.append(
+                {
+                    "media_id": mid, "window_idx": w,
+                    "rms_e3": math.isqrt(energy * 1_000_000 // len(seg)),
+                }
+            )
     return pa.Table.from_pylist(rows)
 
 
