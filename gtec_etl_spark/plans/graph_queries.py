@@ -1088,3 +1088,152 @@ def graph_ppr_seeds(spark, sf_dir):
         return decoded.orderBy(F.col("rank_fp").desc(), "node").limit(20)
     finally:
         edges.unpersist()
+
+
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000
+
+
+def _hits_oracle(iters: int) -> str:
+    parts = [
+        f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    h0 AS (
+      SELECT ck, CAST({HITS_SCALE} AS BIGINT) AS h
+      FROM (SELECT DISTINCT ck FROM pairs)
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i}r AS (
+      SELECT sk, CAST(sum(h) AS BIGINT) AS a
+      FROM pairs JOIN h{i - 1} USING (ck) GROUP BY sk
+    ),
+    a{i}m AS (SELECT CAST(max(a) AS BIGINT) AS m FROM a{i}r),
+    a{i} AS (
+      SELECT sk, CAST(a * {HITS_SCALE} // m AS BIGINT) AS a
+      FROM a{i}r CROSS JOIN a{i}m
+    ),
+    h{i}r AS (
+      SELECT ck, CAST(sum(a) AS BIGINT) AS h
+      FROM pairs JOIN a{i} USING (sk) GROUP BY ck
+    ),
+    h{i}m AS (SELECT CAST(max(h) AS BIGINT) AS m FROM h{i}r),
+    h{i} AS (
+      SELECT ck, CAST(h * {HITS_SCALE} // m AS BIGINT) AS h
+      FROM h{i}r CROSS JOIN h{i}m
+    )"""
+        )
+    parts.append(
+        f""",
+    ta AS (
+      SELECT 'authority' AS kind, 's:' || sk AS node, a AS score_fp
+      FROM a{iters} ORDER BY a DESC, 's:' || sk LIMIT 10
+    ),
+    th AS (
+      SELECT 'hub' AS kind, 'c:' || ck AS node, h AS score_fp
+      FROM h{iters} ORDER BY h DESC, 'c:' || ck LIMIT 10
+    )
+    SELECT * FROM ta
+    UNION ALL
+    SELECT * FROM th
+    ORDER BY kind, score_fp DESC, node"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_hits",
+    oracle=_hits_oracle(HITS_ITERS),
+    tags=("graph", "iterative", "scale"),
+)
+def graph_hits(spark, sf_dir):
+    """HITS (hubs & authorities, {HITS_ITERS} iterations) over the
+    DIRECTED customer→supplier purchase graph — top-10 authorities
+    (suppliers many strong hubs buy from) and top-10 hubs (customers
+    whose purchases concentrate on strong authorities). The second
+    fixpoint FAMILY next to PageRank: two mutually recursive vectors
+    with a normalization step per half-iteration, the shape behind
+    bipartite quality scoring (crawl-source ↔ document authority in a
+    curation pipeline).
+
+    Integer discipline: scores live at {HITS_SCALE} fixed-point;
+    each half-step is one groupBy sum over the edge list followed by
+    floor(x·SCALE / max(x)) against a 1-row broadcast max — all BIGINT,
+    so the unrolled-CTE oracle matches bit-for-bit. Overflow envelope:
+    sum ≤ max_degree·SCALE and the normalization product ≤
+    max_degree·SCALE², so SCALE=1e6 holds to max_degree ~9e6 (drop to
+    1e4 beyond — the docstring contract, same spirit as PR_SCALE).
+    Scale shape: per half-iteration one O(|E|) equi-join + keyed
+    aggregation (the Pregel cost model again), vectors are node-sized
+    and never on the driver, max is a broadcast scalar; top-10s are
+    TakeOrderedAndProject. Normalization here is floor-div by the max —
+    deliberately NOT the L2 norm of textbook HITS (irrational), which
+    only rescales: induced rankings are identical, and the integer form
+    is what makes the cross-engine gate exact."""
+    orders = catalog.table(spark, sf_dir, "orders")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .repartition("ck")
+        .persist()
+    )
+    try:
+        h = (
+            pairs.select("ck")
+            .distinct()
+            .select("ck", F.lit(HITS_SCALE).cast("long").alias("h"))
+        )
+        a = None
+        for _ in range(HITS_ITERS):
+            ar = (
+                pairs.join(h, "ck")
+                .groupBy("sk")
+                .agg(F.sum("h").cast("long").alias("a"))
+            )
+            am = ar.agg(F.max("a").cast("long").alias("m"))
+            a = ar.crossJoin(F.broadcast(am)).select(
+                "sk",
+                F.expr(f"CAST(a * {HITS_SCALE} div m AS BIGINT)").alias("a"),
+            )
+            a = a.localCheckpoint(eager=True)
+            hr = (
+                pairs.join(a, "sk")
+                .groupBy("ck")
+                .agg(F.sum("a").cast("long").alias("h"))
+            )
+            hm = hr.agg(F.max("h").cast("long").alias("m"))
+            h = hr.crossJoin(F.broadcast(hm)).select(
+                "ck",
+                F.expr(f"CAST(h * {HITS_SCALE} div m AS BIGINT)").alias("h"),
+            )
+            h = h.localCheckpoint(eager=True)
+        ta = (
+            a.select(
+                F.lit("authority").alias("kind"),
+                F.concat(F.lit("s:"), F.col("sk")).alias("node"),
+                F.col("a").alias("score_fp"),
+            )
+            .orderBy(F.col("score_fp").desc(), "node")
+            .limit(10)
+        )
+        th = (
+            h.select(
+                F.lit("hub").alias("kind"),
+                F.concat(F.lit("c:"), F.col("ck")).alias("node"),
+                F.col("h").alias("score_fp"),
+            )
+            .orderBy(F.col("score_fp").desc(), "node")
+            .limit(10)
+        )
+        return ta.unionByName(th).orderBy(
+            "kind", F.col("score_fp").desc(), "node"
+        )
+    finally:
+        pairs.unpersist()
