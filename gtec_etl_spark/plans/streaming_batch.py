@@ -728,9 +728,14 @@ def ev_markov_transitions(spark, sf_dir):
         .groupBy("e1", "e2")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    tot = pair.groupBy("e1").agg(F.sum("n").cast("long").alias("t"))
+    # Per-source totals as a window over the BOUNDED pair relation (≤
+    # |event_types|² rows) — a separate groupBy + join back would
+    # re-derive the pair subtree and pay the corpus-sized user_id
+    # exchange twice (the executed plan showed two Scan+Window chains;
+    # tests/test_plans.py pins the single-chain shape).
+    t = F.sum("n").over(Window.partitionBy("e1")).cast("long")
     return (
-        pair.join(tot, "e1")
+        pair.withColumn("t", t)
         .select(
             "e1",
             "e2",

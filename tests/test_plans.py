@@ -489,3 +489,50 @@ def test_kcore_peel_is_keyed_joins(spark):
     assert nodes == sorted(nodes, reverse=True)
     assert edges == sorted(edges, reverse=True)
     assert all(e % 2 == 0 for e in edges)  # symmetric edge table
+
+
+def test_sq8_rerank_scan_bound_no_corpus_shuffle(spark):
+    """sim_sq8_rerank's scale claim: the ADC scoring pass is map-only over
+    the corpus — the only exchanges may belong to the 64-row min/max
+    aggregate, the singleton query-vector lookup, the 30-row rerank join,
+    and the final TakeOrderedAndProject; no exchange may be keyed by the
+    corpus-sized vec_id, and the candidate selection must be a
+    TakeOrderedAndProject (per-partition heads), not a global Sort."""
+    df = registry.specs()["sim_sq8_rerank"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "vec_id" not in line, (
+                "corpus-keyed shuffle crept into the SQ8 scoring pass"
+            )
+
+
+def test_markov_transitions_one_user_exchange(spark):
+    """ev_markov_transitions: exactly ONE exchange touches event-scale
+    data (hashpartitioning on user_id feeding the lead() window); the
+    pair count and per-source totals run on the bounded transition
+    relation."""
+    df = registry.specs()["ev_markov_transitions"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    user_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "user_id" in l
+    ]
+    assert len(user_exchanges) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_drift_single_scan_bucket_rollup(spark):
+    """prof_drift_psi: one scan of events collapses into the <=10-bucket
+    relation before anything else — the scalars ride a broadcast 1-row
+    aggregate and the window total runs on bucket-sized data. No
+    event-scale window, no event-keyed join."""
+    df = registry.specs()["prof_drift_psi"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2  # counts pass + scalars reuse
+    assert "CartesianProduct" not in plan
+    # the only Window is over the bucket relation (no partition columns
+    # from events, and upstream of it sits the bucket HashAggregate)
+    assert "SortMergeJoin" not in plan
