@@ -2299,3 +2299,291 @@ def sim_sq8_rerank(spark, sf_dir):
         .orderBy("exact_dist_q", "vec_id")
         .limit(10)
     )
+
+
+IVF_UPSERT_MOD = 7  # vec_id % 7 == 3 plays the arriving batch
+
+
+@query(
+    "sim_ivf_upsert",
+    oracle=f"""
+    WITH idx AS (
+      SELECT * FROM embeddings
+      WHERE vec_id <> 0 AND vec_id % {IVF_UPSERT_MOD} <> 3
+    ),
+    newb AS (
+      SELECT * FROM embeddings
+      WHERE vec_id <> 0 AND vec_id % {IVF_UPSERT_MOD} = 3
+    ),
+    dims AS (
+      SELECT label, unnest(generate_series(1, len(embedding))) AS d,
+             embedding AS e
+      FROM idx
+    ),
+    cent AS (
+      SELECT label,
+             list(CAST(floor(cv * 1000000 + 0.5) AS BIGINT) ORDER BY d)
+               AS cq
+      FROM (
+        SELECT label, d, round(avg(CAST(e[d] AS DOUBLE)), 4) AS cv
+        FROM dims GROUP BY label, d
+      ) GROUP BY label
+    ),
+    assign AS (
+      SELECT vec_id, cent.label AS label, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_sqdist_int_sql("cq", _quantize_sql('embedding'), 64)},
+                        cent.label
+             ) AS rn
+      FROM newb CROSS JOIN cent
+    ),
+    adds AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_added
+      FROM assign WHERE rn = 1 GROUP BY label
+    ),
+    occ AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_indexed FROM idx
+      GROUP BY label
+    ),
+    tot AS (SELECT CAST(sum(n_added) AS BIGINT) AS t FROM adds)
+    SELECT o.label, o.n_indexed, coalesce(a.n_added, 0) AS n_added,
+           o.n_indexed + coalesce(a.n_added, 0) AS occupancy_after,
+           CAST(coalesce(a.n_added, 0) * 10000 // tot.t AS BIGINT)
+             AS add_share_bp
+    FROM occ o LEFT JOIN adds a ON a.label = o.label CROSS JOIN tot
+    ORDER BY o.label
+    """,
+    tags=("similarity", "scale"),
+)
+def sim_ivf_upsert(spark, sf_dir):
+    """IVF index UPSERT — the maintenance pass a production vector store
+    runs between retrains: an arriving batch (every
+    {IVF_UPSERT_MOD}th vector plays the part) is assigned to its nearest
+    EXISTING centroid (no retraining — the faiss add-after-train
+    contract) and the per-cell occupancy report shows where the new
+    mass landed and whether drift is skewing cells (a cell absorbing an
+    outsized add share is the retrain trigger). Distances are exact
+    integer squared-L2 over quantized micros against micro-quantized
+    rounded-mean centroids (the sim_ivf_probe + PQ parity conventions),
+    tie-broken by label, so assignment is bit-identical cross-engine.
+
+    Plan: centroids aggregate the INDEXED corpus once (bounded |labels|
+    x 64 output, broadcast); the batch-x-centroid join is batch-rows x
+    |cells| with a per-vec_id argmin window over |cells| rows; the
+    report is one bounded groupBy. At 100 TB the arriving batch is
+    ingest-interval-sized and the centroid table is fixed — nothing
+    corpus-scaled shuffles."""
+    emb = catalog.table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    idx = emb.filter(F.col("vec_id") % IVF_UPSERT_MOD != 3)
+    newb = emb.filter(F.col("vec_id") % IVF_UPSERT_MOD == 3)
+    dims = idx.select("label", F.posexplode("embedding").alias("d", "x"))
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("pairs"))
+        .select(
+            "label",
+            F.expr(
+                "transform(pairs, p -> CAST(floor(p.cv * 1000000 + 0.5)"
+                " AS BIGINT))"
+            ).alias("cq"),
+        )
+    )
+    from pyspark.sql import Window
+
+    nq = newb.select("vec_id", S.quantize_micros(F.col("embedding")).alias("qe"))
+    sqdist = (
+        "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> acc"
+        " + (element_at(cq, i) - element_at(qe, i))"
+        " * (element_at(cq, i) - element_at(qe, i)))"
+    )
+    assign = (
+        nq.crossJoin(F.broadcast(cent))
+        .withColumn("dist", F.expr(sqdist))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "label")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    adds = assign.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_added")
+    )
+    occ = idx.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_indexed")
+    )
+    tot = adds.agg(F.sum("n_added").cast("long").alias("t"))
+    return (
+        occ.join(adds, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n_indexed",
+            F.coalesce(F.col("n_added"), F.lit(0)).cast("long").alias("n_added"),
+            (F.col("n_indexed") + F.coalesce(F.col("n_added"), F.lit(0)))
+            .cast("long")
+            .alias("occupancy_after"),
+            F.expr(
+                "CAST(coalesce(n_added, 0) * 10000 div t AS BIGINT)"
+            ).alias("add_share_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+MMR_POOL, MMR_K = 12, 5  # overfetched candidate pool, final diverse set
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10  # lambda = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam, rest = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    parts = [
+        f"""
+    WITH h AS (
+      SELECT vec_id, {_quantize_sql('embedding')} AS qe FROM embeddings
+    ),
+    q AS (SELECT qe AS qv FROM h WHERE vec_id = 0),
+    pool AS (
+      SELECT vec_id, qe,
+             {_dot_int_sql('qe', 'qv', 64)} AS dq
+      FROM h CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY dq DESC, vec_id LIMIT {MMR_POOL}
+    ),
+    pd AS (
+      SELECT a.vec_id AS av, b.vec_id AS bv,
+             {_dot_int_sql('a.qe', 'b.qe', 64)} AS d
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT vec_id, dq, CAST({lam} * dq AS BIGINT) AS mmr_score
+      FROM pool ORDER BY dq DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT p.vec_id, p.dq,
+             CAST({lam} * p.dq - {rest} * max(pd.d) AS BIGINT) AS mmr_score
+      FROM pool p
+      JOIN pd ON pd.av = p.vec_id
+             AND pd.bv IN ({prev_sel})
+      WHERE p.vec_id NOT IN ({prev_sel})
+      GROUP BY p.vec_id, p.dq
+    ),
+    s{i} AS (
+      SELECT vec_id, dq, mmr_score FROM c{i}
+      ORDER BY mmr_score DESC, vec_id LIMIT 1
+    )"""
+        )
+    sel = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS rank, vec_id, dq, mmr_score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, dq AS rel_dot_q,
+           mmr_score
+    FROM ({sel}) ORDER BY rank"""
+    )
+    return "".join(parts)
+
+
+def _dot_int_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {n}),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle(), tags=("similarity",))
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance rerank — the diversity pass a retrieval
+    pipeline runs between ANN and the consumer (RAG context assembly,
+    dedup'd search results): overfetch the top-{MMR_POOL} candidates by
+    relevance, then greedily select {MMR_K} where each pick maximizes
+    lambda·rel(q,d) − (1−lambda)·max_sim(d, selected) at lambda 0.7 —
+    near-duplicate candidates are admitted once, not {MMR_K} times
+    (sim_diversity_sample balances CLUSTERS corpus-wide; MMR diversifies
+    ONE result list).
+
+    Exactness: relevance and redundancy are integer micro-dot-products
+    (|dot| ≤ 64·(5.3e5)² ≈ 1.8e13), lambda rides the 7/3 integer split,
+    ties break on vec_id — the greedy trajectory is bit-identical
+    cross-engine, stated by a {MMR_K}-stage unrolled oracle (the BPE /
+    PQ-trained precedent for constant-iteration algorithms). Plan: ONE
+    corpus pass ends at TakeOrderedAndProject({MMR_POOL}); everything
+    after — the {MMR_POOL}² pairwise dots and the greedy stages — runs
+    on bounded relations (broadcast-sized at any corpus scale)."""
+    from pyspark.sql import Window
+
+    lam, rest = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    emb = catalog.table(spark, sf_dir, "embeddings").withColumn(
+        "qe", S.quantize_micros(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qe").alias("qv"))
+    dot_expr = (
+        "aggregate(sequence(1, 64), CAST(0 AS BIGINT), (acc, i) -> acc"
+        " + element_at({a}, i) * element_at({b}, i))"
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "qe", F.expr(dot_expr.format(a="qe", b="qv")).alias("dq")
+        )
+        .orderBy(F.col("dq").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)  # bounded; greedy stages reuse it
+    )
+    a = pool.select(F.col("vec_id").alias("av"), F.col("qe").alias("aq"))
+    b = pool.select(F.col("vec_id").alias("bv"), F.col("qe").alias("bq"))
+    pd_ = (
+        a.join(b, F.col("av") != F.col("bv"))
+        .select("av", "bv", F.expr(dot_expr.format(a="aq", b="bq")).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        pool.orderBy(F.col("dq").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "dq",
+            (F.lit(lam) * F.col("dq")).cast("long").alias("mmr_score"),
+        )
+    )
+    picked = sel.select("vec_id")
+    for i in range(2, MMR_K + 1):
+        cand = (
+            pool.join(picked, "vec_id", "left_anti")
+            .join(pd_, F.col("vec_id") == F.col("av"))
+            .join(picked.select(F.col("vec_id").alias("bv")), "bv", "left_semi")
+            .groupBy("vec_id", "dq")
+            .agg(
+                (F.lit(lam) * F.col("dq") - F.lit(rest) * F.max("d"))
+                .cast("long")
+                .alias("mmr_score")
+            )
+        )
+        pick = (
+            cand.orderBy(F.col("mmr_score").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("rank"),
+                "vec_id",
+                "dq",
+                "mmr_score",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        picked = sel.select("vec_id")
+    return sel.select(
+        "rank", "vec_id", F.col("dq").alias("rel_dot_q"), "mmr_score"
+    ).orderBy("rank")
