@@ -417,3 +417,45 @@ def k8_release_validation(spark, sf_dir):
     )
     release = groups.select("doc").unionByName(root)
     return jsonld.validate_release(release)
+
+
+@query(
+    "k9_partition_manifest",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY event_type, day
+    """,
+    tags=("sinks", "scale"),
+)
+def k9_partition_manifest(spark, sf_dir):
+    """K9 hive-partitioned fact layout contract: the per-(event_type, day)
+    manifest — row count, event-time bounds in exact integer micros,
+    distinct users — that sinks.tabular.write_hive_partitioned
+    materializes as key=value directories. The manifest IS the partition-
+    pruning promise: a predicate on type or day prunes to exactly these
+    grains, and the ts bounds are what parquet footers will carry per
+    file. tests/test_sinks.py performs the physical write at sf0.001 and
+    asserts the directory grains and per-grain row counts equal these
+    rows (the k5/k6 physical-pin pattern).
+
+    Plan: one scan + one grain-keyed aggregation with map-side combine
+    (grain count = types x days — retention-bounded, never corpus-
+    bounded); at 100 TB the same pass is the writer's own shuffle."""
+    ev = catalog.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(F.unix_micros("ts")).cast("long").alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type", "day")
+    )

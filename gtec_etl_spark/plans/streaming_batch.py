@@ -960,3 +960,59 @@ def ev_funnel_time_to_convert(spark, sf_dir):
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "ev_inter_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) AS gap_us
+      FROM events
+    )
+    SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1 ORDER BY log2_bucket
+    """,
+    tags=("streaming", "profile"),
+)
+def ev_inter_event_gaps(spark, sf_dir):
+    """Inter-event-time distribution in exact log2 buckets — the
+    burstiness profile that calibrates session thresholds (q18's 30-min
+    gap) and streaming watermarks (a watermark below the p99 gap drops
+    real data): per-user consecutive gaps in integer microseconds,
+    bucketed by floor(log2) via binary string length (the
+    prof_k_anonymity / graph_degree_distribution convention — exact on
+    both engines, no float log). Zero gaps (simultaneous events) are
+    excluded so the bucket function stays total.
+
+    Plan: ONE user_id exchange feeds the lag() window (the q18/
+    ev_top_paths cost, the only corpus-sized operation), then a ~40-row
+    bucket aggregation with map-side combine."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        )
+    )
+    return (
+        g.filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .groupBy(
+            (F.length(F.bin(F.col("gap_us"))) - 1)
+            .cast("long")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -253,3 +253,19 @@ def write_zordered(
         .partitionBy("zbucket")
         .parquet(path)
     )
+
+
+def write_hive_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet write — the 100 TB fact-table layout
+    (key=value directories per partition grain) that partition pruning
+    and dynamic partition pruning read back. One sortWithinPartitions on
+    the partition keys keeps each task's output to one file per grain it
+    owns (no small-file explosion) without a global sort."""
+    (
+        df.sortWithinPartitions(*partition_cols)
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )

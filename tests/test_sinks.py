@@ -430,3 +430,39 @@ def test_program_release_validates_clean(spark):
         row.n_dup_full,
         row.n_dangling,
     ) == (0, 0, 0, 0), row
+
+
+def test_hive_partitioned_write_matches_manifest(spark, tmp_path):
+    """Physical contract of sinks.tabular.write_hive_partitioned: one
+    key=value directory per non-empty (event_type, day) grain, and
+    per-grain row counts equal to the k9_partition_manifest query's rows
+    — the partition-pruning promise the layout exists for."""
+    import pyarrow.parquet as pq
+
+    from gtec_etl_spark.plans.sink_queries import k9_partition_manifest
+    from gtec_etl_spark.sinks.tabular import write_hive_partitioned
+
+    ev = catalog.table(spark, SF_DIR, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    )
+    out = str(tmp_path / "hive")
+    write_hive_partitioned(ev, out, ["event_type", "day"])
+
+    expected = {
+        (r["event_type"], str(r["day"])): r["n_rows"]
+        for r in k9_partition_manifest(spark, SF_DIR).collect()
+    }
+
+    seen = {}
+    for d in sorted(glob.glob(out + "/event_type=*/day=*")):
+        etype = d.split("event_type=")[1].split("/")[0]
+        day = d.rsplit("day=", 1)[1]
+        n = 0
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            n += pq.read_metadata(f).num_rows
+        seen[(etype, day)] = n
+
+    assert seen == expected
