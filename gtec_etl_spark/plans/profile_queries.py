@@ -748,3 +748,86 @@ def prof_drift_psi(spark, sf_dir):
         .cast("long")
         .alias("psi_total"),
     ).orderBy("bucket")
+
+
+PCTL_QS = (50, 95, 99)
+
+
+@query(
+    "prof_percentiles_grouped",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cm
+      FROM hist
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1
+    )
+    SELECT t.event_type, t.n,
+           {", ".join(
+             f'''CAST(min(CASE WHEN cm >= ({q} * n + 99) // 100
+                        THEN cents END) AS BIGINT) AS p{q}_cents'''
+             for q in PCTL_QS
+           )}
+    FROM cum JOIN tot t USING (event_type)
+    GROUP BY t.event_type, t.n ORDER BY t.event_type
+    """,
+    tags=("profile", "scale"),
+)
+def prof_percentiles_grouped(spark, sf_dir):
+    """EXACT nearest-rank percentiles (p50/p95/p99) per group at scale —
+    the latency-report shape every ops dashboard runs, done without a
+    per-group row-scale sort: values quantize to integer cents, the
+    percentile ranks select from the (group x cents) HISTOGRAM's running
+    sum, and the per-group window partitions are bounded by the VALUE
+    DOMAIN (≤ ~49k distinct cents here), not the corpus — at 100 TB the
+    histogram aggregate is the only corpus-sized pass (map-side
+    combine), the same move as prof_exact_median_scaled but grouped.
+    Nearest-rank (value at ceil(q·n/100), integer ceil as
+    (q·n + 99) div 100) rather than interpolation: every output is a
+    value that actually occurs, and every comparison is BIGINT —
+    bit-identical cross-engine. percentile_approx is the documented
+    swap-in when even the histogram is too wide (true continuous
+    domains)."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    hist = s.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.withColumn(
+        "cm",
+        F.sum("c").over(Window.partitionBy("event_type").orderBy("cents")),
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    agg_cols = [
+        F.min(
+            F.when(
+                F.col("cm") >= F.expr(f"({q} * n + 99) div 100"),
+                F.col("cents"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}_cents")
+        for q in PCTL_QS
+    ]
+    return (
+        cum.join(tot, "event_type")
+        .groupBy("event_type", "n")
+        .agg(*agg_cols)
+        .orderBy("event_type")
+    )
