@@ -2664,7 +2664,11 @@ def tile_images(media: DataFrame, tile: int = 8) -> DataFrame:
     + 1)) — a transposed raster, a row/col-swapped grid index, or a
     tile read in the wrong scan order each changes it even when the
     plain sum survives. One Arrow pass; output rows per image =
-    (h//tile)*(w//tile), fixed by the geometry, never by content."""
+    (h//tile)*(w//tile), fixed by the geometry, never by content.
+    Images smaller than one tile in either dimension contribute zero
+    rows (the floor grid is empty)."""
+    if tile < 1:
+        raise ValueError(f"tile must be a positive integer, got {tile}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
