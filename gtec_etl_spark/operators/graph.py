@@ -122,9 +122,21 @@ def personalized_pagerank(
             .alias("rank"),
         )
         for _ in range(iters):
-            contrib = ranks.join(deg, ranks["node"] == deg["src"]).select(
-                "src",
-                F.floor(F.col("rank") / F.col("outdeg")).cast("long").alias("m"),
+            # Zero-rank nodes contribute zero mass (floor(0/outdeg) = 0,
+            # and the update coalesces missing insum to 0), so the
+            # contribution join and the edge join only need the POSITIVE
+            # frontier — after round i that is the seeds' i-hop
+            # neighborhood, a small fraction of the graph in early
+            # rounds. Output-invariant; purely less work.
+            contrib = (
+                ranks.filter(F.col("rank") > 0)
+                .join(deg, ranks["node"] == deg["src"])
+                .select(
+                    "src",
+                    F.floor(F.col("rank") / F.col("outdeg"))
+                    .cast("long")
+                    .alias("m"),
+                )
             )
             insum = (
                 edges.join(contrib, "src")
