@@ -459,3 +459,85 @@ def k9_partition_manifest(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+K10_SLICE_MOD = 17  # user_id % 17 == 3 -> the written slice stays bounded
+K10_OVR_DAYS = 3  # click grains in the first 3 days get overwritten
+
+
+@query(
+    "k10_partition_overwrite",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS micros
+      FROM events WHERE user_id % {K10_SLICE_MOD} = 3
+    ),
+    touched AS (
+      SELECT * FROM s0
+      WHERE event_type = 'click'
+        AND day < DATE '2024-01-01' + {K10_OVR_DAYS}
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_type = 'click'
+                          AND day < DATE '2024-01-01' + {K10_OVR_DAYS}
+                         THEN micros + 1000000 ELSE micros END)
+                AS BIGINT) AS total_micros
+    FROM s0 GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    tags=("sinks", "incremental"),
+)
+def k10_partition_overwrite(spark, sf_dir):
+    """K10 dynamic partition overwrite — the incremental fact-table WRITE
+    semantics every warehouse pipeline depends on (Hive dynamic
+    overwrite / Delta replaceWhere): a base slice of events is written
+    hive-partitioned by (event_type, day), then an update batch (the
+    first {K10_OVR_DAYS} days of clicks, values bumped by 1e6 micros)
+    dynamically overwrites ONLY the grains it contains. The read-back
+    manifest proves both halves of the contract: touched grains carry
+    the UPDATED totals, and untouched grains survive byte-for-byte —
+    under Spark's default STATIC overwrite mode every other grain would
+    have been dropped and this query's row set would collapse to
+    {K10_OVR_DAYS} grains (hash-red at the gate). The mode override
+    lives in sinks.tabular.overwrite_partitions_dynamic behind
+    try/finally, so it never leaks into the shared session.
+
+    Real physical writes at query time, so the written slice is
+    key-range bounded (user_id % {K10_SLICE_MOD} = 3, ~6% of events) —
+    the semantics under test are grain-level, not volume-level; the
+    volume story is k9's. Result materializes before the tempdir
+    vanishes (the etl_time_travel pattern)."""
+    import tempfile
+
+    ev = catalog.table(spark, sf_dir, "events").filter(
+        F.col("user_id") % K10_SLICE_MOD == 3
+    )
+    slice0 = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("micros"),
+    )
+    cutoff = F.lit("2024-01-01").cast("date") + K10_OVR_DAYS
+    batch = slice0.filter(
+        (F.col("event_type") == "click") & (F.col("day") < cutoff)
+    ).withColumn("micros", F.col("micros") + 1000000)
+    with tempfile.TemporaryDirectory(prefix="k10_ovr_") as tmp:
+        path = f"{tmp}/facts"
+        tabular.write_hive_partitioned(
+            slice0, path, ["event_type", "day"]
+        )
+        tabular.overwrite_partitions_dynamic(
+            spark, batch, path, ["event_type", "day"]
+        )
+        out = (
+            spark.read.parquet(path)
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("micros").cast("long").alias("total_micros"),
+            )
+            .orderBy("event_type", "day")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)

@@ -269,3 +269,27 @@ def write_hive_partitioned(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def overwrite_partitions_dynamic(
+    spark, df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite — the incremental fact-table write
+    (Hive/Delta `replaceWhere` shape): only the key=value grains the
+    incoming frame actually CONTAINS are rewritten; every other grain's
+    files are untouched. Spark's default ("static") overwrite would drop
+    the whole table first — the classic data-loss foot-gun this wrapper
+    exists to fence. The session conf is restored in try/finally so the
+    override never leaks into the shared session."""
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.sortWithinPartitions(*partition_cols)
+            .write.partitionBy(*partition_cols)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(conf_key, old)

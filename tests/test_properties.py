@@ -383,3 +383,33 @@ def test_z_value_prefix_bounds_both_coordinates(spark, x, y):
         ((x >> 7) & 1) << 3 | ((y >> 7) & 1) << 2
         | ((x >> 6) & 1) << 1 | ((y >> 6) & 1)
     )
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=50)
+)
+@settings(max_examples=60, deadline=None)
+def test_cusum_prefix_identity_equals_recursion(counts):
+    """ev_cusum_alerts computes the reset CUSUM
+    S_i = max(0, S_(i-1) + d_i) via the window identity
+    S_i = P_i - min(0, min_(j<=i) P_j) (P = inclusive prefix sum of d) —
+    the identity is what makes the operator expressible without
+    recursion in BOTH engines, so pin it against the textbook recursion
+    for arbitrary deviation sequences (derived here exactly as the
+    query derives them: d_i = 2*n_i - med2 - 1 over integer counts)."""
+    med2 = int(2 * (sorted(counts)[len(counts) // 2] if len(counts) % 2
+               else (sorted(counts)[len(counts) // 2 - 1]
+                     + sorted(counts)[len(counts) // 2]) / 2))
+    devs = [2 * n - med2 - 1 for n in counts]
+    # textbook recursion
+    s, rec = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        rec.append(s)
+    # window identity
+    pre, mn, idn = 0, 0, []
+    for d in devs:
+        pre += d
+        mn = min(mn, pre)
+        idn.append(pre - min(mn, 0))
+    assert idn == rec
