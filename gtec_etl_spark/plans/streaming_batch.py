@@ -1016,3 +1016,93 @@ def ev_inter_event_gaps(spark, sf_dir):
         )
         .orderBy("log2_bucket")
     )
+
+
+EWMA_LAGS = 16  # half-life 1 hour: weight 2^(LAGS-1-k) on lag k
+
+
+@query(
+    "ev_ewma_hourly",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, h, n,
+             {", ".join(
+               f"lag(n, {k}) OVER (PARTITION BY event_type ORDER BY h)"
+               f" AS n{k}" for k in range(1, EWMA_LAGS)
+             )}
+      FROM c
+    )
+    SELECT event_type, h AS window_start, n AS n_events,
+           CAST((
+             n * {1 << (EWMA_LAGS - 1)}
+             + {" + ".join(
+                 f"coalesce(n{k}, 0) * {1 << (EWMA_LAGS - 1 - k)}"
+                 for k in range(1, EWMA_LAGS)
+               )}
+           ) * 1000 // (
+             {1 << (EWMA_LAGS - 1)}
+             + {" + ".join(
+                 f"CASE WHEN n{k} IS NULL THEN 0"
+                 f" ELSE {1 << (EWMA_LAGS - 1 - k)} END"
+                 for k in range(1, EWMA_LAGS)
+               )}
+           ) AS BIGINT) AS ewma_e3
+    FROM l ORDER BY event_type, window_start
+    """,
+    tags=("streaming", "timeseries"),
+)
+def ev_ewma_hourly(spark, sf_dir):
+    """Exponentially-weighted moving average of hourly event volume — the
+    smoothed baseline a monitoring pipeline plots under the raw series
+    (and diffs against for alerting; ev_cusum_alerts is the detector,
+    this is the trend line). EWMA is a recursion, so like the CUSUM it
+    is re-expressed windows-only: a half-life-one geometric kernel
+    truncated at {EWMA_LAGS} lags (2^-16 residual mass — below the e3
+    output quantum), computed as an exact integer dot product of lag()
+    terms with power-of-two weights over a per-type hour window; series
+    heads renormalize by the sum of AVAILABLE weights (no zero-padding
+    bias). Everything is BIGINT until the final e3 fixed-point floor
+    division — bit-identical cross-engine.
+
+    Plan: one corpus-sized count aggregation; the {EWMA_LAGS - 1} lag()
+    columns share ONE window spec over the O(types x hours) relation
+    (Spark plans a single per-type sort for all of them), partitions
+    bounded by the retention horizon."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lags = [F.col("n")] + [
+        F.lag("n", k).over(w) for k in range(1, EWMA_LAGS)
+    ]
+    num = sum(
+        (
+            F.coalesce(lags[k], F.lit(0)) * (1 << (EWMA_LAGS - 1 - k))
+            for k in range(1, EWMA_LAGS)
+        ),
+        F.col("n") * (1 << (EWMA_LAGS - 1)),
+    )
+    den = sum(
+        (
+            F.when(lags[k].isNull(), 0).otherwise(1 << (EWMA_LAGS - 1 - k))
+            for k in range(1, EWMA_LAGS)
+        ),
+        F.lit(1 << (EWMA_LAGS - 1)),
+    )
+    # Float division then floor is exact here: numerator < ~1.2e11 and
+    # both sides integral, so the IEEE quotient can never round across
+    # an integer boundary (the pagerank floor(x/y) argument).
+    return c.select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.col("n").cast("long").alias("n_events"),
+        F.floor(num * 1000 / den).cast("long").alias("ewma_e3"),
+    ).orderBy("event_type", "window_start")
