@@ -831,3 +831,112 @@ def prof_percentiles_grouped(spark, sf_dir):
         .agg(*agg_cols)
         .orderBy("event_type")
     )
+
+
+@query(
+    "prof_gini_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT c_mktsegment AS segment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    hist AS (
+      SELECT segment, cents, CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT segment, cents, c,
+             CAST(sum(c) OVER (PARTITION BY segment ORDER BY cents)
+                  AS BIGINT) AS cm
+      FROM hist
+    ),
+    tot AS (
+      SELECT segment, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cents * c) AS BIGINT) AS t
+      FROM hist GROUP BY 1
+    ),
+    s1 AS (
+      SELECT cum.segment,
+             CAST(sum(cents * (c * (2 * cm - c + 1) - c * (n + 1)))
+                  AS BIGINT) AS num
+      FROM cum JOIN tot USING (segment) GROUP BY 1
+    )
+    SELECT t.segment, t.n, t.t AS total_cents,
+           CAST(s1.num // greatest((t.n * t.t) // 1000000, 1) AS BIGINT)
+             AS gini_e6
+    FROM tot t JOIN s1 USING (segment)
+    ORDER BY t.segment
+    """,
+    tags=("profile", "scale"),
+)
+def prof_gini_concentration(spark, sf_dir):
+    """Gini concentration of account balance per market segment — the
+    inequality/concentration audit a curation pipeline runs on source
+    contribution or spend distributions (a segment whose mass sits in a
+    few accounts gets different treatment from a flat one). Computed
+    EXACTLY from the (segment x cents) histogram, never a per-group
+    row sort: with values ascending, sum_i (2i - n - 1) x_(i) collapses
+    per distinct value to x_v * (c·(2·cum − c + 1) − c·(n+1)) — pure
+    BIGINT from the running count (same domain-bounded window as
+    prof_percentiles_grouped), then one floored ratio against n·total
+    quantized to e6 (denominator pre-scaled so the product never leaves
+    int64; both engines evaluate the identical expression). Overflow
+    envelope: per-group terms stay under 2^63 to ~1e7 rows/group at
+    cents scale; beyond that swap the two sums to DecimalType(38) — the
+    documented contract. Negative balances participate as-is (the
+    formula is affine in values; the audit is comparative, not
+    normative).
+
+    Plan: one scan -> histogram with map-side combine; windows and
+    rollups run on the value-domain-sized relation. At 100 TB:
+    scan-bound."""
+    from pyspark.sql import Window
+
+    cust = catalog.table(spark, sf_dir, "customer")
+    s = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    hist = s.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.withColumn(
+        "cm",
+        F.sum("c")
+        .over(Window.partitionBy("segment").orderBy("cents"))
+        .cast("long"),
+    )
+    tot = hist.groupBy("segment").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).cast("long").alias("t"),
+    )
+    s1 = (
+        cum.join(tot, "segment")
+        .groupBy("segment")
+        .agg(
+            F.sum(
+                F.col("cents")
+                * (
+                    F.col("c") * (2 * F.col("cm") - F.col("c") + 1)
+                    - F.col("c") * (F.col("n") + 1)
+                )
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    return (
+        tot.join(s1, "segment")
+        .select(
+            "segment",
+            "n",
+            F.col("t").alias("total_cents"),
+            F.expr(
+                "CAST(num div greatest(n * t div 1000000, 1) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+        .orderBy("segment")
+    )
