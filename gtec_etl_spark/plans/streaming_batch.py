@@ -1106,3 +1106,221 @@ def ev_ewma_hourly(spark, sf_dir):
         F.col("n").cast("long").alias("n_events"),
         F.floor(num * 1000 / den).cast("long").alias("ewma_e3"),
     ).orderBy("event_type", "window_start")
+
+
+MARKOV_K = 6  # absorption horizon (steps of the chain)
+MARKOV_STATES = ("START", "view", "click", "signup", "error", "purchase", "null")
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_edges_sql() -> str:
+    return """
+    r AS (
+      SELECT user_id, event_type, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rk
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, min(rk) AS prk FROM r
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    kept AS (
+      SELECT r.user_id, r.event_type, r.rk FROM r
+      LEFT JOIN fp ON fp.user_id = r.user_id
+      WHERE fp.prk IS NULL OR r.rk <= fp.prk
+    ),
+    pairs AS (
+      SELECT user_id, event_type AS a, rk,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY rk
+             ) AS b
+      FROM kept
+    ),
+    edges AS (
+      SELECT 'START' AS a, event_type AS b FROM kept WHERE rk = 1
+      UNION ALL
+      SELECT a, b FROM pairs WHERE b IS NOT NULL
+      UNION ALL
+      SELECT a, 'null' FROM pairs WHERE b IS NULL AND a <> 'purchase'
+    ),
+    tr AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2
+    ),
+    ta AS (SELECT a, CAST(sum(n) AS BIGINT) AS tn FROM tr GROUP BY 1),
+    p AS MATERIALIZED (
+      SELECT a, b, CAST(n * 1000000 // tn AS BIGINT) AS p6
+      FROM tr JOIN ta USING (a)
+    )"""
+
+
+def _markov_oracle() -> str:
+    states_vals = ", ".join(f"('{s}')" for s in MARKOV_STATES)
+    parts = ["    WITH" + _markov_edges_sql()]
+    runs = [("full", None)] + [(c, c) for c in MARKOV_CHANNELS]
+    for run, removed in runs:
+        if removed is None:
+            parts.append(f",\n    p_{run} AS MATERIALIZED (SELECT a, b, p6 FROM p)")
+        else:
+            parts.append(
+                f""",
+    p_{run} AS MATERIALIZED (
+      SELECT a, b, p6 FROM p WHERE a <> '{removed}'
+      UNION ALL SELECT '{removed}', 'null', CAST(1000000 AS BIGINT)
+    )"""
+            )
+        parts.append(
+            f""",
+    m_{run}_0 AS MATERIALIZED (SELECT 'START' AS s, CAST(1000000 AS BIGINT) AS m)"""
+        )
+        for k in range(1, MARKOV_K + 1):
+            parts.append(
+                f""",
+    m_{run}_{k} AS MATERIALIZED (
+      SELECT st.s,
+             CAST(coalesce(ab.m, 0) + coalesce(fl.x, 0) AS BIGINT) AS m
+      FROM (VALUES {states_vals}) st(s)
+      LEFT JOIN (
+        SELECT s, m FROM m_{run}_{k - 1} WHERE s IN ('purchase', 'null')
+      ) ab ON ab.s = st.s
+      LEFT JOIN (
+        SELECT p.b AS s,
+               CAST(sum(m.m * p.p6) // 1000000 AS BIGINT) AS x
+        FROM m_{run}_{k - 1} m JOIN p_{run} p ON p.a = m.s
+        GROUP BY p.b
+      ) fl ON fl.s = st.s
+    )"""
+            )
+        parts.append(
+            f""",
+    conv_{run} AS MATERIALIZED (
+      SELECT CAST(m AS BIGINT) AS c FROM m_{run}_{MARKOV_K}
+      WHERE s = 'purchase'
+    )"""
+        )
+    chan_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS channel, (SELECT c FROM conv_{c}) AS conv_removed_e6"
+        for c in MARKOV_CHANNELS
+    )
+    parts.append(
+        f"""
+    SELECT ch.channel,
+           (SELECT c FROM conv_full) AS conv_full_e6,
+           ch.conv_removed_e6,
+           CAST(CASE WHEN (SELECT c FROM conv_full) = 0 THEN NULL
+                ELSE greatest((SELECT c FROM conv_full)
+                              - ch.conv_removed_e6, 0) * 10000
+                     // (SELECT c FROM conv_full) END AS BIGINT)
+             AS removal_effect_bp
+    FROM ({chan_rows}) ch
+    ORDER BY ch.channel"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "ev_attribution_markov",
+    oracle=_markov_oracle(),
+    tags=("streaming", "funnel"),
+)
+def ev_attribution_markov(spark, sf_dir):
+    """Markov removal-effect attribution — the data-driven alternative to
+    ev_attribution's first/last-touch heuristics: model user journeys as
+    a Markov chain over event types (paths truncated at the first
+    purchase; START and null/conversion absorbing states), compute the
+    {MARKOV_K}-step conversion probability from START, then re-run the
+    chain with each channel's outgoing mass redirected to null — the
+    channel's removal effect (how much conversion disappears without
+    it) is its causal-flavored credit. Transition probabilities are
+    floored e6 integers and every chain step is
+    (Σ mass·p) div 1e6 over the 7-state vector, so the full and the
+    {len(MARKOV_CHANNELS)} removal runs are bit-identical cross-engine;
+    the oracle unrolls all {MARKOV_K}x{len(MARKOV_CHANNELS) + 1} stages
+    as CTEs.
+
+    Scale split: the corpus-sized work — per-user ordering, truncation
+    at first purchase, transition counting — is one window + one
+    bounded groupBy (the ev_top_paths cost); the chain itself is a
+    7x7 matrix, COLLECTED to the driver (codebook-sized, the PQ
+    precedent) and powered in exact Python ints. At 100 TB the matrix
+    is still 7x7 — the iteration cost is zero by construction."""
+    from pyspark.sql import Window
+
+    ev = catalog.table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rk")
+    )
+    fp = (
+        r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rk").alias("prk"))
+    )
+    kept = r.join(fp, "user_id", "left").filter(
+        F.col("prk").isNull() | (F.col("rk") <= F.col("prk"))
+    )
+    wk = Window.partitionBy("user_id").orderBy("rk")
+    pairs = kept.select(
+        F.col("event_type").alias("a"),
+        "rk",
+        F.lead("event_type").over(wk).alias("b"),
+    )
+    edges = (
+        kept.filter(F.col("rk") == 1)
+        .select(F.lit("START").alias("a"), F.col("event_type").alias("b"))
+        .unionByName(pairs.filter(F.col("b").isNotNull()).select("a", "b"))
+        .unionByName(
+            pairs.filter(F.col("b").isNull() & (F.col("a") != "purchase"))
+            .select("a", F.lit("null").alias("b"))
+        )
+    )
+    tr = edges.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ta = tr.groupBy("a").agg(F.sum("n").cast("long").alias("tn"))
+    p_rows = (
+        tr.join(ta, "a")
+        .select("a", "b", F.expr("CAST(n * 1000000 div tn AS BIGINT)").alias("p6"))
+        .collect()  # transition matrix: <= |states|^2 rows at ANY corpus size
+    )
+    p_full = {(row["a"], row["b"]): row["p6"] for row in p_rows}
+
+    def run_chain(p6: dict) -> int:
+        mass = {s: 0 for s in MARKOV_STATES}
+        mass["START"] = 1_000_000
+        for _ in range(MARKOV_K):
+            nxt = {s: 0 for s in MARKOV_STATES}
+            for s in ("purchase", "null"):
+                nxt[s] = mass[s]
+            inflow: dict[str, int] = {}
+            for (a, b), p in p6.items():
+                if mass.get(a, 0):
+                    inflow[b] = inflow.get(b, 0) + mass[a] * p
+            for b, x in inflow.items():
+                nxt[b] = nxt.get(b, 0) + x // 1_000_000
+            mass = nxt
+        return mass["purchase"]
+
+    conv_full = run_chain(p_full)
+    rows = []
+    for c in MARKOV_CHANNELS:
+        p_rem = {
+            (a, b): p for (a, b), p in p_full.items() if a != c
+        }
+        p_rem[(c, "null")] = 1_000_000
+        conv_rem = run_chain(p_rem)
+        removal = (
+            None
+            if conv_full == 0
+            else max(conv_full - conv_rem, 0) * 10000 // conv_full
+        )
+        rows.append((c, conv_full, conv_rem, removal))
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("channel", StringType(), False),
+            StructField("conv_full_e6", LongType(), False),
+            StructField("conv_removed_e6", LongType(), False),
+            StructField("removal_effect_bp", LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("channel")
