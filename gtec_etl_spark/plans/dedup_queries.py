@@ -1650,3 +1650,121 @@ def dedup_split_leakage_audit(spark, sf_dir):
             " ELSE n_cross_pairs * 10000 div n_pairs END"
         ).cast("long").alias("leak_bp"),
     ).orderBy("scheme")
+
+
+WINNOW_K, WINNOW_W = 8, 4  # char k-gram size, winnowing window (hashes)
+WINNOW_MIN_SHARED = 3
+WINNOW_DF_CAP = 20  # drop fingerprints present in more docs (boilerplate)
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(text) - {WINNOW_K - 1}, 1)),
+               i -> {hash60_sql(f"substring(text, i, {WINNOW_K})")}
+             ) AS h
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(h) - {WINNOW_W - 1}, 1)),
+               j -> list_min(list_slice(h, j, j + {WINNOW_W - 1}))
+             )) AS fps
+      FROM hs
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+    df AS (
+      SELECT f, CAST(count(*) AS BIGINT) AS d FROM fp GROUP BY f
+    ),
+    capped AS (
+      SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f)
+      WHERE df.d <= {WINNOW_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM capped a JOIN capped b
+        ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "scale"),
+)
+def dedup_winnowing_pairs(spark, sf_dir):
+    """WINNOWING fingerprint near-dup (the MOSS algorithm): hash every
+    char {WINNOW_K}-gram, slide a {WINNOW_W}-hash window and keep each
+    window's MINIMUM — the classic guarantee that any shared substring
+    of length >= k + w - 1 contributes at least one shared fingerprint,
+    while the selected set is ~2/(w+1) of all grams (position-robust,
+    unlike text_fingerprint's single global min; locality-guaranteed,
+    unlike MinHash's per-document sampling). Pairs sharing >=
+    {WINNOW_MIN_SHARED} fingerprints are plagiarism/near-dup candidates.
+
+    Scale shape: the gram hashing and window minima are JVM-side array
+    transforms per row (no row explosion until the bounded fingerprint
+    set); the candidate join is an inverted-index equi-join with the
+    same df-cap discipline as dedup_ngram_jaccard_capped (fingerprints
+    in > {WINNOW_DF_CAP} docs are boilerplate and carry no pair signal
+    — dropping them bounds per-key fan-out, so no O(df^2) blowup).
+    Exactness: hash60 is the engine-portable deterministic hash and the
+    window min is over exact BIGINTs, so fingerprint sets — and
+    therefore candidate pairs — match the oracle bit-for-bit."""
+    from pyspark.sql import Window
+
+    from gtec_etl_spark.functions.hashing import hash60
+    from gtec_etl_spark.operators.scale import cpu_fanout_repartition
+
+    # Relational form, not nested arrays: hashing inside a transform()
+    # lambda runs the md5/conv chain on the INTERPRETED higher-order
+    # path (measured 90s for 150k grams at sf0.001); exploding integer
+    # positions first keeps hash60 a whole-stage-codegen column (the
+    # word_shingles discipline), and the window minima ride one per-doc
+    # frame window over the gram stream.
+    docs = cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "documents"), "doc_id"
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(1)).alias("ng"),
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1))"
+            )
+        ).alias("i"),
+    )
+    h = pos.select(
+        "doc_id",
+        "ng",
+        "i",
+        hash60(F.expr(f"substring(text, i, {WINNOW_K})")).alias("hv"),
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    win = h.withColumn("m", F.min("hv").over(frame)).filter(
+        F.col("i") <= F.greatest(F.col("ng") - (WINNOW_W - 1), F.lit(1))
+    )
+    fp = win.select("doc_id", F.col("m").alias("f")).distinct()
+    df_ = fp.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    capped = fp.join(df_, "f").filter(F.col("d") <= WINNOW_DF_CAP)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "f")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "f")
+    pairs = (
+        a.join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= WINNOW_MIN_SHARED).orderBy(
+        "doc_a", "doc_b"
+    )
