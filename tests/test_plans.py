@@ -536,3 +536,17 @@ def test_psi_drift_single_scan_bucket_rollup(spark):
     # the only Window is over the bucket relation (no partition columns
     # from events, and upstream of it sits the bucket HashAggregate)
     assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_hash_is_codegen_column_not_lambda(spark):
+    """dedup_winnowing_pairs: the md5/conv gram hash must be a plain
+    projected column (whole-stage codegen), NEVER inside a higher-order
+    transform() lambda — Spark evaluates lambda bodies on the
+    interpreted expression path, which ran this query 21x slower
+    (202 s -> 9.4 s at sf0.001, PERF.md round 12). The pin: the plan
+    contains md5 but no lambdafunction wrapping it."""
+    df = registry.specs()["dedup_winnowing_pairs"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "CartesianProduct" not in plan
