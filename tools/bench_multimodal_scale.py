@@ -119,9 +119,27 @@ def main() -> None:
             return M.media_table(spark, n=n, width=32, height=24)
         if kind == "png":
             return M.png_media_table(spark, n=n, width=32, height=24)
+        if kind == "netpbm":
+            return M.netpbm_media_table(spark, n=n, width=31, height=17)
+        if kind == "vadwav":
+            return M.vad_wav_media_table(spark, n=n, n_frames=960)
         if kind == "distinct":
             return distinct_media(spark, n)
         return M.wav_media_table(spark, n=n, n_frames=480, sample_rate=8000)
+
+    def vad_segments(media):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        rms = M.audio_rms_windows(media, window_frames=M.VAD_BLOCK)
+        act = rms.filter(F.col("rms_e3") > 6_000_000).withColumn(
+            "island",
+            F.col("window_idx")
+            - F.row_number().over(
+                Window.partitionBy("media_id").orderBy("window_idx")
+            ),
+        )
+        return act.groupBy("media_id", "island").count()
 
     # (entry name, media kind, pipeline builder)
     ops = [
@@ -130,6 +148,8 @@ def main() -> None:
         ("mm_byte_histogram", "ppm", lambda m: M.byte_histogram_counts(m)),
         ("mm_audio_rms_windows", "wav", lambda m: M.audio_rms_windows(m)),
         ("mm_image_neardup_blocked", "distinct", neardup_blocked),
+        ("mm_image_tiles", "netpbm", lambda m: M.tile_images(m, tile=8)),
+        ("mm_audio_vad", "vadwav", vad_segments),
     ]
 
     # Warm the Python-worker daemon + codegen (untimed): first Arrow
