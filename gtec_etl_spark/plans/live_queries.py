@@ -1918,3 +1918,67 @@ def mm_audio_vad(spark, sf_dir):
         .drop("island")
         .orderBy("media_id", "seg_start")
     )
+
+
+def _stream_psi_oracle() -> str:
+    from gtec_etl_spark.plans.profile_queries import _psi_oracle_sql
+
+    return _psi_oracle_sql()
+
+
+@query(
+    "stream_psi_drift",
+    oracle=_stream_psi_oracle(),
+    tags=("streaming", "live", "quality"),
+)
+def stream_psi_drift(spark, sf_dir):
+    """PSI drift monitoring MAINTAINED BY A REAL STREAMING JOB — the
+    third bounded-state streaming topology after the HLL registers and
+    the CMS cells, and the smallest: events replay through readStream,
+    each maps to its (value bucket, reference/current window) cell, and
+    a streaming groupBy keeps the bucket-count grid (state = bucket x
+    window cells — ~20 rows forever, the
+    dashboard-counter a drift monitor actually maintains between model
+    refreshes). Finalization — add-one smoothing, micro-nat ln
+    decomposition, e9 probabilities — is the EXACT code path of
+    prof_drift_psi (psi_from_counts, shared function), so on a finite
+    replay the report equals the batch query and ONE oracle states
+    both; cell-count addition is a monoid, so any micro-batch split
+    reconciles."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.plans.profile_queries import (
+        PSI_BUCKET_W,
+        PSI_NBUCKETS,
+        PSI_SPLIT_TS,
+        psi_from_counts,
+    )
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        cells = (
+            P.read_events_stream(spark, sf_dir)
+            .select(
+                F.least(
+                    F.floor(F.col("value") / PSI_BUCKET_W).cast("long"),
+                    F.lit(PSI_NBUCKETS - 1),
+                ).alias("bucket"),
+                F.when(
+                    F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp"), 0
+                )
+                .otherwise(1)
+                .alias("w"),
+            )
+            .groupBy("bucket", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        grid = P.run_to_memory(cells)
+    counts = grid.groupBy("bucket").agg(
+        F.sum(F.when(F.col("w") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("w") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return psi_from_counts(counts)

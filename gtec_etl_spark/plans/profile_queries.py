@@ -632,9 +632,11 @@ PSI_BUCKET_W = 50
 PSI_NBUCKETS = 10
 
 
-@query(
-    "prof_drift_psi",
-    oracle=f"""
+def _psi_oracle_sql() -> str:
+    """Shared by prof_drift_psi and the streaming twin (stream_psi_drift):
+    on a finite replay the streaming bucket counts equal the batch's, so
+    ONE oracle states both."""
+    return f"""
     WITH b AS (
       SELECT least(CAST(floor("value" / {PSI_BUCKET_W}) AS BIGINT),
                    {PSI_NBUCKETS - 1}) AS bucket,
@@ -668,9 +670,58 @@ PSI_NBUCKETS = 10
            CAST(sum((p_a_e9 - p_b_e9) * ln_ratio_u) OVER () AS BIGINT)
              AS psi_total
     FROM c ORDER BY bucket
-    """,
-    tags=("profile", "quality"),
-)
+    """
+
+
+def psi_from_counts(counts):
+    """Finalize the PSI report from a (bucket, n_a, n_b) relation — the
+    micro-nat integer pipeline shared by the batch and streaming twins."""
+    from pyspark.sql import Window
+
+    scal = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5)).cast(
+            "long"
+        )
+
+    c = counts.crossJoin(F.broadcast(scal)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr("CAST((n_a + 1) * 1000000000 div (ta + v) AS BIGINT)").alias(
+            "p_a_e9"
+        ),
+        F.expr("CAST((n_b + 1) * 1000000000 div (tb + v) AS BIGINT)").alias(
+            "p_b_e9"
+        ),
+        (
+            qln(F.col("n_a") + 1)
+            - qln(F.col("n_b") + 1)
+            + qln(F.col("tb") + F.col("v"))
+            - qln(F.col("ta") + F.col("v"))
+        ).alias("ln_ratio_u"),
+    )
+    contrib = (F.col("p_a_e9") - F.col("p_b_e9")) * F.col("ln_ratio_u")
+    return c.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "p_a_e9",
+        "p_b_e9",
+        contrib.cast("long").alias("psi_contrib"),
+        F.sum(contrib)
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("psi_total"),
+    ).orderBy("bucket")
+
+
+@query("prof_drift_psi", oracle=_psi_oracle_sql(), tags=("profile", "quality"))
 def prof_drift_psi(spark, sf_dir):
     """Population Stability Index between the reference window (events
     before {PSI_SPLIT_TS}) and the current window — THE drift metric a
@@ -705,49 +756,7 @@ def prof_drift_psi(spark, sf_dir):
         F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
     )
-    scal = counts.agg(
-        F.sum("n_a").cast("long").alias("ta"),
-        F.sum("n_b").cast("long").alias("tb"),
-        F.count(F.lit(1)).cast("long").alias("v"),
-    )
-
-    def qln(col):
-        return F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5)).cast(
-            "long"
-        )
-
-    c = counts.crossJoin(F.broadcast(scal)).select(
-        "bucket",
-        "n_a",
-        "n_b",
-        F.expr("CAST((n_a + 1) * 1000000000 div (ta + v) AS BIGINT)").alias(
-            "p_a_e9"
-        ),
-        F.expr("CAST((n_b + 1) * 1000000000 div (tb + v) AS BIGINT)").alias(
-            "p_b_e9"
-        ),
-        (
-            qln(F.col("n_a") + 1)
-            - qln(F.col("n_b") + 1)
-            + qln(F.col("tb") + F.col("v"))
-            - qln(F.col("ta") + F.col("v"))
-        ).alias("ln_ratio_u"),
-    )
-    from pyspark.sql import Window
-
-    contrib = (F.col("p_a_e9") - F.col("p_b_e9")) * F.col("ln_ratio_u")
-    return c.select(
-        "bucket",
-        "n_a",
-        "n_b",
-        "p_a_e9",
-        "p_b_e9",
-        contrib.cast("long").alias("psi_contrib"),
-        F.sum(contrib)
-        .over(Window.partitionBy())
-        .cast("long")
-        .alias("psi_total"),
-    ).orderBy("bucket")
+    return psi_from_counts(counts)
 
 
 PCTL_QS = (50, 95, 99)

@@ -250,6 +250,48 @@ def run_cms_cells(spark, replay_dir: str) -> dict:
         return progress_stats(q)
 
 
+def run_psi_cells(spark, replay_dir: str) -> dict:
+    """Steady-state of the streaming PSI bucket-count maintenance
+    (stream_psi_drift's topology): per-trigger cost of a ~20-row
+    bounded-state aggregation — the smallest fixed-state sketch in the
+    registry (buckets x reference/current windows)."""
+    from pyspark.sql import functions as F
+
+    from gtec_etl_spark.plans.profile_queries import (
+        PSI_BUCKET_W,
+        PSI_NBUCKETS,
+        PSI_SPLIT_TS,
+    )
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        cells = (
+            ev.select(
+                F.least(
+                    F.floor(F.col("value") / PSI_BUCKET_W).cast("long"),
+                    F.lit(PSI_NBUCKETS - 1),
+                ).alias("bucket"),
+                F.when(
+                    F.col("ts") < F.lit(PSI_SPLIT_TS).cast("timestamp"), 0
+                ).otherwise(1).alias("w"),
+            )
+            .groupBy("bucket", "w")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(f"psi_{uuid.uuid4().hex[:12]}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("psi replay did not finish")
+        return progress_stats(q)
+
+
 def run_dedup_watermark(spark, replay_dir: str) -> dict:
     """Steady-state + state-growth of dropDuplicatesWithinWatermark
     (stream_dedup_watermark's topology). The state store holds one row
@@ -424,6 +466,7 @@ def main() -> None:
             "stream_tumbling_hourly": run_tumbling(spark, replay_dir),
             "stream_hll_distinct": run_hll_registers(spark, replay_dir),
             "stream_cms_heavy": run_cms_cells(spark, replay_dir),
+            "stream_psi_drift": run_psi_cells(spark, replay_dir),
             "stream_static_join": run_static_join(
                 spark, args.sf_dir, replay_dir
             ),
