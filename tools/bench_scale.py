@@ -158,6 +158,27 @@ QUERIES = [
     # audited corpus pass).
     "sketch_kmv_set_ops",
     "sketch_sampled_quantiles",
+    # Round-12 additions: fixpoints (ppr/hits), compression tiers (sq8,
+    # ivf upsert), layout manifest, histogram-path profiling stats,
+    # winnowing fingerprints, and the events-analytics pack (all
+    # scan-bound or domain-bounded; curves recorded round 12).
+    "graph_ppr_seeds",
+    "graph_hits",
+    "sim_sq8_rerank",
+    "sim_ivf_upsert",
+    "k9_partition_manifest",
+    "prof_percentiles_grouped",
+    "prof_gini_concentration",
+    "dedup_winnowing_pairs",
+    "ev_cusum_alerts",
+    "ev_markov_transitions",
+    "ev_ewma_hourly",
+    "ev_inter_event_gaps",
+    "ev_funnel_time_to_convert",
+    "ev_attribution_markov",
+    "etl_snapshot_diff",
+    "etl_scd2_asof_lookup",
+    "prof_drift_psi",
     # Round-9: DOULION sampled triangle estimate — the scale twin whose
     # whole point is bending the exact twin's E^1.5 curve; its residual
     # ratio is the linear pair-enumeration floor (PERF.md round 9).
