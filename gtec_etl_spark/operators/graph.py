@@ -111,7 +111,19 @@ def personalized_pagerank(
     ).select("node", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"))
     marked = marked.localCheckpoint(eager=True)
     try:
+        # Denominator = |seeds| AS GIVEN (the caller's personalization
+        # vector), not |seeds ∩ nodes|: a seed absent from the edge list
+        # receives teleport mass that then leaks (it has no out-edges in
+        # `nodes`), diluting total rank mass — intended semantics when
+        # the seed set is authoritative, but callers should pre-filter
+        # seeds to the graph if they want conserved mass. Empty seeds is
+        # a caller error; fail before any more jobs run.
         n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "personalized_pagerank: empty seed set (teleport "
+                "denominator would be zero); pass >=1 seed node"
+            )
         seed_teleport = ((100 - damping_pct) * scale // 100) // n_seeds
         seed_init = scale // n_seeds
         ranks = marked.select(

@@ -2670,22 +2670,27 @@ def tile_images(media: DataFrame, tile: int = 8) -> DataFrame:
     if tile < 1:
         raise ValueError(f"tile must be a positive integer, got {tile}")
 
+    # Constant tile-local weight matrix — hoisted out of the per-image
+    # loop (it depends only on `tile`).
+    weights = (
+        np.arange(tile * tile, dtype=np.int64).reshape(tile, tile) % 97 + 1
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, pix = _decode_netpbm(bytes(content))
+                # Full format dispatch (FAKEIMG/netpbm/PNG/GIF/BMP/TIFF/
+                # JPEG), same as the sibling decode operators — not the
+                # netpbm-only parser, whose header error on a PNG blob
+                # would be misleading.
+                w, h, pix = _decode_one(bytes(content))
                 a = (
                     np.frombuffer(pix, dtype=np.uint8)
                     .reshape(h, w)
                     .astype(np.int64)
                 )
                 nr, nc = h // tile, w // tile
-                weights = (
-                    np.arange(tile * tile, dtype=np.int64).reshape(tile, tile)
-                    % 97
-                    + 1
-                )
                 for tr in range(nr):
                     for tc in range(nc):
                         t = a[

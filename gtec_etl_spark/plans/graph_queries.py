@@ -585,7 +585,21 @@ def graph_label_propagation(spark, sf_dir):
     edge side is never re-shuffled per round — only the node-sized label
     table moves (the graph_pagerank co-partitioning discipline; sf10
     warm A/B ~113 -> ~96 s, PERF.md). Never collects a node- or
-    edge-proportional structure to the driver."""
+    edge-proportional structure to the driver.
+
+    Frontier/delta variant REJECTED on measurement (round 13, VERDICT
+    r12 #3): recomputing only nodes with a changed neighbor (the
+    graph_ppr_seeds trick) requires the flip rate to decay, and on this
+    graph it does not — 10000 bp of nodes change label in EVERY round
+    at both sf0.1 (15,999 nodes) and sf1 (159,990 nodes), so the
+    frontier is always the entire node set and its edge restriction is
+    always the entire edge set (PERF.md round-13 entry). The cause is
+    structural: min-label tie-breaking on a dense bipartite graph keeps
+    ratcheting labels downward globally (every customer's neighborhood
+    minimum drops each round while suppliers mirror it back), so
+    synchronous LP here has no quiescent region for a delta pass to
+    skip. The co-partitioned full recompute IS the efficient plan; 0.58
+    is the family's honest sf10 exponent."""
     orders = catalog.table(spark, sf_dir, "orders")
     lineitem = catalog.table(spark, sf_dir, "lineitem")
     pairs = (

@@ -167,11 +167,12 @@ def prof_equidepth_histogram(spark, sf_dir):
 
     Determinism: ntile's frame is totally ordered by (value, o_orderkey),
     so bucket membership is identical cross-engine even on duplicate
-    values. Plan: one global-sort window at test scale; the shipped
-    100 TB alternatives are prof_exact_median_scaled (EXACT rank
-    selection via histogram + hierarchical prefix sum — generalizes to
-    any boundary set, see q50_rfm_scaled) or approx_percentile sampled
-    boundaries (same output shape)."""
+    values. Plan: one global-sort window — kept deliberately as the
+    ntile-semantics SPEC at fixture scale (the q50_rfm_scores
+    precedent); the production twin with the IDENTICAL output shape is
+    prof_equidepth_scaled below (histogram + hierarchical prefix sum +
+    broadcast rank-boundary joins — no unpartitioned row-scale
+    window)."""
     from pyspark.sql import Window
 
     orders = catalog.table(spark, sf_dir, "orders")
@@ -187,6 +188,99 @@ def prof_equidepth_histogram(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.min("o_totalprice"), 4).alias("lo"),
             F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "prof_equidepth_scaled",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             ntile({EQD_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(v) / 100.0, 4) AS lo,
+           round(max(v) / 100.0, 4) AS hi
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("profile", "scale"),
+)
+def prof_equidepth_scaled(spark, sf_dir):
+    """Equi-depth histogram at 100 TB — prof_equidepth_histogram's
+    same-output-shape production twin (VERDICT r12 #4; the
+    q50_rfm_scores / q50_rfm_scaled pattern). The spec query's global
+    ntile window streams every row through ONE task; this twin never
+    materializes a per-row bucket at all:
+
+    - ntile's bucket boundaries are closed-form in (N, bucket index):
+      bucket i covers global ranks ((i-1)*(N div B) + least(i-1, N%B)
+      + 1) .. (i*(N div B) + least(i, N%B)) — so n_rows needs no data
+      pass, and lo/hi only need VALUE-AT-RANK for 2*{EQD_BUCKETS}
+      ranks.
+    - Ties broken by o_orderkey never change the VALUE at a given rank
+      (equal values are adjacent in the total order), so value-at-rank
+      is answerable from the integer-cents VALUE HISTOGRAM alone: the
+      unique v with cum_before < rank <= cum_inclusive.
+    - cum comes from distributed_prefix_sum (operators/scale.py) — the
+      hierarchical up/down-sweep whose only unpartitioned window sees
+      ~|distinct|/4096² rows — and the {EQD_BUCKETS}-row boundary spine
+      broadcast-joins against it (BroadcastNestedLoop over
+      |distinct| x {EQD_BUCKETS}, each histogram row checked against a
+      handful of rank literals).
+
+    Output identical to the spec query (bucket, n_rows, lo, hi) —
+    integer-cents quantization makes lo/hi bit-exact cross-engine (the
+    prof_exact_median_scaled precedent); the oracle runs the literal
+    ntile spec on the same cents and must hash-match, which is the
+    whole point: same answer, scalable plan."""
+    from gtec_etl_spark.operators.scale import distributed_prefix_sum
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    hist = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = distributed_prefix_sum(hist, "v", "c", out_col="cum")
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    b = EQD_BUCKETS
+    spine = (
+        spark.range(1, b + 1)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .crossJoin(F.broadcast(tot))  # B rows x 1-row global count
+        .select(
+            "bucket",
+            F.expr(
+                f"(bucket - 1) * (n div {b}) + least(bucket - 1, n % {b}) + 1"
+            ).alias("s_rank"),
+            F.expr(f"bucket * (n div {b}) + least(bucket, n % {b})").alias(
+                "e_rank"
+            ),
+        )
+    )
+    lo = cum.join(
+        F.broadcast(spine),
+        (F.col("cum") - F.col("c") < F.col("s_rank"))
+        & (F.col("s_rank") <= F.col("cum")),
+    ).select("bucket", "s_rank", "e_rank", F.col("v").alias("lo_v"))
+    hi = cum.join(
+        F.broadcast(spine.select("bucket", "e_rank")),
+        (F.col("cum") - F.col("c") < F.col("e_rank"))
+        & (F.col("e_rank") <= F.col("cum")),
+    ).select("bucket", F.col("v").alias("hi_v"))
+    return (
+        lo.join(hi, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("e_rank") - F.col("s_rank") + 1)
+            .cast("long")
+            .alias("n_rows"),
+            F.round(F.col("lo_v") / 100.0, 4).alias("lo"),
+            F.round(F.col("hi_v") / 100.0, 4).alias("hi"),
         )
         .orderBy("bucket")
     )

@@ -48,22 +48,33 @@ def specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-def _driver_verified_names() -> set[str]:
-    """Names already GREEN in some driver CORRECTNESS_r*.json at the repo
-    root. Used only to ORDER the registry (never to change its contents):
-    never-driver-green queries are listed first so a driver that samples a
-    prefix covers them before re-checking already-proven ones. A sampled
-    query that errored or hash-mismatched does NOT count as verified —
-    it needs a retry slot just as much as a never-sampled one (the r4
-    lesson: q15/q18 sat behind proven queries for three rounds because
-    any sampling, even a red row, demoted them)."""
+def _driver_verified_rounds() -> dict[str, int]:
+    """Map name -> LATEST round with a GREEN row in a driver
+    CORRECTNESS_r*.json at the repo root. Used only to ORDER the registry
+    (never to change its contents): never-driver-green queries are listed
+    first so a driver that samples a prefix covers them before re-checking
+    already-proven ones, and proven queries are then ordered
+    OLDEST-green-round-first (VERDICT r12 #7: the engine under a query
+    keeps changing — shared operators like the integer graph encoding or
+    the LSH gate touch dozens of queries — so each driver round should
+    re-certify the stalest ~50 rather than whatever registration order
+    happens to surface). A sampled query that errored or hash-mismatched
+    does NOT count as verified — it needs a retry slot just as much as a
+    never-sampled one (the r4 lesson: q15/q18 sat behind proven queries
+    for three rounds because any sampling, even a red row, demoted
+    them)."""
     import glob
     import json
     import pathlib
+    import re
 
     root = pathlib.Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -87,17 +98,26 @@ def _driver_verified_names() -> set[str]:
             if row.get("hash_match") is True or (
                 row.get("hash_match") is None and row.get("rows_match") is True
             ):
-                seen.add(name)
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
 def ordered_specs() -> dict[str, QuerySpec]:
-    """Registry specs with never-driver-verified queries first (registration
-    order preserved within each group)."""
+    """Registry specs ordered for prefix sampling: never-driver-verified
+    queries first (registration order preserved), then proven queries
+    STALEST-FIRST — ascending by the latest round that certified them
+    (ties keep registration order). A driver that samples a ~50-query
+    prefix therefore (1) certifies every new query, then (2) rotates
+    re-certification through whatever has gone longest unchecked."""
     all_specs = specs()
-    verified = _driver_verified_names()
+    verified = _driver_verified_rounds()
     fresh = {n: s for n, s in all_specs.items() if n not in verified}
-    proven = {n: s for n, s in all_specs.items() if n in verified}
+    order = list(all_specs)
+    proven_names = sorted(
+        (n for n in all_specs if n in verified),
+        key=lambda n: (verified[n], order.index(n)),
+    )
+    proven = {n: all_specs[n] for n in proven_names}
     return {**fresh, **proven}
 
 

@@ -1097,15 +1097,25 @@ def ev_ewma_hourly(spark, sf_dir):
         ),
         F.lit(1 << (EWMA_LAGS - 1)),
     )
-    # Float division then floor is exact here: numerator < ~1.2e11 and
-    # both sides integral, so the IEEE quotient can never round across
-    # an integer boundary (the pagerank floor(x/y) argument).
-    return c.select(
-        "event_type",
-        F.col("h").alias("window_start"),
-        F.col("n").cast("long").alias("n_events"),
-        F.floor(num * 1000 / den).cast("long").alias("ewma_e3"),
-    ).orderBy("event_type", "window_start")
+    # Exact BIGINT `div`, matching the oracle's `//` at ANY magnitude —
+    # no reliance on the IEEE quotient staying inside an integer
+    # boundary (which only holds while num*1000 < 2^53).
+    return (
+        c.select(
+            "event_type",
+            F.col("h").alias("window_start"),
+            F.col("n").cast("long").alias("n_events"),
+            (num * 1000).cast("long").alias("_num_e3"),
+            den.cast("long").alias("_den_w"),
+        )
+        .select(
+            "event_type",
+            "window_start",
+            "n_events",
+            F.expr("_num_e3 div _den_w").cast("long").alias("ewma_e3"),
+        )
+        .orderBy("event_type", "window_start")
+    )
 
 
 MARKOV_K = 6  # absorption horizon (steps of the chain)
@@ -1282,6 +1292,21 @@ def ev_attribution_markov(spark, sf_dir):
         .collect()  # transition matrix: <= |states|^2 rows at ANY corpus size
     )
     p_full = {(row["a"], row["b"]): row["p6"] for row in p_rows}
+    # The oracle unrolls the chain against the hardcoded MARKOV_STATES
+    # VALUES list and silently drops mass at any state outside it, while
+    # the Python chain below would happily propagate it — if the events
+    # fixture's event_type enum ever grows, fail LOUDLY here instead of
+    # diverging hash-red.
+    domain = set(MARKOV_STATES)
+    stray = sorted(
+        {s for ab in p_full for s in ab if s not in domain}
+    )
+    if stray:
+        raise ValueError(
+            "ev_attribution_markov: transition endpoints outside "
+            f"MARKOV_STATES {MARKOV_STATES}: {stray} — extend the state "
+            "list AND the oracle's VALUES list together"
+        )
 
     def run_chain(p6: dict) -> int:
         mass = {s: 0 for s in MARKOV_STATES}

@@ -443,6 +443,168 @@ def run_lateness(spark, replay_dir: str) -> dict:
         return progress_stats(qh[0])
 
 
+def run_stream_stream_left_join(spark, replay_dir: str) -> dict:
+    """Steady-state of the LEFT OUTER interval join
+    (stream_stream_left_join's topology) — THE topology where a watermark
+    defect shows up as monotone state growth (VERDICT r12 #2): unmatched
+    clicks sit in the state store until the global watermark (min of both
+    sides') proves no purchase can still arrive, and their null-extended
+    rows are emitted ON STATE EXPIRY, not on data. A flat
+    state_rows_by_batch curve therefore certifies eviction on BOTH sides
+    plus the expiry-emission path the inner join never exercises."""
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        clicks = (
+            P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "2 hours")
+        )
+        purchases = (
+            P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts"
+                " AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+            "leftOuter",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(f"slj_{uuid.uuid4().hex[:12]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_stream_left_join replay did not finish")
+        return progress_stats(q)
+
+
+def run_session_windows(spark, replay_dir: str) -> dict:
+    """Steady-state of native session_window aggregation
+    (stream_session_windows' topology) in production APPEND mode: a
+    session's state row lives until the watermark passes its end + gap,
+    then emits and evicts. Session state is merge-heavy (adjacent events
+    extend/merge windows), so this is the aggregation topology most
+    sensitive to an eviction bug — the registered query reads results in
+    complete mode for test ergonomics; THIS is the production shape."""
+    from gtec_etl_spark.streaming import pipelines as P
+
+    with P.state_partitions(spark, 8):
+        ev = P.read_events_stream(spark, replay_dir, 1, path_glob="*.parquet")
+        q = (
+            P.session_counts(ev)
+            .writeStream.format("memory")
+            .queryName(f"ssw_{uuid.uuid4().hex[:12]}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_session_windows replay did not finish")
+        return progress_stats(q)
+
+
+def slice_documents(spark, sf_dir: str, out_dir: str, chunks: int) -> None:
+    """Split documents into `chunks` single-file parquets by doc_id stripe
+    (documents carry no event time; arrival order is the crawl order),
+    mtime-ordered so the file source replays them as micro-batches."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for i in range(chunks):
+        tmp = os.path.join(out_dir, "__tmp")
+        docs.filter(F.col("doc_id") % chunks == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = os.path.join(out_dir, f"doc{i:03d}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def run_dedup_admission(spark, sf_dir: str, replay_dir: str) -> dict:
+    """Steady-state of the LSH admission filter (stream_dedup_admission's
+    topology): per-row MinHash banding on the stream side, left-semi join
+    against the frozen banded index. The claim to certify is the opposite
+    of the others': the topology is STATELESS (a stream-static semi-join
+    holds nothing between triggers), so recentProgress must show NO state
+    operators at all — recorded as stateless=true — and per-trigger cost
+    must be flat at O(batch bands + probed buckets)."""
+    from gtec_etl_spark import catalog
+    from gtec_etl_spark.operators import dedup as D
+    from gtec_etl_spark.streaming import pipelines as P
+
+    # SIBLING temp dir, not a subdir of replay_dir: the event streams glob
+    # replay_dir non-recursively and a stray non-partition subdirectory
+    # breaks their file-source listing (the cdc_* lesson in main()).
+    doc_dir = tempfile.mkdtemp(prefix="stream_replay_docs_")
+    slice_documents(spark, sf_dir, doc_dir, 8)
+    docs = catalog.table(spark, sf_dir, "documents")
+    index_bands = (
+        D.lsh_banded(
+            D.minhash_signatures(
+                D.word_shingles(docs.filter(F.col("doc_id") % 10 != 7), 3), 16
+            ),
+            16,
+            4,
+        )
+        .select("band", "sig")
+        .distinct()
+        .persist()
+    )
+    index_bands.count()  # freeze the index before the replay starts
+    try:
+        with P.state_partitions(spark, 8):
+            stream_bands = D.minhash_bands_rowwise(
+                P.read_documents_stream(
+                    spark, doc_dir, 1, path_glob="*.parquet"
+                ).filter(F.col("doc_id") % 10 == 7),
+                3,
+                16,
+                4,
+            )
+            rejected = stream_bands.join(
+                index_bands, ["band", "sig"], "left_semi"
+            )
+            q = (
+                rejected.select("doc_id")
+                .writeStream.format("memory")
+                .queryName(f"adm_{uuid.uuid4().hex[:12]}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "stream_dedup_admission replay did not finish"
+                )
+            stats = progress_stats(q)
+    finally:
+        index_bands.unpersist()
+        shutil.rmtree(doc_dir, ignore_errors=True)
+    if "state_rows_by_batch" not in stats:
+        stats["stateless"] = True  # no stateOperators in any trigger
+    return stats
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -459,6 +621,13 @@ def main() -> None:
         slice_events(spark, args.sf_dir, replay_dir, args.chunks)
         results = {
             "stream_stream_join": run_stream_stream_join(spark, replay_dir),
+            "stream_stream_left_join": run_stream_stream_left_join(
+                spark, replay_dir
+            ),
+            "stream_session_windows": run_session_windows(spark, replay_dir),
+            "stream_dedup_admission": run_dedup_admission(
+                spark, args.sf_dir, replay_dir
+            ),
             "stream_dedup_watermark": run_dedup_watermark(spark, replay_dir),
             "stream_stateful_user_totals": run_stateful_user_totals(
                 spark, replay_dir
