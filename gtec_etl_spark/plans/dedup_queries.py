@@ -1395,11 +1395,11 @@ LSH_EVAL_STRATUM_MOD = 5
       WHERE {hash60_sql("concat('stratum4|', CAST(doc_id AS VARCHAR))")}
             % {LSH_EVAL_STRATUM_MOD} = 0
     ),
-    shs AS (SELECT s.doc_id, s.shingle FROM sh s JOIN strat USING (doc_id)),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+    hs AS (SELECT h.doc_id, h.hb FROM h JOIN strat USING (doc_id)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
     allp AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM hs a JOIN hs b ON a.hb = b.hb AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     truth AS (
@@ -1482,8 +1482,42 @@ def dedup_lsh_eval_scaled(spark, sf_dir):
         % LSH_EVAL_STRATUM_MOD
         == 0
     ).select("doc_id", "text")
-    sh = D.word_shingles(strat, 3)
-    sigs = D.minhash_signatures(sh, 16).localCheckpoint()
+    # The shingle set is read FOUR times downstream (signatures, truth's
+    # two join sides, sizes); without a checkpoint each consumer re-runs
+    # the full-corpus scan + stratum hash filter + explode (sf10 stage
+    # profile: truth alone cost 10 s of its 14 s total on
+    # re-derivation). Materialize HASHED shingles (doc_id, hb) — 16
+    # bytes/row vs ~30 with the string, and the truth self-join then
+    # shuffles longs. Truth in hash space is EXACTLY cross-engine
+    # (both engines derive hb from the same md5 prefix, so any
+    # collision is shared); vs string-space Jaccard it can differ only
+    # on a 60-bit collision inside one pair (< 2^-40 per pair) — the
+    # same hash space the minhash signatures themselves certify.
+    # No distinct() over hb: word_shingles is already DISTINCT on the
+    # string shingle, and the oracle's hs CTE keeps the same multiset —
+    # an intra-doc hash collision (duplicate hb) is counted identically
+    # by both engines, so parity holds without paying a 5M-row shuffle.
+    hsh = (
+        D.word_shingles(strat, 3)
+        .select("doc_id", hash60(F.col("shingle")).alias("hb"))
+        .localCheckpoint()
+    )
+    # Signatures from hb — value-identical to minhash_signatures(sh)
+    # (operators/dedup.py:396 computes the same hb internally); inlined
+    # so the checkpointed relation feeds it without re-hashing.
+    hmod = F.col("hb") % F.lit(MINHASH_P)
+    sigs = (
+        hsh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * hmod + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                    f"mh{i}"
+                )
+                for i, (a, b) in enumerate(minhash_params(16))
+            ]
+        )
+        .localCheckpoint()
+    )
     cand = (
         D.lsh_candidate_pairs(sigs, 16, 4)
         .select("doc_a", "doc_b")
@@ -1507,11 +1541,11 @@ def dedup_lsh_eval_scaled(spark, sf_dir):
         .filter(n_match >= LSH_VERIFY_GATE)
         .select("doc_a", "doc_b")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hsh.select(F.col("doc_id").alias("doc_a"), "hb")
+    b = hsh.select(F.col("doc_id").alias("doc_b"), "hb")
     truth = (
-        a.join(b, "shingle")
+        a.join(b, "hb")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

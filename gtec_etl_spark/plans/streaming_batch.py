@@ -1257,32 +1257,52 @@ def ev_attribution_markov(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = catalog.table(spark, sf_dir, "events")
+    # ONE window chain over the corpus (round-13 rewrite; sf10 stage
+    # profile showed the old fp-aggregate-join + 3-branch edge union
+    # re-running sort+window per consumer — the exchange was reused but
+    # every branch paid its own 20M-row sort). prk is a whole-partition
+    # window min (no second pass, no join), and all three edge kinds
+    # (START, consecutive pair, terminal null) emit from ONE explode
+    # over the lead() relation, so the per-user sort happens once.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
     r = ev.select(
         "user_id", "event_type", F.row_number().over(w).alias("rk")
+    ).withColumn(
+        "prk",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rk"))
+        ).over(wp),
     )
-    fp = (
-        r.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("rk").alias("prk"))
-    )
-    kept = r.join(fp, "user_id", "left").filter(
-        F.col("prk").isNull() | (F.col("rk") <= F.col("prk"))
-    )
+    kept = r.filter(F.col("prk").isNull() | (F.col("rk") <= F.col("prk")))
     wk = Window.partitionBy("user_id").orderBy("rk")
     pairs = kept.select(
-        F.col("event_type").alias("a"),
-        "rk",
-        F.lead("event_type").over(wk).alias("b"),
+        "event_type", "rk", F.lead("event_type").over(wk).alias("nxt")
     )
     edges = (
-        kept.filter(F.col("rk") == 1)
-        .select(F.lit("START").alias("a"), F.col("event_type").alias("b"))
-        .unionByName(pairs.filter(F.col("b").isNotNull()).select("a", "b"))
-        .unionByName(
-            pairs.filter(F.col("b").isNull() & (F.col("a") != "purchase"))
-            .select("a", F.lit("null").alias("b"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("rk") == 1,
+                        F.struct(
+                            F.lit("START").alias("a"),
+                            F.col("event_type").alias("b"),
+                        ),
+                    ),
+                    F.struct(
+                        F.col("event_type").alias("a"),
+                        F.when(F.col("nxt").isNotNull(), F.col("nxt"))
+                        .when(
+                            F.col("event_type") != "purchase", F.lit("null")
+                        )
+                        .alias("b"),
+                    ),
+                )
+            ).alias("e")
         )
+        .filter(F.col("e").isNotNull() & F.col("e.b").isNotNull())
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
     )
     tr = edges.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
     ta = tr.groupBy("a").agg(F.sum("n").cast("long").alias("tn"))
