@@ -1043,3 +1043,88 @@ def prof_gini_concentration(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+#: Candidate functional dependencies for the FD audit: (table, lhs, rhs).
+#: Single source of truth — the Spark plan and the SQL oracle are both
+#: generated from this list, one audit arm per candidate.
+FD_CANDIDATES = (
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_name", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+)
+
+
+def _fd_oracle() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{t}' AS table_name, '{lhs} -> {rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS violation_bp
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM {t} GROUP BY 1)"""
+        for t, lhs, rhs in FD_CANDIDATES
+    )
+    return f"""
+    SELECT * FROM (
+{arms}
+    ) ORDER BY table_name, fd
+    """
+
+
+@query("prof_functional_dependencies", oracle=_fd_oracle(), tags=("profile", "quality"))
+def prof_functional_dependencies(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY audit — the data-profiling staple the
+    profile pack was missing (alongside entropy, k-anonymity,
+    referential integrity q51, and uniqueness q11): for each candidate
+    FD lhs → rhs, the number of lhs groups, how many of them map to
+    MORE THAN ONE distinct rhs (violations), and the violation rate in
+    basis points. An FD that holds (violation_bp = 0) is a constraint a
+    schema designer can promote (and an optimizer/storage layer can
+    exploit: dictionary-encode rhs per lhs partition, prune joins); a
+    near-miss is usually dirty data — exactly what a profiling report
+    exists to surface. Candidates come from FD_CANDIDATES (one source
+    of truth for plan AND oracle); on this corpus nation's
+    key → region and customer's name → nation hold, the rest violate
+    at measured rates.
+
+    Plan: one groupBy(lhs) + count(DISTINCT rhs) per candidate — the
+    distinct-aggregate is Spark's two-phase partial_count(distinct)
+    expansion, map-side combined before the lhs shuffle; each arm's
+    output is then a 1-row summary and the union is |candidates| rows.
+    Per-table audits share nothing BY DESIGN (different lhs keys need
+    different shuffles), so the cost is Σ per-candidate shuffles — at
+    100 TB you run the arms for one table off one cached scan; here
+    Catalyst's parquet scan reuse covers the two lineitem/part arms."""
+    arms = []
+    for t, lhs, rhs in FD_CANDIDATES:
+        tbl = catalog.table(spark, sf_dir, t)
+        g = tbl.groupBy(F.col(lhs)).agg(
+            F.countDistinct(F.col(rhs)).alias("nd")
+        )
+        arms.append(
+            g.agg(
+                F.lit(t).alias("table_name"),
+                F.lit(f"{lhs} -> {rhs}").alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.expr(
+                    "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 10000"
+                    " div count(*)"
+                )
+                .cast("long")
+                .alias("violation_bp"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("table_name", "fd")

@@ -1369,3 +1369,92 @@ def ev_attribution_markov(spark, sf_dir):
         ]
     )
     return spark.createDataFrame(rows, schema).orderBy("channel")
+
+
+#: Hot/cold anomaly gate for the seasonal baseline: a cell is anomalous
+#: when its hourly count is > 2x or < 0.5x the hour-of-day expectation.
+SEAS_HOT_X2 = 2
+
+
+@query(
+    "ev_seasonal_baseline",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    idx AS (
+      SELECT event_type, hod,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(n) * 100 // count(*) AS BIGINT) AS expected_e2
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT i.event_type, i.hod, i.n_cells, i.total, i.expected_e2,
+           CAST(sum(CASE WHEN c.n * 100 > i.expected_e2 * {SEAS_HOT_X2}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+           CAST(sum(CASE WHEN c.n * 100 * {SEAS_HOT_X2} < i.expected_e2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cold
+    FROM idx i JOIN cells c ON c.event_type = i.event_type AND c.hod = i.hod
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY i.event_type, i.hod
+    """,
+    tags=("streaming", "timeseries"),
+)
+def ev_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day SEASONAL BASELINE + anomaly census — the capability
+    the events pack was missing between ev_ewma_hourly (trend) and
+    ev_cusum_alerts / ev_anomaly_mad (level shifts): traffic is
+    periodic, so "is this hour anomalous" must be asked against the
+    TYPICAL count for that hour-of-day, not against a flat or trailing
+    mean (a quiet 3am hour is normal; the same count at 3pm is an
+    outage). Builds the classical seasonal index — per (event_type,
+    hour-of-day): number of observed day-cells, total events, and the
+    expected hourly count (mean, floored e2 fixed point) — then counts
+    hot cells (> {SEAS_HOT_X2}x expectation) and cold cells (< 1/{SEAS_HOT_X2}x)
+    per index row. All-integer arithmetic (counts, one floor division),
+    bit-identical cross-engine.
+
+    Plan: ONE corpus-sized groupBy (event_type, date, hour) with
+    map-side combine — the same single-pass cost as ev_tumbling_hourly;
+    everything downstream operates on the cells relation, bounded by
+    |types| x retention-days x 24 regardless of corpus size (at 100 TB
+    with a year of retention: ~5 x 365 x 24 ≈ 44k rows). The index
+    (|types| x 24 rows) joins back onto cells for the anomaly census —
+    both sides aggregate-bounded, AQE broadcasts the small one. Output
+    is exactly |types| x 24 rows."""
+    ev = catalog.table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    idx = cells.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("total"),
+        F.expr("sum(n) * 100 div count(*)").cast("long").alias("expected_e2"),
+    )
+    return (
+        idx.join(cells, ["event_type", "hod"])
+        .groupBy("event_type", "hod", "n_cells", "total", "expected_e2")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n") * 100 > F.col("expected_e2") * SEAS_HOT_X2, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hot"),
+            F.sum(
+                F.when(
+                    F.col("n") * 100 * SEAS_HOT_X2 < F.col("expected_e2"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cold"),
+        )
+        .orderBy("event_type", "hod")
+    )
