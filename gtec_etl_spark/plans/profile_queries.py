@@ -244,7 +244,16 @@ def prof_equidepth_scaled(spark, sf_dir):
     s = orders.select(
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v")
     )
-    hist = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # The histogram is referenced several times downstream (prefix-sum
+    # levels, total, rank selection) — without materialization each
+    # reference re-runs the corpus scan + aggregate (the executed plan
+    # showed one parquet scan PER reference). One value-domain-bounded
+    # checkpoint makes the corpus pass happen exactly once.
+    hist = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     cum = distributed_prefix_sum(hist, "v", "c", out_col="cum")
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
     b = EQD_BUCKETS
@@ -639,7 +648,16 @@ def prof_exact_median_scaled(spark, sf_dir):
     s = orders.select(
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v")
     )
-    hist = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # The histogram is referenced several times downstream (prefix-sum
+    # levels, total, rank selection) — without materialization each
+    # reference re-runs the corpus scan + aggregate (the executed plan
+    # showed one parquet scan PER reference). One value-domain-bounded
+    # checkpoint makes the corpus pass happen exactly once.
+    hist = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     cum = distributed_prefix_sum(hist, "v", "c", out_col="cum")
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
     return (

@@ -1427,11 +1427,18 @@ def ev_seasonal_baseline(spark, sf_dir):
     both sides aggregate-bounded, AQE broadcasts the small one. Output
     is exactly |types| x 24 rows."""
     ev = catalog.table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type",
-        F.to_date("ts").alias("d"),
-        F.hour("ts").cast("long").alias("hod"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # cells feeds BOTH the index aggregate and the anomaly-census join;
+    # checkpoint so the one corpus-sized pass runs once (it is the
+    # query's only unbounded cost — cells itself is types x days x 24).
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
     idx = cells.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.sum("n").cast("long").alias("total"),
