@@ -413,3 +413,74 @@ def test_cusum_prefix_identity_equals_recursion(counts):
         mn = min(mn, pre)
         idn.append(pre - min(mn, 0))
     assert idn == rec
+
+
+@SLOW
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=60
+    )
+)
+def test_equidepth_scaled_rank_selection_equals_ntile(spark, cents):
+    """prof_equidepth_scaled's closed-form boundary math (ntile bucket i
+    covers ranks (i-1)*q + min(i-1, rem) + 1 .. i*q + min(i, rem), and
+    value-at-rank is tie-break-independent) must reproduce the literal
+    ntile spec for ARBITRARY duplicate-heavy value multisets, not just
+    the orders fixture — duplicates spanning bucket boundaries are
+    exactly the case the histogram argument has to survive."""
+    from gtec_etl_spark.operators.scale import distributed_prefix_sum
+
+    B = 4
+    n = len(cents)
+    q, rem = divmod(n, B)
+    # Reference: literal ntile over (value, row index) tie-break.
+    ordered = sorted(range(n), key=lambda i: (cents[i], i))
+    want = {}
+    for b in range(1, B + 1):
+        s = (b - 1) * q + min(b - 1, rem) + 1
+        e = b * q + min(b, rem)
+        if s > e:
+            continue
+        vals = [cents[ordered[r - 1]] for r in range(s, e + 1)]
+        want[b] = (e - s + 1, min(vals), max(vals))
+
+    hist = (
+        spark.createDataFrame([(v,) for v in cents], "v long")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = distributed_prefix_sum(hist, "v", "c", out_col="cum")
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    spine = (
+        spark.range(1, B + 1)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                f"(bucket - 1) * (n div {B}) + least(bucket - 1, n % {B}) + 1"
+            ).alias("s_rank"),
+            F.expr(f"bucket * (n div {B}) + least(bucket, n % {B})").alias(
+                "e_rank"
+            ),
+        )
+    )
+    lo = cum.join(
+        F.broadcast(spine),
+        (F.col("cum") - F.col("c") < F.col("s_rank"))
+        & (F.col("s_rank") <= F.col("cum")),
+    ).select("bucket", "s_rank", "e_rank", F.col("v").alias("lo_v"))
+    hi = cum.join(
+        F.broadcast(spine.select("bucket", "e_rank")),
+        (F.col("cum") - F.col("c") < F.col("e_rank"))
+        & (F.col("e_rank") <= F.col("cum")),
+    ).select("bucket", F.col("v").alias("hi_v"))
+    got = {
+        r["bucket"]: (
+            int(r["e_rank"] - r["s_rank"] + 1),
+            int(r["lo_v"]),
+            int(r["hi_v"]),
+        )
+        for r in lo.join(hi, "bucket").collect()
+    }
+    assert got == want
