@@ -1116,6 +1116,12 @@ def prof_functional_dependencies(spark, sf_dir):
     distinct-aggregate is Spark's two-phase partial_count(distinct)
     expansion, map-side combined before the lhs shuffle; each arm's
     output is then a 1-row summary and the union is |candidates| rows.
+    A min(rhs) ≠ max(rhs) formulation (no distinct expansion) was
+    MEASURED SLOWER at sf10 — 80.5 s vs 16.0 s for the lineitem arm —
+    because with a low-cardinality rhs the (lhs, rhs) expansion
+    collapses the map side to ≤|rhs| rows per key before shuffling,
+    while min/max accumulates through the full lhs hash table (PERF.md
+    round 13); revisit only if an rhs is high-cardinality.
     Per-table audits share nothing BY DESIGN (different lhs keys need
     different shuffles), so the cost is Σ per-candidate shuffles — at
     100 TB you run the arms for one table off one cached scan; here
