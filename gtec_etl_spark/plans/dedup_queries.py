@@ -1245,10 +1245,10 @@ def dedup_cluster_sizes(spark, sf_dir):
     "dedup_lsh_eval",
     oracle=f"""
     WITH {_minhash_ctes(16, 4)},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
     allp AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM h a JOIN h b ON a.hb = b.hb AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     truth AS (
@@ -1300,10 +1300,35 @@ def dedup_lsh_eval(spark, sf_dir):
     signature-agreement pre-gate dedup_lsh_verify now applies
     (LSH_VERIFY_GATE) — gate_recall_bp == recall_bp certifies the gate
     dropped no true pair beyond banding's own misses. All-integer
-    arithmetic, exact cross-engine."""
+    arithmetic, exact cross-engine. Round 13 moves the truth join to
+    HASHED shingle space and checkpoints the hashed set once (the
+    dedup_lsh_eval_scaled discipline, see its docstring for the
+    exactness argument: both engines share the md5-derived hb, so
+    parity is exact and any 60-bit collision is shared) — sf10
+    81.7 s → measured re-time below; still the uncapped full-corpus
+    anchor by construction."""
     docs = catalog.table(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, 3)
-    sigs = D.minhash_signatures(sh, 16).localCheckpoint()
+    # One materialization of (doc_id, hb): reused by signatures, the
+    # truth join's two sides, and sizes (without it each consumer
+    # re-runs scan + explode — the scan-amplification audit's finding).
+    hsh = (
+        D.word_shingles(docs, 3)
+        .select("doc_id", hash60(F.col("shingle")).alias("hb"))
+        .localCheckpoint()
+    )
+    hmod = F.col("hb") % F.lit(MINHASH_P)
+    sigs = (
+        hsh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * hmod + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                    f"mh{i}"
+                )
+                for i, (a, b) in enumerate(minhash_params(16))
+            ]
+        )
+        .localCheckpoint()
+    )
     cand = (
         D.lsh_candidate_pairs(sigs, 16, 4)
         .select("doc_a", "doc_b")
@@ -1327,11 +1352,11 @@ def dedup_lsh_eval(spark, sf_dir):
         .filter(n_match >= LSH_VERIFY_GATE)
         .select("doc_a", "doc_b")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hsh.select(F.col("doc_id").alias("doc_a"), "hb")
+    b = hsh.select(F.col("doc_id").alias("doc_b"), "hb")
     truth = (
-        a.join(b, "shingle")
+        a.join(b, "hb")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
