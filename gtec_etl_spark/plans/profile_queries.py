@@ -1152,3 +1152,106 @@ def prof_functional_dependencies(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("table_name", "fd")
+
+
+#: Candidate inclusion dependencies (FK inference): child column ⊆ parent
+#: column? Mix by design: declared FKs (hold at 10000 bp), the reverse
+#: direction of a dense FK, an ACCIDENTAL cross-domain inclusion
+#: (events.user_id ⊆ customer.c_custkey — the discovery case), and two
+#: partial overlaps that prove the audit measures, not assumes.
+INC_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+    ("nation", "n_nationkey", "part", "p_size"),
+)
+
+
+def _inclusion_oracle() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS child_table,
+           '{cc} -> {p}.{pc}' AS inclusion,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS inclusion_bp
+    FROM (
+      SELECT v, v IN (SELECT DISTINCT {pc} FROM {p}
+                      WHERE {pc} IS NOT NULL) AS hit
+      FROM (SELECT DISTINCT {cc} AS v FROM {c} WHERE {cc} IS NOT NULL)
+    )"""
+        for c, cc, p, pc in INC_CANDIDATES
+    )
+    return f"""
+    SELECT * FROM (
+{arms}
+    ) ORDER BY child_table, inclusion
+    """
+
+
+@query(
+    "prof_inclusion_dependencies",
+    oracle=_inclusion_oracle(),
+    tags=("profile", "quality"),
+)
+def prof_inclusion_dependencies(spark, sf_dir):
+    """INCLUSION-DEPENDENCY audit (foreign-key INFERENCE) — the discovery
+    complement to q51_referential_audit (which checks DECLARED FKs) and
+    prof_functional_dependencies (intra-table structure): for each
+    candidate pair, what fraction of the child column's distinct values
+    exists in the parent column (basis points)? 10000 bp = a joinable
+    key relationship worth promoting to a constraint; a high-but-partial
+    score is either dirty data or a coincidental domain overlap — the
+    candidate list deliberately contains both kinds (a reversed dense
+    FK, the accidental events.user_id ⊆ customer.c_custkey that
+    key-range reuse creates, and two partial numeric-domain overlaps)
+    so the report demonstrably measures rather than assumes.
+
+    Plan per candidate: DISTINCT on the child column (the only
+    corpus-sized shuffle, map-side combined), LEFT join against the
+    parent's distinct values flagged with a literal (AQE broadcasts the
+    smaller distinct side), one 1-row summary; the union is
+    |candidates| rows. NULLs are excluded on both sides (SQL inclusion
+    dependencies are defined over non-null values). At 100 TB the child
+    distinct is the price of the question; everything after is
+    key-cardinality-sized."""
+    arms = []
+    for c, cc, p, pc in INC_CANDIDATES:
+        child = catalog.table(spark, sf_dir, c)
+        parent = catalog.table(spark, sf_dir, p)
+        cd = (
+            child.select(F.col(cc).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        pdd = (
+            parent.select(F.col(pc).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        j = cd.join(pdd, "v", "left")
+        arms.append(
+            j.agg(
+                F.lit(c).alias("child_table"),
+                F.lit(f"{cc} -> {p}.{pc}").alias("inclusion"),
+                F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_matched"),
+                F.expr(
+                    "sum(coalesce(__hit, 0)) * 10000 div count(*)"
+                )
+                .cast("long")
+                .alias("inclusion_bp"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("child_table", "inclusion")

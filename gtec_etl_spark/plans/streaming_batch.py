@@ -1465,3 +1465,101 @@ def ev_seasonal_baseline(spark, sf_dir):
         )
         .orderBy("event_type", "hod")
     )
+
+
+@query(
+    "ev_forecast_backtest",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS d,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    n1 AS (
+      SELECT c.event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs_1d,
+             CAST(sum(abs(c.n - p.n)) * 100 // count(*) AS BIGINT)
+               AS mae_1d_e2
+      FROM cells c
+      JOIN cells p ON p.event_type = c.event_type AND p.hod = c.hod
+                  AND p.d = c.d - INTERVAL 1 DAY
+      GROUP BY 1
+    ),
+    n7 AS (
+      SELECT c.event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs_7d,
+             CAST(sum(abs(c.n - p.n)) * 100 // count(*) AS BIGINT)
+               AS mae_7d_e2
+      FROM cells c
+      JOIN cells p ON p.event_type = c.event_type AND p.hod = c.hod
+                  AND p.d = c.d - INTERVAL 7 DAY
+      GROUP BY 1
+    )
+    SELECT n1.event_type, n1.n_pairs_1d, n1.mae_1d_e2,
+           n7.n_pairs_7d, n7.mae_7d_e2
+    FROM n1 JOIN n7 ON n7.event_type = n1.event_type
+    ORDER BY n1.event_type
+    """,
+    tags=("streaming", "timeseries"),
+)
+def ev_forecast_backtest(spark, sf_dir):
+    """SEASONAL-NAIVE FORECAST BACKTEST — the step after
+    ev_seasonal_baseline in a monitoring pipeline's lifecycle: before
+    trusting any forecast-based alert, measure how well the two
+    classical naive baselines would have predicted history. For every
+    (type, day, hour) cell, naive-1d predicts yesterday's same-hour
+    count and naive-7d predicts last week's; the report is per-type
+    matched-pair counts and integer MAE (x100 fixed point, floor
+    division — bit-identical cross-engine). A real forecaster must beat
+    BOTH numbers to earn deployment (the M4-competition discipline);
+    7d < 1d indicates weekly seasonality dominates daily.
+
+    Pairs cover hours present on both sides (an absent cell is a
+    zero-event hour — rare at this volume; a production variant gap-
+    fills first, see ev_gap_fill, at the cost of a spine join). Plan:
+    ONE corpus-sized groupBy (the ev_seasonal_baseline pass,
+    checkpointed once), then two self-equi-joins + aggregates on the
+    types x days x 24-bounded cells relation — everything after the
+    first pass is aggregate-bounded at any corpus size."""
+    ev = catalog.table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # bounded; feeds four join sides below
+    )
+
+    def naive(lag_days: int, pair_col: str, mae_col: str):
+        c = cells.select(
+            "event_type", "d", "hod", F.col("n").alias("n_now")
+        )
+        p = cells.select(
+            "event_type",
+            F.col("d").alias("pd"),
+            "hod",
+            F.col("n").alias("n_prev"),
+        )
+        return (
+            c.join(
+                p,
+                (c["event_type"] == p["event_type"])
+                & (c["hod"] == p["hod"])
+                & (p["pd"] == F.date_sub(c["d"], lag_days)),
+            )
+            .groupBy(c["event_type"].alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(pair_col),
+                F.expr("sum(abs(n_now - n_prev)) * 100 div count(*)")
+                .cast("long")
+                .alias(mae_col),
+            )
+        )
+
+    n1 = naive(1, "n_pairs_1d", "mae_1d_e2")
+    n7 = naive(7, "n_pairs_7d", "mae_7d_e2")
+    return n1.join(n7, "event_type").orderBy("event_type")
