@@ -484,3 +484,92 @@ def test_equidepth_scaled_rank_selection_equals_ntile(spark, cents):
         for r in lo.join(hi, "bucket").collect()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.sampled_from(["view", "click", "signup", "error", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_markov_edge_explode_equals_three_branch_union(spark, events):
+    """ev_attribution_markov's round-13 single-pass explode (START edge,
+    consecutive pair, terminal null — one window chain) must emit the
+    exact multiset of edges the naive three-branch union defines, for
+    arbitrary journeys: purchase-first users, purchase-less users,
+    single-event users, multi-purchase users (truncation at FIRST
+    purchase)."""
+    rows = [
+        (u, f"2024-01-01 00:{i:02d}:00", i, t)
+        for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # Reference: naive per-user Python replay.
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for i, (u, t) in enumerate(events):
+        seqs[u].append((i, t))  # ts order == event_id order here
+    want: Counter = Counter()
+    for u, evs in seqs.items():
+        types = [t for _, t in evs]
+        prk = next((k for k, t in enumerate(types) if t == "purchase"), None)
+        kept = types if prk is None else types[: prk + 1]
+        want[("START", kept[0])] += 1
+        for a, b in zip(kept, kept[1:]):
+            want[(a, b)] += 1
+        if kept[-1] != "purchase":
+            want[(kept[-1], "null")] += 1
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    r = df.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rk")
+    ).withColumn(
+        "prk",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rk"))
+        ).over(wp),
+    )
+    kept = r.filter(F.col("prk").isNull() | (F.col("rk") <= F.col("prk")))
+    wk = Window.partitionBy("user_id").orderBy("rk")
+    pairs = kept.select(
+        "event_type", "rk", F.lead("event_type").over(wk).alias("nxt")
+    )
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("rk") == 1,
+                        F.struct(
+                            F.lit("START").alias("a"),
+                            F.col("event_type").alias("b"),
+                        ),
+                    ),
+                    F.struct(
+                        F.col("event_type").alias("a"),
+                        F.when(F.col("nxt").isNotNull(), F.col("nxt"))
+                        .when(
+                            F.col("event_type") != "purchase", F.lit("null")
+                        )
+                        .alias("b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .filter(F.col("e").isNotNull() & F.col("e.b").isNotNull())
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    )
+    got = Counter((r["a"], r["b"]) for r in edges.collect())
+    assert got == want
