@@ -179,6 +179,13 @@ def main() -> None:
         "timing": "noop-write",
         "queries": timings,
         "sf": sf,
+        # VERDICT r13 #5: these are deliberately scale-unsafe spec anchors
+        # (each has a registered scale-safe twin, see QUERIES.md header);
+        # listed separately so perf readers exclude them from regression
+        # expectations without re-deriving why.
+        "spec_anchors": sorted(
+            n for n, s in specs.items() if "spec-anchor" in s.tags
+        ),
     }
     if retimed:
         payload["retimed"] = retimed

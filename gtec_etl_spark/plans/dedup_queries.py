@@ -1282,14 +1282,17 @@ def dedup_cluster_sizes(spark, sf_dir):
              AS gate_recall_bp
     FROM cn, tn, hn, gn, ghn
     """,
-    tags=("dedup", "quality"),
+    tags=("dedup", "quality", "spec-anchor"),
 )
 def dedup_lsh_eval(spark, sf_dir):
     """DEDUP-QUALITY evaluation — the report that answers "is the LSH
     configuration good enough to replace the exact pass?": candidate
     pairs from MinHash-LSH banding (16 hashes, 4 bands) scored against
-    the exact shared-shingle truth set (true Jaccard >= 0.8, integer
-    basis points) as one precision/recall row. sim_recall_report is the
+    a full-corpus HASH-SPACE truth set (true Jaccard >= 0.8 in integer
+    basis points, computed over shared 60-bit md5-prefix shingle hashes
+    — NOT string shingles; a cross-doc hash collision is shared by both
+    engines so parity stays exact, and the per-pair collision odds are
+    bounded < 2^-40) as one precision/recall row. sim_recall_report is the
     ANN analog; this closes the loop for the dedup family — production
     pipelines re-run it whenever bands/rows/shingle-width change, at a
     SAMPLED scale (the truth side is the uncapped exact join, priced

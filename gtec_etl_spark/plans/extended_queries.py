@@ -612,7 +612,7 @@ GRID_N, GRID_CELL, GRID_R2 = 1024, 64, 4096  # cell >= radius => 3x3 probe
            CAST(min(d2) AS BIGINT) AS nearest_d2
     FROM near GROUP BY cust_id ORDER BY cust_id
     """,
-    tags=("extended", "join", "scale"),
+    tags=("extended", "join", "spec-anchor"),
 )
 def q43_spatial_grid_join(spark, sf_dir):
     """Grid-blocked SPATIAL radius join: each customer point matched to
@@ -1370,7 +1370,7 @@ def q49_market_basket(spark, sf_dir):
            CAST(min(cust_id) AS BIGINT) AS min_cust
     FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
     """,
-    tags=("extended", "window"),
+    tags=("extended", "window", "spec-anchor"),
 )
 def q50_rfm_scores(spark, sf_dir):
     """RFM SEGMENTATION — the classic customer scoring pipeline: per

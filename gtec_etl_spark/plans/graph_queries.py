@@ -180,7 +180,7 @@ def graph_pagerank(spark, sf_dir):
            CAST(3 * (SELECT count(*) FROM tri) * 1000000
                 // (SELECT nw FROM wedges) AS BIGINT) AS clustering_e6
     """,
-    tags=("graph", "scale"),
+    tags=("graph", "spec-anchor"),
 )
 def graph_triangle_count(spark, sf_dir):
     """Exact triangle counting + global clustering coefficient over the

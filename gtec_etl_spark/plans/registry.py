@@ -48,9 +48,15 @@ def specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+_VERIFIED_CACHE: tuple[tuple[tuple[str, float], ...], dict[str, int]] | None = None
+
+
 def _driver_verified_rounds() -> dict[str, int]:
     """Map name -> LATEST round with a GREEN row in a driver
-    CORRECTNESS_r*.json at the repo root. Used only to ORDER the registry
+    CORRECTNESS_r*.json at the repo root. Cached per process keyed on the
+    (path, mtime) signature of the artifact set, so repeated
+    ordered_specs() calls (one per test / driver invocation) don't re-glob
+    and re-parse thirteen JSON files each time (ADVICE r13). Used only to ORDER the registry
     (never to change its contents): never-driver-green queries are listed
     first so a driver that samples a prefix covers them before re-checking
     already-proven ones, and proven queries are then ordered
@@ -65,12 +71,18 @@ def _driver_verified_rounds() -> dict[str, int]:
     them)."""
     import glob
     import json
+    import os
     import pathlib
     import re
 
+    global _VERIFIED_CACHE
     root = pathlib.Path(__file__).resolve().parents[2]
+    paths = sorted(glob.glob(str(root / "CORRECTNESS_r*.json")))
+    sig = tuple((p, os.path.getmtime(p)) for p in paths)
+    if _VERIFIED_CACHE is not None and _VERIFIED_CACHE[0] == sig:
+        return dict(_VERIFIED_CACHE[1])
     seen: dict[str, int] = {}
-    for path in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+    for path in paths:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -99,6 +111,7 @@ def _driver_verified_rounds() -> dict[str, int]:
                 row.get("hash_match") is None and row.get("rows_match") is True
             ):
                 seen[name] = max(seen.get(name, 0), rnd)
+    _VERIFIED_CACHE = (sig, dict(seen))
     return seen
 
 
@@ -112,10 +125,10 @@ def ordered_specs() -> dict[str, QuerySpec]:
     all_specs = specs()
     verified = _driver_verified_rounds()
     fresh = {n: s for n, s in all_specs.items() if n not in verified}
-    order = list(all_specs)
+    idx = {n: i for i, n in enumerate(all_specs)}
     proven_names = sorted(
         (n for n in all_specs if n in verified),
-        key=lambda n: (verified[n], order.index(n)),
+        key=lambda n: (verified[n], idx[n]),
     )
     proven = {n: all_specs[n] for n in proven_names}
     return {**fresh, **proven}

@@ -176,7 +176,7 @@ def main() -> None:
         results[name] = {
             "sec": round(s, 3),
             "rows": rows,
-            "sf0.1_sec": round(b, 3),
+            "base_sec": round(b, 3),
             "ratio": round(s / b, 2) if b else None,
             "note": f"media count {args.n} -> {args.n * 10} (not sf-dir data)",
         }

@@ -234,10 +234,49 @@ def _all_curve_queries() -> list[str]:
     return QUERIES[:first_stream] + sorted(tagged) + QUERIES[first_stream:]
 
 
+def _load_1m() -> float:
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
+def wait_for_quiet(threshold: float, timeout_sec: float) -> float:
+    """Quiet-window gate (VERDICT r13 #6): the host has co-tenant load
+    spikes that swing sf10 absolute seconds 2x between windows, so every
+    recorded number must carry its conditions. Poll the 1-minute loadavg
+    until it drops below `threshold` (or `timeout_sec` elapses, in which
+    case WARN and proceed — a ratio measured back-to-back in the same
+    loaded window is still meaningful, an unstamped one is not). Returns
+    the load actually observed at the gate exit, which callers stamp into
+    the payload."""
+    t0 = time.monotonic()
+    load = _load_1m()
+    while load >= threshold and time.monotonic() - t0 < timeout_sec:
+        print(
+            f"# quiet-window gate: loadavg {load:.2f} >= {threshold}; "
+            "waiting 30s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        load = _load_1m()
+    if load >= threshold:
+        print(
+            f"# WARNING: loadavg still {load:.2f} after {timeout_sec:.0f}s "
+            "— proceeding; trust ratios, not absolute seconds",
+            file=sys.stderr,
+        )
+    return load
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sparkdata_sf1")
     ap.add_argument("--base-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--base-sf", default="0.1",
+                    help="scale-factor label for --base-dir (e.g. 0.1, 1)")
+    ap.add_argument("--load-threshold", type=float, default=1.5,
+                    help="1-min loadavg gate before timing starts")
+    ap.add_argument("--load-timeout", type=float, default=600.0,
+                    help="max seconds to wait for the quiet window")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--factor", type=float, default=10.0,
                     help="data volume vs the sf0.1 baseline")
@@ -272,6 +311,8 @@ def main() -> None:
     # Warm JVM/codegen/footers (untimed).
     materialize(specs["q01_pricing_summary"].fn(spark, args.sf_dir))
 
+    gate_load = wait_for_quiet(args.load_threshold, args.load_timeout)
+
     def best_of(name: str, sf_dir: str) -> tuple[float, int]:
         best = float("inf")
         for _ in range(args.runs):
@@ -296,13 +337,15 @@ def main() -> None:
         results[name] = {
             "sec": round(best, 3),
             "rows": rows,
-            "sf0.1_sec": round(b, 3),
+            "base_sec": round(b, 3),
             "ratio": round(best / b, 2) if b else None,
+            "load_1m": _load_1m(),
         }
         total += best
         print(
             f"# {name}: {best:.3f}s ({rows} rows, "
-            f"{results[name]['ratio']}x vs sf0.1)",
+            f"{results[name]['ratio']}x vs sf{args.base_sf}, "
+            f"load {results[name]['load_1m']:.2f})",
             file=sys.stderr,
         )
 
@@ -312,13 +355,23 @@ def main() -> None:
         "unit": "sec",
         "timing": "noop-write",
         "sf_dir": args.sf_dir,
-        "data_factor_vs_sf0.1": args.factor,
+        "base_dir": args.base_dir,
+        "base_sf": args.base_sf,
+        "data_factor_vs_base": args.factor,
+        "load_gate": {
+            "threshold_1m": args.load_threshold,
+            "load_at_gate": gate_load,
+            "load_at_end": _load_1m(),
+        },
         "note": (
-            "ratio = sf1_sec / sf0.1_sec for 10x data, both sides timed "
-            "back-to-back in the same session (min-of-N); ~linear (<=10) "
-            "means the plan scales; small-sf baselines are "
-            "overhead-dominated so ratios well under 10 are expected for "
-            "cheap queries"
+            "ratio = sec / base_sec where base is --base-dir (sf labeled "
+            "base_sf), both sides timed back-to-back in the same session "
+            "(min-of-N). EXPONENT CONVENTION: scaling exponents quoted in "
+            "PERF.md are PER-DECADE, exponent = log10(ratio) for a 10x "
+            "data factor — always against base_sf, never a skipped "
+            "decade. load_1m stamps the host 1-minute loadavg at record "
+            "time (co-tenant spikes swing absolute seconds 2x); trust "
+            "ratios over absolute seconds when load_1m > ~1.5"
         ),
         "queries": results,
     }
