@@ -157,7 +157,7 @@ EQD_BUCKETS = 8
            round(max(o_totalprice), 4) AS hi
     FROM t GROUP BY bucket ORDER BY bucket
     """,
-    tags=("profile",),
+    tags=("profile", "spec-anchor"),
 )
 def prof_equidepth_histogram(spark, sf_dir):
     """Equi-depth histogram of order totals: {EQD_BUCKETS} equal-count
@@ -1122,10 +1122,21 @@ def prof_functional_dependencies(spark, sf_dir):
     collapses the map side to ≤|rhs| rows per key before shuffling,
     while min/max accumulates through the full lhs hash table (PERF.md
     round 13); revisit only if an rhs is high-cardinality.
-    Per-table audits share nothing BY DESIGN (different lhs keys need
-    different shuffles), so the cost is Σ per-candidate shuffles — at
-    100 TB you run the arms for one table off one cached scan; here
-    Catalyst's parquet scan reuse covers the two lineitem/part arms."""
+
+    BATCHING MEASURED AND REJECTED (round 14, VERDICT r13 #3): folding
+    all same-table arms into one scan — explode over per-candidate
+    (fd_label, lhs, rhs) structs, one groupBy(fd, lhs) — was 2.2x
+    SLOWER at sf10 (108.2 s vs 50.2 s, same session, identical rows).
+    Homogeneous struct fields force every lhs/rhs to string, so the one
+    "shared" shuffle hashes and ships ~9-byte value strings plus a
+    ~24-byte per-row label where the per-arm plan ships 8-byte longs —
+    the r12 integer-node-encoding lesson in reverse. The rescans the
+    batching saves are page-cached 2-column parquet reads that were
+    never the bottleneck; the shuffle structure is. Per-table audits
+    share nothing BY DESIGN (different lhs keys need different
+    shuffles), so the per-arm union IS the efficient plan — at 100 TB
+    keep the arms narrow and integer-typed rather than widening one
+    scan."""
     arms = []
     for t, lhs, rhs in FD_CANDIDATES:
         tbl = catalog.table(spark, sf_dir, t)
@@ -1219,7 +1230,22 @@ def prof_inclusion_dependencies(spark, sf_dir):
     |candidates| rows. NULLs are excluded on both sides (SQL inclusion
     dependencies are defined over non-null values). At 100 TB the child
     distinct is the price of the question; everything after is
-    key-cardinality-sized."""
+    key-cardinality-sized.
+
+    BATCHING MEASURED AND REJECTED (round 14, VERDICT r13 #3): folding
+    every arm into one (candidate, value) relation — explode per table,
+    one distinct keyed exactly on the join key, one co-partitioned LEFT
+    join scoring all candidates — was tried TWICE at sf10 in bracketed
+    same-session A/Bs: 42.5 s with string-cast values and still 42.3 s
+    with integer candidate ids + long values, vs 11.5-19.2 s for this
+    per-arm plan (identical rows). The batched join unions the 15M-key
+    o_orderkey parent into one relation NO side of which can broadcast,
+    so every candidate pays the big join's shuffle; per-arm, AQE
+    broadcasts the six small parent sides and only the genuinely large
+    arms shuffle. The r13 33.9/35.5 s numbers that motivated the
+    batching ask were co-tenant-load artifacts (same arms: 11.5 s quiet
+    same-session). Keep the arms separate — heterogeneous-size audits
+    want per-candidate join strategy freedom, not a fused plan."""
     arms = []
     for c, cc, p, pc in INC_CANDIDATES:
         child = catalog.table(spark, sf_dir, c)
