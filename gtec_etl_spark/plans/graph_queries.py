@@ -115,19 +115,29 @@ def graph_pagerank(spark, sf_dir):
     # sk -> 2sk+1; decoded back to the reference's string ids only on
     # the 20-row result, BEFORE the final order-by so the (rank, node)
     # tie-break stays the oracle's string order.
-    pairs = (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
+    pairs = orders.join(
+        lineitem, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
     )
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        # One partitioning, reused by every iteration's src-side join.
+        # ONE shuffle, one sort, both reused by every iteration's edge
+        # join (round 14, VERDICT r13 #2): mirror BEFORE dedup so the
+        # dedup runs after repartition(src) — HashPartitioning(src)
+        # satisfies the (src, dst) clustering requirement, so
+        # dropDuplicates adds NO exchange and the old distinct-then-
+        # repartition double shuffle collapses to one (sf10 A/B: build
+        # 32.2 -> 24.1 s warm, identical 117.4M rows). The cached
+        # ordering then lets each round's sort-merge join sort only the
+        # node-sized side instead of re-sorting (and at sf10, SPILLING)
+        # all 2|E| cached rows — fixpoint 34.9 -> 9.5 s at sf10
+        # (PERF.md round 14).
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("src")
         .persist()
     )
     try:
@@ -327,12 +337,19 @@ def graph_khop_reachability(spark, sf_dir):
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # ONE shuffle + one sort at build, reused every round (round 14,
+        # VERDICT r13 #2): mirror BEFORE dedup — HashPartitioning(src)
+        # satisfies the (src, dst) clustering, so dropDuplicates adds no
+        # exchange; the cached ordering spares each round's sort-merge
+        # join from re-sorting (at sf10, SPILLING) the 2|E| cached rows
+        # (khop fixpoint 95.1 -> 42.7 s at sf10; PERF.md round 14).
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("src")
         .persist()
     )
     try:
@@ -598,8 +615,11 @@ def graph_label_propagation(spark, sf_dir):
     ratcheting labels downward globally (every customer's neighborhood
     minimum drops each round while suppliers mirror it back), so
     synchronous LP here has no quiescent region for a delta pass to
-    skip. The co-partitioned full recompute IS the efficient plan; 0.58
-    is the family's honest sf10 exponent."""
+    skip. The co-partitioned full recompute IS the efficient plan —
+    once the per-round edge sort is paid ONCE at build (above) instead
+    of every round, the second decade is sublinear again (sf1 5.7 s ->
+    sf10 24.2 s, per-decade exponent log10(4.2) ~ 0.62; PERF.md round
+    14)."""
     orders = catalog.table(spark, sf_dir, "orders")
     lineitem = catalog.table(spark, sf_dir, "lineitem")
     pairs = (
@@ -608,13 +628,26 @@ def graph_label_propagation(spark, sf_dir):
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        # One hash-partitioning on the round-join key, reused every round.
+        # ONE hash-partitioning AND one sort on the round-join key, both
+        # reused every round (round 14, VERDICT r13 #2): mirror BEFORE
+        # dedup — HashPartitioning(dst) satisfies the (src, dst)
+        # clustering, so dropDuplicates adds no exchange and the old
+        # distinct-then-repartition double shuffle collapses to one.
+        # The cached InMemoryRelation reports its outputOrdering, so
+        # each round's sort-merge join sorts only the node-sized label
+        # side. Without the sortWithinPartitions the SMJ re-sorted all
+        # 2|E| cached rows every round, and at sf10 that sort SPILLS —
+        # the measured cause of the superlinear second decade (stage
+        # profile, PERF.md round 14: baseline 204.5 s with a 124 s
+        # first round vs 24.2 s presorted / 30.9 s shuffle-hash-hinted,
+        # same session, identical rows; sf1 12.7 -> 5.7 s).
         .repartition("dst")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("dst")
         .persist()
     )
     try:
@@ -1070,12 +1103,19 @@ def graph_ppr_seeds(spark, sf_dir):
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .distinct()
     )
     edges = (
         pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
         .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # ONE shuffle + one sort at build, reused every round (round 14,
+        # VERDICT r13 #2): mirror BEFORE dedup — HashPartitioning(src)
+        # satisfies the (src, dst) clustering, so dropDuplicates adds no
+        # exchange; the cached ordering spares each round's sort-merge
+        # join from re-sorting (at sf10, SPILLING) the 2|E| cached rows
+        # (khop fixpoint 95.1 -> 42.7 s at sf10; PERF.md round 14).
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("src")
         .persist()
     )
     seeds = (
@@ -1194,8 +1234,14 @@ def graph_hits(spark, sf_dir):
     pairs = (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+        # ONE shuffle + one sort at build, reused by the per-round ck
+        # joins (round 14, VERDICT r13 #2): dedup AFTER repartition(ck)
+        # — HashPartitioning(ck) satisfies the (ck, sk) clustering, so
+        # dropDuplicates adds no exchange; per-round SMJs reuse the
+        # cached ordering instead of re-sorting the pair relation.
         .repartition("ck")
+        .dropDuplicates(["ck", "sk"])
+        .sortWithinPartitions("ck")
         .persist()
     )
     try:

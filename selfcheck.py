@@ -10,7 +10,7 @@ gap is distinguishable from a real regression. Output:
 CORRECTNESS_self.json (one entry per query, driver-format keys).
 
 Usage: python selfcheck.py [--sf-dir DIR] [-k SUBSTRING] [--only-unverified]
-       [--out FILE]
+       [--rotation-prefix N] [--out FILE]
 """
 
 from __future__ import annotations
@@ -38,6 +38,18 @@ def main() -> int:
         action="store_true",
         help="restrict to queries never seen in any driver CORRECTNESS_r*.json",
     )
+    ap.add_argument(
+        "--rotation-prefix",
+        type=int,
+        default=0,
+        metavar="N",
+        help=(
+            "restrict to the first N queries of registry.ordered_specs() — "
+            "the never-green-then-stalest prefix the next driver round will "
+            "sample (VERDICT r13 #1: re-certify the stalest tail at a "
+            "bigger --sf-dir before the driver does at sf0.01)"
+        ),
+    )
     ap.add_argument("--out", default="CORRECTNESS_self.json", help="output path")
     args = ap.parse_args()
 
@@ -45,7 +57,9 @@ def main() -> int:
     # artifact (round 8's exact slip: a stale 1-query CORRECTNESS_self
     # got committed). Partial results go to a sibling file unless the
     # caller overrode --out explicitly.
-    if (args.k or args.only_unverified) and args.out == "CORRECTNESS_self.json":
+    if (
+        args.k or args.only_unverified or args.rotation_prefix
+    ) and args.out == "CORRECTNESS_self.json":
         args.out = "CORRECTNESS_self_partial.json"
 
     import duckdb
@@ -72,7 +86,11 @@ def main() -> int:
         )
 
     results: dict[str, dict] = {}
-    names = [n for n in sorted(registry.specs()) if args.k in n]
+    if args.rotation_prefix:
+        names = list(registry.ordered_specs())[: args.rotation_prefix]
+        names = [n for n in names if args.k in n]
+    else:
+        names = [n for n in sorted(registry.specs()) if args.k in n]
     if args.only_unverified:
         verified = registry._driver_verified_rounds()
         names = [n for n in names if n not in verified]

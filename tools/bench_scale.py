@@ -380,6 +380,7 @@ def main() -> None:
         with open(out_path) as fh:
             prior = json.load(fh)
         prior["queries"].update(results)
+        prior["load_gate"] = payload["load_gate"]
         payload = prior
         payload["value"] = round(
             sum(q["sec"] for q in payload["queries"].values()), 3
