@@ -51,6 +51,17 @@ def main() -> int:
         ),
     )
     ap.add_argument("--out", default="CORRECTNESS_self.json", help="output path")
+    ap.add_argument(
+        "--driver-memory",
+        default="",
+        help=(
+            "JVM heap for the (otherwise vanilla) session, e.g. 8g. The "
+            "default driver heap OOMs on the exact-triangle spec anchor at "
+            "sf0.1+ (r14 sweep); the driver gate itself only runs sf0.01, "
+            "so sizing the heap for a bigger --sf-dir doesn't change what "
+            "the gate proves"
+        ),
+    )
     args = ap.parse_args()
 
     # A filtered run must not clobber the round-end full-registry
@@ -71,11 +82,15 @@ def main() -> int:
     # engine must be correct here without session.py's conveniences
     # (events reads use an explicit user schema, so no legacy conf is
     # needed; streaming queries pin their own state partitioning).
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .appName("selfcheck")
-        .getOrCreate()
-    )
+    def build_session():
+        b = SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        ).appName("selfcheck")
+        if args.driver_memory:
+            b = b.config("spark.driver.memory", args.driver_memory)
+        return b.getOrCreate()
+
+    spark = build_session()
 
     con = duckdb.connect()
     for t in (
@@ -127,6 +142,20 @@ def main() -> int:
         except Exception:
             entry["err"] = traceback.format_exc()[-1500:]
             ok = False
+            # A JVM death (OOM on a heavy query) otherwise poisons every
+            # remaining query in the sweep — the r14 sf0.1 run lost 28
+            # cascade rows to one exact-triangle OOM. Probe the session
+            # and rebuild it if dead, so each query's row reflects ITS
+            # behavior.
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print("## session dead — rebuilding", flush=True)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = build_session()
         n_pass += ok
         n_fail += not ok
         print(f"{'ok ' if ok else 'FAIL'} {name}", flush=True)
@@ -157,7 +186,8 @@ def main() -> int:
         "sf_dir": args.sf_dir,
         "n_pass": n_pass,
         "n_fail": n_fail,
-        "session": "vanilla (no session.py configs)",
+        "session": "vanilla (no session.py configs)"
+        + (f" + driver-memory {args.driver_memory}" if args.driver_memory else ""),
         # VERDICT r13 #5: spec anchors are deliberately scale-unsafe
         # specification pins (each with a registered scale-safe twin);
         # listed here so correctness readers see them called out without
