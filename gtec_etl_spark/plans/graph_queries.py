@@ -370,7 +370,13 @@ def graph_khop_reachability(spark, sf_dir):
             # visited set stops re-expansion, keeping round cost tied to
             # the frontier, not the accumulated set.
             frontier = nxt.join(visited, ["seed", "node"], "left_anti")
-            visited = visited.unionByName(frontier).distinct()
+            # No distinct on the union (round 14): frontier is distinct
+            # (nxt is, anti-join preserves it) and DISJOINT from visited
+            # by the anti-join, so the union is duplicate-free by
+            # construction — the old .distinct() re-shuffled the whole
+            # accumulated set every round for nothing (sf10 A/B in
+            # PERF.md round 14).
+            visited = visited.unionByName(frontier)
             visited = visited.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
         out = (
