@@ -357,7 +357,22 @@ def connected_components(
         sym.select(F.col("a").alias(id_col))
         .distinct()
         .select(F.col(id_col), F.col(id_col).alias("component"))
+        # checkpointed so the seed distinct runs once, not once for the
+        # initial sum probe and again inside round 1's join
+        .localCheckpoint()
     )
+    # Convergence check exploits monotonicity (r14): each round's new label
+    # is min(own, neighbors') — per-node labels NEVER increase — so the
+    # label-sum is strictly decreasing until the fixpoint, and "sum
+    # unchanged" ⟺ "no label changed". One 1-row aggregate over the
+    # just-checkpointed labels replaces the old per-round shuffle join
+    # (new ⋈ old + filter + take(1)) — the check's cost drops from a
+    # node-sized join to a cache scan. DECIMAL(38,0) keeps the sum exact
+    # at any node count × id magnitude (int64 would overflow at
+    # ~10^12 nodes × 10^12 ids).
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     for _ in range(max_iter):
         prop = sym.join(
             labels.withColumnRenamed(id_col, "a"), "a"
@@ -368,16 +383,13 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), id_col
-            )
-            .filter(F.col("component") != F.col("old"))
-            .take(1)
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if not changed:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # Exhausting max_iter without the fixpoint means labels are still
         # moving (a chain longer than max_iter hops): returning them would

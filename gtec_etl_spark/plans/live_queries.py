@@ -1566,12 +1566,20 @@ def stream_lateness_report(spark, sf_dir):
         cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
         spark.conf.set(_TS_CONF, "TIMESTAMP_MICROS")
         try:
+            # ONE corpus scan for all slices (was: one filtered scan +
+            # coalesce(1) single-thread write PER slice — 6 scans):
+            # repartition on the slice id puts every slice's rows in one
+            # task, so partitionBy emits exactly one part file per slice
+            # directory; the data columns stay slice-free because
+            # partitionBy lifts __slice into the directory key.
+            stage = os.path.join(tmp, "stage")
+            sliced.select(*cols, "__slice").repartition(
+                _LATE_K, "__slice"
+            ).write.partitionBy("__slice").parquet(stage)
             for k in range(_LATE_K):
-                stage = os.path.join(tmp, f"stage{k}")
-                sliced.filter(F.col("__slice") == k).select(*cols).coalesce(
-                    1
-                ).write.parquet(stage)
-                part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+                part = _glob.glob(
+                    os.path.join(stage, f"__slice={k}", "part-*.parquet")
+                )[0]
                 dst = os.path.join(src, f"ev{k:03d}.parquet")
                 shutil.copy(part, dst)
                 os.utime(
