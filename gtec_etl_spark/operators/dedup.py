@@ -527,7 +527,20 @@ def simhash_near_pairs(
     on the (much smaller) unique-signature set, signature pairs are
     deduplicated BEFORE expanding to document pairs, and hamming-0 pairs
     come straight from each signature's member list — the join cost tracks
-    unique signatures, not corpus size."""
+    unique signatures, not corpus size.
+
+    Blocking key WIDTH is the scale knob (r14): a single chunk's key
+    space is fixed at 2^chunk_bits, so bucket occupancy grows linearly
+    with unique signatures and candidate pairs grow QUADRATICALLY —
+    measured as a superlinear second decade (sf1→sf10 ratio 18.3,
+    exponent 1.26, BENCH_sf10). When `chunks >= max_hamming + 2`, the
+    pigeonhole gives ≥ 2 identical chunks per near pair, so blocking on
+    every identical chunk PAIR is still exact while the key space
+    squares to 2^(2*chunk_bits): C(chunks, 2) key families instead of
+    `chunks` (linear input ×~2.5 for 5 chunks) but a quadratic-term
+    coefficient families/2^keybits that drops ~200× (5×12-bit pairs vs
+    4×15-bit singles). Falls back to single-chunk blocking when
+    chunks == max_hamming + 1 (the minimum exact configuration)."""
     groups = sigs.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("members")
     )
@@ -544,13 +557,32 @@ def simhash_near_pairs(
     ).select("p.doc_a", "p.doc_b", F.lit(0).alias("hamming"))
 
     # Hamming 1..r: chunk-blocked join over unique signatures, sig pairs
-    # deduplicated before member expansion.
+    # deduplicated before member expansion. ONE explode over the key
+    # entries (not a per-family union — a union re-plans the groupBy
+    # subtree once per branch).
     mask = (1 << chunk_bits) - 1
-    parts = None
-    for k in range(chunks):
-        ck = F.shiftright(F.col("simhash"), k * chunk_bits).bitwiseAND(F.lit(mask))
-        p = groups.select("simhash", F.lit(k).alias("chunk"), ck.alias("ckey"))
-        parts = p if parts is None else parts.unionByName(p)
+
+    def _ck(k: int):
+        return F.shiftright(F.col("simhash"), k * chunk_bits).bitwiseAND(F.lit(mask))
+
+    if chunks >= max_hamming + 2:
+        # ≥ 2 identical chunks per near pair → exact chunk-PAIR blocking
+        entries = [
+            F.struct(
+                F.lit(i * chunks + j).alias("chunk"),
+                (F.shiftleft(_ck(i), chunk_bits).bitwiseOR(_ck(j))).alias("ckey"),
+            )
+            for i in range(chunks)
+            for j in range(i + 1, chunks)
+        ]
+    else:
+        entries = [
+            F.struct(F.lit(k).alias("chunk"), _ck(k).alias("ckey"))
+            for k in range(chunks)
+        ]
+    parts = groups.select(
+        "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select("simhash", "e.chunk", "e.ckey")
     a = parts.select(F.col("simhash").alias("sim_a"), "chunk", "ckey")
     b = parts.select(F.col("simhash").alias("sim_b"), "chunk", "ckey")
     sig_pairs = (

@@ -529,17 +529,26 @@ def _simhash_oracle(bits: int, max_hamming: int, chunks: int, chunk_bits: int) -
 @query("dedup_simhash", oracle=_simhash_oracle(60, 3, 4, 15), tags=("dedup",))
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 60-bit signature (±1 vote per token-hash bit),
-    4×15-bit chunk blocking (hamming ≤ 3 < 4 chunks ⇒ pigeonhole: some
-    chunk is identical, so blocking is exact, not heuristic), exact hamming
-    verify via bit_count(xor). The tight radius keeps the candidate set
-    near-linear on vocab-correlated corpora; a looser radius (≥ chunks)
-    degrades to quadratic pair counts."""
+    exact chunk-PAIR blocking (5×12-bit chunks: hamming ≤ 3 touches ≤ 3
+    chunks ⇒ ≥ 2 chunks identical ⇒ ≥ 1 identical chunk pair —
+    pigeonhole-exact, not heuristic), exact hamming verify via
+    bit_count(xor). Blocking strategy is internal to the engine; the
+    oracle blocks on single 15-bit chunks of the SAME signatures and the
+    output pair set is identical by exactness of both blockings.
+
+    Pair blocking (r14) replaced 4×15-bit single-chunk blocking after a
+    measured superlinear second decade (sf1→sf10 ratio 18.3 — a single
+    chunk's 2^15-key space is FIXED, so bucket occupancy grows linearly
+    with unique signatures and candidate pairs quadratically); the
+    chunk-pair key space is 2^24 per C(5,2)=10 families, cutting the
+    quadratic coefficient ~200× for a 2.5× linear input. See
+    operators/dedup.py:simhash_near_pairs."""
     docs = catalog.table(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
     )
     sigs = D.simhash_signatures(tokens, 60)
-    return D.simhash_near_pairs(sigs, 3, 4, 15).orderBy("doc_a", "doc_b")
+    return D.simhash_near_pairs(sigs, 3, 5, 12).orderBy("doc_a", "doc_b")
 
 
 def _qdot_sql(a: str, b: str) -> str:
