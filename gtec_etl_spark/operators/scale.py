@@ -33,9 +33,27 @@ def cpu_fanout_repartition(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     already has orders of magnitude more partitions than cores, so in
     production the branch is a no-op; it only fires when a compact file
     would otherwise pin a fan-out to a couple of cores. Keyed on the id
-    column so downstream per-id work is already co-located."""
+    column so downstream per-id work is already co-located.
+
+    The guard trips on PARTITION COUNT, but scan partitions are BYTE
+    SLICES, not row groups — and a parquet ROW GROUP is the atomic read
+    unit: every slice that doesn't contain a row group's midpoint reads
+    ZERO rows. A compact single-file corpus (one ~128 MB row group)
+    sliced into exactly `par` pieces reports par partitions while all
+    rows sit in one task (measured r14: the sf10 shingle explode ran
+    35.8 s on 2 effective cores vs 6.8 s repartitioned — the whole
+    superlinear second decade of the text/dedup family). Spark's slice
+    size is min(maxPartitionBytes, max(openCost, bytes/par)), so in the
+    entire fake-slice regime (total < par x maxPartitionBytes) the
+    partition count sits AT par, never above it; the `< 2 * par`
+    threshold therefore covers the regime exactly, while any healthy
+    scan big enough to have real row-group parallelism (total >= par x
+    maxPartitionBytes) reports > 2x par partitions only when it truly
+    has them — and at that size the extra exchange is bounded by
+    2 x par x maxPartitionBytes (~8 GB at 32 cores), noise against the
+    fan-out it unblocks."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if df.rdd.getNumPartitions() < 2 * par:
         df = df.repartition(par, F.col(key_col))
     return df
 

@@ -543,7 +543,11 @@ def dedup_simhash(spark, sf_dir):
     chunk-pair key space is 2^24 per C(5,2)=10 families, cutting the
     quadratic coefficient ~200× for a 2.5× linear input. See
     operators/dedup.py:simhash_near_pairs."""
-    docs = catalog.table(spark, sf_dir, "documents")
+    from gtec_etl_spark.operators.scale import cpu_fanout_repartition
+
+    docs = cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "documents"), "doc_id"
+    )
     tokens = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
     )

@@ -1033,7 +1033,7 @@ def _semdedup_sql(scaled: bool = False) -> str:
 @query(
     "sim_semdedup",
     oracle=_semdedup_sql(),
-    tags=("similarity", "dedup", "scale"),
+    tags=("similarity", "dedup", "spec-anchor"),
 )
 def sim_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster-scoped semantic deduplication
@@ -1060,7 +1060,14 @@ def sim_semdedup(spark, sf_dir):
     No reference counterpart (the reference has no embedding operators) —
     LLM-pipeline extension per the brief, complementing
     dedup_embedding_cosine (label-blocked exact pass) with the trained-
-    cluster-blocked variant that works without labels."""
+    cluster-blocked variant that works without labels.
+
+    Tagged `spec-anchor` (r14): with K PINNED the within-cluster
+    pairwise term is N²/K by construction — measured sf1→sf10 ratio
+    41.4 (exponent 1.62) — which is precisely the degeneration the
+    K ~ sqrt(N) scaled twin exists to prevent (its ratio: 1.41).
+    Correct, deliberately scale-unsafe, production path =
+    sim_semdedup_scaled."""
     return _semdedup_plan(spark, sf_dir, DS_K, DS_SAMPLE)
 
 
@@ -1599,7 +1606,7 @@ def _knn_graph_sql(scaled: bool = False) -> str:
 @query(
     "sim_knn_graph",
     oracle=_knn_graph_sql(),
-    tags=("similarity", "graph", "scale"),
+    tags=("similarity", "graph", "spec-anchor"),
 )
 def sim_knn_graph(spark, sf_dir):
     """Approximate k-NN GRAPH construction ({KNN_K} neighbors per vector,
@@ -1618,7 +1625,13 @@ def sim_knn_graph(spark, sf_dir):
     (sim_ivf_multiprobe's pattern) widens candidate cells without
     changing this plan's shape. Cosine ranks by the exact integer
     cos_e6 (one int64 dot + one IEEE divide), so ordering — and
-    therefore the emitted graph — is bit-identical cross-engine."""
+    therefore the emitted graph — is bit-identical cross-engine.
+
+    Tagged `spec-anchor` (r14): with K PINNED the per-cell gram work is
+    N²/K by construction — measured sf1→sf10 ratio 25.5 (exponent
+    1.41) — the degeneration the K ~ sqrt(N) scaled twin prevents (its
+    second decade: exponent 0.41). Correct, deliberately scale-unsafe,
+    production path = sim_knn_graph_scaled."""
     return _knn_graph_plan(spark, sf_dir, DS_K, DS_SAMPLE)
 
 
