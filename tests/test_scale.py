@@ -113,3 +113,23 @@ def test_distributed_prefix_sum_plan_has_no_global_row_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(doc_id#" in line:
             raise AssertionError(f"global row-scale window found: {line.strip()}")
+
+
+def test_fanout_guard_fires_in_fake_slice_regime(spark):
+    """A compact scan reporting exactly defaultParallelism partitions is
+    the fake-slice regime (byte slices of a single row group — most read
+    zero rows), so the guard must repartition it; a frame already wider
+    than 2x cores must pass through untouched (at 100 TB the guard is a
+    no-op)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+
+    narrow = docs.coalesce(min(par, 4))
+    assert narrow.rdd.getNumPartitions() < 2 * par
+    out = scale.cpu_fanout_repartition(narrow, "doc_id")
+    assert out.rdd.getNumPartitions() == par
+
+    wide = docs.repartition(2 * par + 1, "doc_id")
+    out2 = scale.cpu_fanout_repartition(wide, "doc_id")
+    assert out2.rdd.getNumPartitions() == 2 * par + 1
+    assert out2 is wide
