@@ -887,10 +887,15 @@ def graph_kcore(spark, sf_dir):
     rather than asserted by a data-dependent stop). Emits the peeling
     curve (round, surviving nodes, surviving directed edges) over the
     sparse high-quantity co-purchase graph (graph_connected_components'
-    spine). Spark side: per round one keyed degree count + two semi-join
-    filters + localCheckpoint (lineage truncation); per-round driver
-    state is two scalar counts. Oracle: the same peel unrolled as {R}
-    MATERIALIZED CTE stages."""
+    spine). Spark side: per round ONE keyed degree aggregation serves
+    everything downstream (r14): `keep` is a filter over the persisted
+    degree relation (not a second groupBy), n_nodes is the degree
+    relation's row count and n_edges its degree sum — the r13 shape
+    additionally ran a `select(a).distinct().count()` plus a full edge
+    count per round, i.e. two more edge-sized passes (one with its own
+    exchange) recomputing facts the degree table already held. Per-round
+    driver state is two scalar counts. Oracle: the same peel unrolled as
+    {R} MATERIALIZED CTE stages."""
     orders = catalog.table(spark, sf_dir, "orders")
     lineitem = catalog.table(spark, sf_dir, "lineitem")
     pairs = (
@@ -908,26 +913,33 @@ def graph_kcore(spark, sf_dir):
     )
     out_rows = []
 
-    def counts(e, rnd):
-        n_nodes = e.select("a").distinct().count()
-        n_edges = e.count()
-        out_rows.append((rnd, n_nodes, n_edges))
+    def degrees(e):
+        return e.groupBy("a").agg(F.count(F.lit(1)).alias("d")).persist()
 
-    counts(edges, 0)
+    def stats(degs, rnd):
+        # n_nodes = distinct a = the degree table's row count; n_edges =
+        # sum of directed degrees. One 1-row agg over the node-sized
+        # persisted relation — no edge-sized pass.
+        row = degs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("e"),
+        ).first()
+        out_rows.append((rnd, row["n"], row["e"]))
+
+    degs = degrees(edges)
+    stats(degs, 0)
     for i in range(1, KCORE_ROUNDS + 1):
-        keep = (
-            edges.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("a")
-        )
+        keep = degs.filter(F.col("d") >= KCORE_K).select("a")
         edges = (
             edges.join(keep, "a")
             .join(keep.withColumnRenamed("a", "b"), "b")
             .select("a", "b")
             .localCheckpoint()
         )
-        counts(edges, i)
+        degs.unpersist()
+        degs = degrees(edges)
+        stats(degs, i)
+    degs.unpersist()
     return spark.createDataFrame(
         [(int(r), int(n), int(e)) for r, n, e in out_rows],
         "round long, n_nodes long, n_edges_directed long",

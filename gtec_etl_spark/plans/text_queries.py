@@ -1905,10 +1905,20 @@ def text_tfidf_topterms(spark, sf_dir):
     tf carries NO broadcast hint — both sides are already keyed on term
     and AQE broadcasts only while the vocabulary measures small; top-k is
     a window partitioned by doc_id — per-document independent sorts, no
-    global ordering anywhere."""
+    global ordering anywhere. r14: `n` (corpus document count) no longer
+    pays a third full tokenize-explode + count_distinct pass — a doc_id
+    is in the token relation iff its text holds ANY non-space character
+    (split-by-space tokens are maximal runs between spaces, so any
+    non-space char lands in a nonempty token, and all-space/empty/NULL
+    text yields only empty ones), so `n` is a plain documents scan with
+    a trim predicate; and the df-side explode goes through the
+    cpu_fanout_repartition guard so a compact single-row-group corpus
+    file doesn't pin the fan-out to 1-2 cores (fake-slice regime,
+    PERF.md r14)."""
     from pyspark.sql import Window
 
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs_raw = catalog.table(spark, sf_dir, "documents")
+    docs = cpu_fanout_repartition(docs_raw, "doc_id")
     toks = (
         docs.select(
             "doc_id",
@@ -1920,7 +1930,9 @@ def text_tfidf_topterms(spark, sf_dir):
     df = toks.groupBy("tok").agg(
         F.count_distinct("doc_id").alias("df")
     )
-    nd = toks.agg(F.count_distinct("doc_id").alias("n"))
+    nd = docs_raw.filter(F.trim(F.col("text")) != "").agg(
+        F.count_distinct("doc_id").alias("n")
+    )
     idf = (
         df.crossJoin(F.broadcast(nd))
         .select(
