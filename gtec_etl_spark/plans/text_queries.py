@@ -1232,18 +1232,27 @@ def text_gopher_rules(spark, sf_dir):
     aggregations — groupBy(doc_id, word) counts, then groupBy(doc_id)
     derives every feature from the (word, cnt) pairs (n_words=sum(cnt),
     n_distinct=count(*), chars=sum(cnt*len), dominant=max(cnt)) — so no
-    count-distinct Expand is needed and both shuffles carry partial
-    aggregates (the second moves only the pre-counted (doc_id, word,
-    cnt) rows, a fraction of the token stream). Verified plan: exactly
-    two hash exchanges. A fully map-side variant (array-expression run
-    counting over array_sort) would avoid the shuffles but puts O(n x
-    distinct) work on single tasks for giant documents; the two-agg
-    shape degrades gracefully instead. All thresholds compare exact
-    integers (x10 / basis-point scaling), so the flags are bit-identical
-    cross-engine.
+    count-distinct Expand is needed. r14: the raw docs go through the
+    cpu_fanout_repartition guard keyed on doc_id FIRST — that one
+    exchange (a) un-pins the explode + per-token stopword scan from the
+    1-2 cores a compact single-row-group corpus file grants the scan
+    (fake-slice regime, PERF.md r14; this query's second decade measured
+    6.48x per 10x at load 2 before the fix) and (b) makes BOTH chained
+    aggregations exchange-free, because HashPartitioning(doc_id)
+    satisfies the clustering of groupBy(doc_id, w) AND groupBy(doc_id) —
+    the r13 shape's two post-explode hash exchanges collapse into the
+    one pre-explode exchange of the (smaller) raw text rows. At 100 TB
+    the guard is a no-op and the healthy two-exchange shape returns. A
+    fully map-side variant (array-expression run counting over
+    array_sort) would avoid shuffles entirely but puts O(n x distinct)
+    work on single tasks for giant documents; the agg shape degrades
+    gracefully instead. All thresholds compare exact integers (x10 /
+    basis-point scaling), so the flags are bit-identical cross-engine.
 
     No reference counterpart — LLM-pipeline extension per the brief."""
-    docs = catalog.table(spark, sf_dir, "documents")
+    docs = cpu_fanout_repartition(
+        catalog.table(spark, sf_dir, "documents"), "doc_id"
+    )
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     wc = (
         docs.select(
@@ -1335,10 +1344,19 @@ def text_lm_familiarity(spark, sf_dir):
     Plan shape: the words array is materialized in a projection BEFORE
     the bigram transform (Catalyst does not hoist split() out of lambda
     bodies — the inlined form re-tokenizes per index, O(words^2)/doc, the
-    round-6 DSIR lesson); training is one groupBy(bigram) with map-side
-    partial counts over the target slice; scoring is one equi-join on the
-    bigram string — at 100 TB the count model shuffles once and AQE picks
-    broadcast when the trained model is small (here it is); hot
+    round-6 DSIR lesson). r14: every bigram-keyed shuffle and the
+    model join now run over the per-document PRE-AGGREGATED relation
+    (doc_id, lang, b, m = occurrences) instead of the raw occurrence
+    stream — all occurrences of a bigram inside one document share the
+    same model count c, so n_bigrams = sum(m) and tier_sum =
+    sum(m * tier) are exact over the deduplicated rows (guide §2.3:
+    aggregate before you shuffle; the pre-agg itself is EXCHANGE-FREE
+    because the fan-out guard already hash-partitions the docs by
+    doc_id and HashPartitioning(doc_id) satisfies the
+    (doc_id, lang, b) clustering). Training is one groupBy(bigram)
+    summing m over the target slice; scoring is one equi-join on the
+    bigram string — at 100 TB the count model shuffles once and AQE
+    picks broadcast when the trained model is small (here it is); hot
     boilerplate bigrams are skew-join territory, same as every dedup
     family join."""
     docs = cpu_fanout_repartition(
@@ -1359,18 +1377,22 @@ def text_lm_familiarity(spark, sf_dir):
             )
         ).alias("b"),
     )
+    dbg = bg.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("m")
+    )
     cnt = (
-        bg.filter(F.col("lang") == "en")
+        dbg.filter(F.col("lang") == "en")
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("m").cast("long").alias("c"))
     )
     sc = (
-        bg.join(cnt, "b", "left")
+        dbg.join(cnt, "b", "left")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("m").cast("long").alias("n_bigrams"),
             F.sum(
-                F.when(F.col("c").isNull(), 0).otherwise(
+                F.col("m")
+                * F.when(F.col("c").isNull(), 0).otherwise(
                     F.length(F.bin(F.col("c")))
                 )
             ).alias("tier_sum"),

@@ -24,7 +24,10 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame  # noqa: E402
+# Spark 4: pyspark.sql.DataFrame is the abstract facade; runtime objects
+# are the classic subclass, whose method OVERRIDES must be the patch target.
+from pyspark.sql.classic.dataframe import DataFrame  # noqa: E402
+from pyspark.sql.readwriter import DataFrameWriter  # noqa: E402
 
 from gtec_etl_spark.plans import registry  # noqa: E402
 from gtec_etl_spark.session import get_spark  # noqa: E402
@@ -48,17 +51,29 @@ def main() -> None:
     captured: list[tuple[str, str]] = []
     orig_ckpt = DataFrame.localCheckpoint
     orig_persist = DataFrame.persist
+    orig_parquet = DataFrameWriter.parquet
 
     def spy_ckpt(self, eager=True):
         captured.append(("localCheckpoint", _formatted(self)))
-        return orig_ckpt(self, eager)
+        out = orig_ckpt(self, eager)
+        # eager checkpoint has now EXECUTED this plan: re-explain shows the
+        # final adaptive plan (isFinalPlan=true, AQEShuffleRead nodes,
+        # exchanges elided above cached relations) — the shape that actually
+        # ran, which the initial plan can hide for AQE-wrapped caches.
+        captured.append(("localCheckpoint EXECUTED final plan", _formatted(self)))
+        return out
 
     def spy_persist(self, *a, **kw):
         captured.append(("persist", _formatted(self)))
         return orig_persist(self, *a, **kw)
 
+    def spy_parquet(self, *a, **kw):
+        captured.append(("write.parquet", _formatted(self._df)))
+        return orig_parquet(self, *a, **kw)
+
     DataFrame.localCheckpoint = spy_ckpt
     DataFrame.persist = spy_persist
+    DataFrameWriter.parquet = spy_parquet
     try:
         for name in names:
             captured.clear()
@@ -89,6 +104,7 @@ def main() -> None:
     finally:
         DataFrame.localCheckpoint = orig_ckpt
         DataFrame.persist = orig_persist
+        DataFrameWriter.parquet = orig_parquet
 
 
 if __name__ == "__main__":
