@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import io
 import contextlib
+import re
 
 import pytest
 
@@ -250,11 +251,15 @@ def test_diversity_sample_arrow_assign_and_salts(spark):
     assert plan.count("Window") >= 2
 
 
-def test_gopher_rules_two_chained_aggs(spark):
-    """text_gopher_rules: one explode, two hash exchanges (token counts,
-    then doc features) — no count-distinct Expand, no join."""
+def test_gopher_rules_guard_keyed_single_exchange(spark):
+    """text_gopher_rules (r14 shape): the fan-out guard repartitions by
+    doc_id BEFORE the explode, so both chained aggregations reuse that one
+    HashPartitioning(doc_id) — exactly one hash exchange in the whole plan,
+    and it is the guard's REPARTITION_BY_NUM on doc_id. Still no
+    count-distinct Expand, no join."""
     plan = _formatted_plan(spark, "text_gopher_rules")
-    assert plan.count("Arguments: hashpartitioning") == 2
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM", plan)
     assert "Expand" not in plan
     assert "Join" not in plan
 
