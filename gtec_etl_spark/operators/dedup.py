@@ -73,8 +73,14 @@ def word_shingles(
     map side on a couple of cores. Repartition the raw docs up to
     default parallelism when the scan is narrower; a real 100 TB scan
     already exceeds core count, making this a no-op.
+
+    min_bytes=0 (r15): the shingle explode computes an md5 per n-gram,
+    so even a sub-megabyte corpus carries a second-plus of single-core
+    map work — the guard pays for itself at ANY size here (interleaved
+    sf0.1 A/B: minhash-LSH 1.57 s guarded vs 1.76 s floor-skipped);
+    the 2 MB floor is for aggregation-reduced token fan-outs only.
     """
-    docs = cpu_fanout_repartition(docs, id_col)
+    docs = cpu_fanout_repartition(docs, id_col, min_bytes=0)
 
     words = F.split(F.lower(F.col(text_col)), " ")
     carry = [F.col(c) for c in carry_cols]
@@ -169,6 +175,32 @@ def jaccard_pairs_capped_posting(
     )
 
 
+def upper_triangle_pair_counts(
+    kept: DataFrame, count_name: str = "n_common"
+) -> DataFrame:
+    """Stream i<j pairs out of each posting array and count per pair:
+    (doc_a, doc_b, <count_name>) from a relation with a SORTED id-array
+    column `__ids`. Sorted ids + upper-triangle explode emit exactly the
+    equi-join's (a.key = b.key AND a.id < b.id) pair multiset, and the
+    two-level explode (posexplode then slice-explode) keeps per-row
+    memory O(df), never materializing the df^2 pair array per key."""
+    lefts = kept.select("__ids", F.posexplode("__ids").alias("__i", "doc_a"))
+    return (
+        lefts.select(
+            "doc_a",
+            F.explode(
+                F.slice(
+                    F.col("__ids"),
+                    F.col("__i") + F.lit(2),
+                    F.size("__ids") - F.col("__i") - F.lit(1),
+                )
+            ).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias(count_name))
+    )
+
+
 def _capped_pair_intersections(
     shingles: DataFrame, max_frac: float, floor: int, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -194,18 +226,7 @@ def _capped_pair_intersections(
             <= F.greatest(F.lit(floor), F.lit(max_frac) * F.col("__n_docs"))
         )
     )
-    lefts = kept.select("__ids", F.posexplode("__ids").alias("__i", "doc_a"))
-    pairs = lefts.select(
-        "doc_a",
-        F.explode(
-            F.slice(
-                F.col("__ids"),
-                F.col("__i") + F.lit(2),
-                F.size("__ids") - F.col("__i") - F.lit(1),
-            )
-        ).alias("doc_b"),
-    )
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    inter = upper_triangle_pair_counts(kept)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return inter.join(sa, "doc_a").join(sb, "doc_b")
@@ -266,27 +287,44 @@ def jaccard_pairs(
     max_doc_freq: int | None = None,
     candidate_shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Pairwise Jaccard over an inverted shingle index: equi-join on the
-    shingle (candidate generation), then |∩| / (|A|+|B|−|∩|). With
-    max_doc_freq (or an explicitly pre-capped candidate_shingles) set,
-    capped shingles are excluded from the intersection count, so the
-    reported jaccard is a LOWER BOUND of the true value (set sizes stay
-    uncapped); with no cap the value is exact."""
+    """Pairwise Jaccard over an inverted shingle index, then
+    |∩| / (|A|+|B|−|∩|). With max_doc_freq (or an explicitly pre-capped
+    candidate_shingles) set, capped shingles are excluded from the
+    intersection count, so the reported jaccard is a LOWER BOUND of the
+    true value (set sizes stay uncapped); with no cap the value is exact.
+
+    Candidate generation (r15): the exact uncapped path builds POSTING
+    LISTS — one groupBy(shingle) collects each shingle's sorted id array,
+    and pairs stream out of the upper-triangle explode — instead of the
+    a⋈b equi-join, which shuffled the full shingle table twice more
+    (the same restructure that took the capped twin 22.7 s -> ~6 s at
+    10x, r13). Pair multiset identical: sorted ids + i<j explode ==
+    (a.shingle = b.shingle AND a.doc_id < b.doc_id), and df = 1 shingles
+    contribute no pairs in either form. Worst-case skew is unchanged —
+    a hot shingle's df^2 pairs come out of one task in both shapes,
+    which is why the capped twin is the 100 TB path. The pre-capped /
+    max_doc_freq forms keep the equi-join (their cap tables are built
+    relationally; the absolute-cap semantics are pinned by tests)."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    if candidate_shingles is not None:
-        candidates = candidate_shingles
-    elif max_doc_freq is not None:
-        candidates = frequency_cap_shingles(shingles, max_doc_freq, id_col)
+    if candidate_shingles is None and max_doc_freq is None:
+        postings = shingles.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(id_col)).alias("__ids"),
+            F.count(F.lit(1)).alias("__df"),
+        )
+        inter = upper_triangle_pair_counts(postings.filter(F.col("__df") >= 2))
     else:
-        candidates = shingles
-    a = candidates.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = candidates.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        if candidate_shingles is not None:
+            candidates = candidate_shingles
+        else:
+            candidates = frequency_cap_shingles(shingles, max_doc_freq, id_col)
+        a = candidates.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = candidates.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -647,10 +685,14 @@ def duplicated_spans(
     change, the suite's worst scale curve). When the scan has fewer
     partitions than cores, repartition the RAW docs (cheap relative to
     the 100x+ explode fan-out) up to default parallelism; a real
-    100 TB scan already exceeds core count, making this a no-op."""
+    100 TB scan already exceeds core count, making this a no-op.
+    min_bytes=0: the k-gram window explode is ~|text| md5 rows per doc —
+    the heaviest per-byte fan-out in the suite; at sf0.1 the guarded
+    form ran 1.29 s vs 2.39 s floor-skipped (interleaved min-of-5), so
+    the guard stays on at any input size."""
     from pyspark.sql import Window as W
 
-    docs = cpu_fanout_repartition(docs, id_col)
+    docs = cpu_fanout_repartition(docs, id_col, min_bytes=0)
 
     words = F.split(F.lower(F.col(text_col)), " ")
     win_arr = F.when(

@@ -1994,8 +1994,10 @@ def dedup_winnowing_pairs(spark, sf_dir):
     # positions first keeps hash60 a whole-stage-codegen column (the
     # word_shingles discipline), and the window minima ride one per-doc
     # frame window over the gram stream.
+    # min_bytes=0: char-gram md5 fan-out — the guard pays at any size
+    # (see duplicated_spans; sf0.1 A/B 1.29 s guarded vs 2.39 s skipped).
     docs = cpu_fanout_repartition(
-        catalog.table(spark, sf_dir, "documents"), "doc_id"
+        catalog.table(spark, sf_dir, "documents"), "doc_id", min_bytes=0
     )
     pos = docs.select(
         "doc_id",
@@ -2021,17 +2023,30 @@ def dedup_winnowing_pairs(spark, sf_dir):
     win = h.withColumn("m", F.min("hv").over(frame)).filter(
         F.col("i") <= F.greatest(F.col("ng") - (WINNOW_W - 1), F.lit(1))
     )
-    fp = win.select("doc_id", F.col("m").alias("f")).distinct()
-    df_ = fp.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    capped = fp.join(df_, "f").filter(F.col("d") <= WINNOW_DF_CAP)
-    a = capped.select(F.col("doc_id").alias("doc_a"), "f")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "f")
-    pairs = (
-        a.join(b, "f")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    # r15 (guide §2.4): the old post-window chain paid window-stream-sized
+    # shuffles three ways — .distinct() on (doc_id, f) re-shuffled every
+    # SELECTED WINDOW row (~one per gram, pre-dedup), the df groupBy
+    # shuffled the fingerprint stream, and the capped a⋈b self-join
+    # re-shuffled it twice more. The window's output is clustered by
+    # doc_id (its own partitioning), so per-doc fingerprint dedup is an
+    # EXCHANGE-FREE groupBy(doc_id).collect_set — equivalent to
+    # .distinct() because hv is never NULL (hash60 of a non-null
+    # substring; NULL-text docs explode to zero gram rows), so there is
+    # no NULL row for distinct to keep that collect_set would drop.
+    # Candidate pairs then stream from the same df-capped POSTING-LIST
+    # explode as the capped Jaccard family (sorted ids + upper-triangle
+    # explode == equi-join with doc_a < doc_b — bit-identical pair
+    # counts; d >= 2 drops only fingerprints that contribute no pairs).
+    # Hash exchanges after the gram stream: 2 (postings on f, pair
+    # aggregate) instead of 4.
+    fps = win.groupBy("doc_id").agg(F.collect_set("m").alias("fs"))
+    fp = fps.select("doc_id", F.explode("fs").alias("f"))
+    postings = fp.groupBy("f").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("__ids"),
+        F.count(F.lit(1)).cast("long").alias("d"),
     )
+    kept = postings.filter((F.col("d") >= 2) & (F.col("d") <= WINNOW_DF_CAP))
+    pairs = D.upper_triangle_pair_counts(kept, "n_shared")
     return pairs.filter(F.col("n_shared") >= WINNOW_MIN_SHARED).orderBy(
         "doc_a", "doc_b"
     )

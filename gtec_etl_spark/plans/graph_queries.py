@@ -797,30 +797,35 @@ def graph_degree_distribution(spark, sf_dir):
     bit length (length(bin(d)) - 1), never float log. Map-side partials
     make the shuffle rows-per-bucket.
 
-    Plan shape (r11): the purchase join runs ONCE, each match explodes
-    into its two directed ends, and ONE distinct over (src, dst) feeds
-    the degree count — the r10 shape referenced the distinct-pair
+    Plan shape (r11): the purchase join runs ONCE, and ONE distinct
+    feeds the degree count — the r10 shape referenced the distinct-pair
     subplan twice through a union, so the join AND the pair-distinct
-    each executed twice (verdict r10 #4; the map-side partial distinct
-    halves the exploded shuffle the same way the union's did)."""
+    each executed twice (verdict r10 #4).
+
+    r15 (guide §2.3, shuffle fewer bytes): dedup the UN-mirrored (c, s)
+    pair — mirroring before the distinct doubled the rows through the
+    plan's dominant exchange for nothing, since the even/odd node
+    encoding makes the two directions distinct exactly when the pairs
+    are. The mirror is now an explode AFTER the dedup, feeding the
+    degree count's map-side partial aggregation (each distinct pair
+    contributes 1 to both endpoints' degrees, so exploding both ends of
+    the deduped pair is the same multiset the mirrored distinct fed).
+    Distinct exchange rows: |join output| instead of 2x."""
     orders = catalog.table(spark, sf_dir, "orders")
     lineitem = catalog.table(spark, sf_dir, "lineitem")
-    c = (F.col("o_custkey") * 2).alias("src")
-    s = (F.col("l_suppkey") * 2 + 1).alias("src")
-    edges = (
+    pairs = (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.explode(
-                F.array(
-                    F.struct(c, (F.col("l_suppkey") * 2 + 1).alias("dst")),
-                    F.struct(s, (F.col("o_custkey") * 2).alias("dst")),
-                )
-            ).alias("e")
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .select("e.src", "e.dst")
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        pairs.select(F.explode(F.array(F.col("c"), F.col("s"))).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
     return (
         deg.groupBy(
             (F.length(F.bin(F.col("d"))) - 1).cast("long").alias("log2_bucket")

@@ -252,16 +252,30 @@ def test_diversity_sample_arrow_assign_and_salts(spark):
 
 
 def test_gopher_rules_guard_keyed_single_exchange(spark):
-    """text_gopher_rules (r14 shape): the fan-out guard repartitions by
-    doc_id BEFORE the explode, so both chained aggregations reuse that one
-    HashPartitioning(doc_id) — exactly one hash exchange in the whole plan,
-    and it is the guard's REPARTITION_BY_NUM on doc_id. Still no
-    count-distinct Expand, no join."""
-    plan = _formatted_plan(spark, "text_gopher_rules")
+    """text_gopher_rules (r14 shape): when the fan-out guard fires, it
+    repartitions by doc_id BEFORE the explode, so both chained aggregations
+    reuse that one HashPartitioning(doc_id) — exactly one hash exchange in
+    the whole plan, and it is the guard's REPARTITION_BY_NUM on doc_id.
+    Still no count-distinct Expand, no join. The r15 bytes floor keeps the
+    guard out of sub-2MB scans (the test fixture qualifies), so pin the
+    guard-fired scale shape with the floor disabled; then check the
+    floor-skipped shape stays the plain two-agg plan."""
+    spark.conf.set("spark.gtec.fanout.minBytes", "0")
+    try:
+        plan = _formatted_plan(spark, "text_gopher_rules")
+    finally:
+        spark.conf.unset("spark.gtec.fanout.minBytes")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\), REPARTITION_BY_NUM", plan)
     assert "Expand" not in plan
     assert "Join" not in plan
+
+    # Floor active (default): tiny scan → no guard exchange, the two
+    # chained aggregations each hash-partition as before r14.
+    plan2 = _formatted_plan(spark, "text_gopher_rules")
+    assert plan2.count("Arguments: hashpartitioning") == 2
+    assert "Expand" not in plan2
+    assert "Join" not in plan2
 
 
 def test_retention_cohorts_two_data_shuffles(spark):
@@ -555,6 +569,58 @@ def test_winnowing_hash_is_codegen_column_not_lambda(spark):
     assert "md5" in plan
     assert "lambdafunction" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_posting_list_no_self_join(spark):
+    """dedup_winnowing_pairs (r15 shape): per-doc fingerprint dedup is an
+    exchange-free collect_set under the window's doc_id clustering (the
+    old (doc_id, f) .distinct() re-shuffled every selected window row),
+    and candidate pairs stream from the df-capped posting-list explode —
+    the fingerprint self-join and its join-back are gone. Pins: NO join
+    operator anywhere, and at most 3 hash exchanges total (doc_id for
+    the window, f for the postings, the pair aggregate)."""
+    df = registry.specs()["dedup_winnowing_pairs"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct", plan
+    )
+    assert not joins, f"expected no joins, found {joins}"
+    assert "posexplode" in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, f"expected <=3 hash exchanges, got {n}"
+
+
+def test_ngram_jaccard_posting_no_shingle_self_join(spark):
+    """dedup_ngram_jaccard (r15 shape): the exact uncapped variant now
+    generates candidates from posting lists (one groupBy(shingle) +
+    upper-triangle explode), so the only joins left are the two size
+    lookups — the a⋈b shingle equi-join (two extra shingle-table
+    shuffles) is gone."""
+    df = registry.specs()["dedup_ngram_jaccard"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct", plan
+    )
+    assert len(joins) == 2, f"expected exactly the 2 size-lookup joins, got {joins}"
+    assert "posexplode" in plan
+
+
+def test_degree_distribution_dedups_unmirrored_pairs(spark):
+    """graph_degree_distribution (r15 shape): the distinct runs on the
+    UN-mirrored (c, s) pair — the mirror explode sits ABOVE the dedup
+    aggregate, so the dominant exchange carries |join output| rows, not
+    2x. Pin: the explode's child is the aggregate side (no struct-pair
+    Generate below the first HashAggregate), cheapest checked as: the
+    plan's Generate explodes a 2-element plain array, not an array of
+    structs."""
+    df = registry.specs()["graph_degree_distribution"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode(array(c" in plan
+    assert "struct(src" not in plan
 
 
 def test_graph_edge_build_single_shuffle_presorted(spark):

@@ -120,16 +120,34 @@ def test_fanout_guard_fires_in_fake_slice_regime(spark):
     the fake-slice regime (byte slices of a single row group — most read
     zero rows), so the guard must repartition it; a frame already wider
     than 2x cores must pass through untouched (at 100 TB the guard is a
-    no-op)."""
+    no-op). min_bytes=0 disables the small-scan floor so this pins the
+    partition-count logic in isolation."""
     par = spark.sparkContext.defaultParallelism
     docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
 
     narrow = docs.coalesce(min(par, 4))
     assert narrow.rdd.getNumPartitions() < 2 * par
-    out = scale.cpu_fanout_repartition(narrow, "doc_id")
+    out = scale.cpu_fanout_repartition(narrow, "doc_id", min_bytes=0)
     assert out.rdd.getNumPartitions() == par
 
     wide = docs.repartition(2 * par + 1, "doc_id")
-    out2 = scale.cpu_fanout_repartition(wide, "doc_id")
+    out2 = scale.cpu_fanout_repartition(wide, "doc_id", min_bytes=0)
     assert out2.rdd.getNumPartitions() == 2 * par + 1
     assert out2 is wide
+
+
+def test_fanout_guard_bytes_floor_skips_tiny_scans(spark):
+    """r15: a narrow frame whose estimated size is below the bytes floor
+    must pass through UNTOUCHED (the exchange costs more than the fan-out
+    it would unblock at that size), while the same frame clears the guard
+    once the floor is below its size estimate. spark.range(1000) of one
+    long column estimates at 8 KB."""
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    narrow = docs.coalesce(min(par, 4))
+
+    out = scale.cpu_fanout_repartition(narrow, "doc_id")  # default floor 2 MB
+    assert out is narrow
+
+    out2 = scale.cpu_fanout_repartition(narrow, "doc_id", min_bytes=1024)
+    assert out2.rdd.getNumPartitions() == par
